@@ -1,0 +1,9 @@
+from . import filterbank, windows  # noqa: F401
+from .filterbank import (  # noqa: F401
+    FilterbankParams,
+    analysis,
+    synthesis,
+    stft_analysis,
+    hermitian_mirror,
+    num_analysis_frames,
+)

@@ -1,0 +1,260 @@
+"""Oversampled DFT-modulated subband analysis/synthesis filterbanks.
+
+TPU-first batch reformulation of the polyphase filterbanks of the reference
+(`modulated/modulated.cc`).  The reference processes one frame at a time
+through circular ring buffers (`RealBuffer_`, modulated.h:56-140); here the
+whole utterance is a dense tensor and every frame is produced at once:
+
+Analysis (reference: ``OverSampledDFTAnalysisBank::next``, modulated.cc:375-409):
+  the per-frame state machine (ring buffer of the last ``N = M*m`` samples,
+  polyphase FIR ``sum_k h[mi + M k] * buf[R k, mi]``, unnormalized backward
+  length-``M`` DFT) reduces algebraically to, for output frame ``t``::
+
+      window_t[j] = x[(t + laN + 1) * D - 1 - j],  j = 0..N-1   (zero history)
+      v_t[mi]     = sum_k h[mi + M k] * window_t[mi + M k]
+      X_t         = M * ifft(v_t)                  (unnormalized backward DFT)
+
+  i.e. reverse the chronological window, multiply by the prototype, fold the
+  length-``N`` product into ``(m, M)`` and sum, then transform.  ``laN``
+  (look-ahead skip) and the ``processing_delay`` zero-padding tail replicate
+  the delay-compensation modes 0/1/2 of modulated.cc:246-264 and the
+  end-of-stream padding protocol of modulated.cc:418-469.
+
+Synthesis (reference: ``OverSampledDFTSynthesisBank::next``, modulated.cc:569-612):
+  ``c_t = Re(fft(Y_t))`` (unnormalized forward DFT, modulated.cc:551-567), an
+  ``m``-tap FIR over pushed frames with stride ``R`` and flipped polyphase::
+
+      s_t[mi]  = sum_k g[(M-1-mi) + M k] * c_{t'-R k}[mi],   t' = t + pd_s
+      out_t[i] = sum_{j=0}^{R-1} s_{t-j}[(R-1-j) * D + (D-1-i)]
+
+  where ``pd_s`` frames of priming replicate modulated.cc:574-578.
+
+Everything is expressed with static slices / reshapes / FFTs so XLA tiles it
+onto the TPU; no gathers and no per-frame Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "FilterbankParams",
+    "analysis",
+    "synthesis",
+    "analysis_frames",
+    "num_analysis_frames",
+    "stft_analysis",
+    "hermitian_mirror",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterbankParams:
+    """Static filterbank configuration.
+
+    Mirrors the parameter conventions of ``BaseFilterBank`` (modulated.cc:76-79):
+    ``M`` subbands, prototype length ``N = M*m``, decimation ``R = 2**r``,
+    frame shift ``D = M / R``.  ``delay_compensation_type`` selects the latency
+    bookkeeping of modulated.cc:246-264.
+    """
+
+    M: int = 256
+    m: int = 4
+    r: int = 1
+    delay_compensation_type: int = 2
+
+    @property
+    def R(self) -> int:
+        return 1 << self.r
+
+    @property
+    def D(self) -> int:
+        return self.M // self.R
+
+    @property
+    def N(self) -> int:
+        return self.M * self.m
+
+    @property
+    def laN(self) -> int:
+        """Frames skipped at stream start by the analysis bank (type 2)."""
+        if self.delay_compensation_type == 2:
+            return self.m * self.R // 2 - 1
+        return 0
+
+    @property
+    def analysis_delay(self) -> int:
+        """Zero frames padded at end of stream by the analysis bank."""
+        if self.delay_compensation_type in (1, 2):
+            return self.m * self.R - 1
+        return 2 * self.m - 1
+
+    @property
+    def synthesis_delay(self) -> int:
+        """Subband frames consumed to prime the synthesis bank."""
+        if self.delay_compensation_type == 1:
+            return self.m * self.R - 1
+        if self.delay_compensation_type == 2:
+            return self.m * self.R // 2
+        return 2 * self.m - 1
+
+
+def num_analysis_frames(params: FilterbankParams, num_samples: int) -> int:
+    """Number of subband frames the analysis bank emits for ``num_samples``.
+
+    The reference consumes ``ceil(T/D)`` zero-padded blocks
+    (``SampleFeature::next`` pad_zeros branch, feature/feature.cc:626-640),
+    skips ``laN`` at start and pads ``analysis_delay`` zero frames at the end
+    (modulated.cc:440-466).
+    """
+    n_blocks = -(-num_samples // params.D)
+    return n_blocks - params.laN + params.analysis_delay
+
+
+def _pad_to_blocks(x: jax.Array, D: int) -> jax.Array:
+    """Zero-pad the trailing (time) axis to a whole number of D-blocks."""
+    T = x.shape[-1]
+    n_blocks = -(-T // D)
+    pad = n_blocks * D - T
+    if pad:
+        cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+        x = jnp.pad(x, cfg)
+    return x
+
+
+def analysis_frames(x: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Extract the length-``N`` chronological sample window for every frame.
+
+    ``x``: float array ``[..., T]``.  Returns ``[..., n_frames, N]`` where
+    window ``t`` ends at sample ``(t + laN + 1) * D - 1`` of the zero-history
+    stream (ring-buffer semantics of modulated.cc:363-373).
+
+    Built from ``R*m`` static shifted slices of the block-reshaped signal —
+    no gather, so XLA lowers it to cheap copies.
+    """
+    D, N = params.D, params.N
+    x = _pad_to_blocks(x, D)
+    lead = x.ndim - 1
+    n_blocks = x.shape[-1] // D
+    n_frames = n_blocks - params.laN + params.analysis_delay
+    mR = params.m * params.R  # blocks per window
+
+    # Stream with zero history (N - D zeros) and zero tail for padded frames.
+    tail = (n_frames - 1 + params.laN) * D + N - (N - D + n_blocks * D)
+    cfg = [(0, 0)] * lead + [(N - D, max(tail, 0))]
+    xx = jnp.pad(x, cfg)
+    blocks = xx.reshape(xx.shape[:-1] + (-1, D))  # [..., n_blocks', D]
+
+    # window t spans blocks [t+laN, t+laN+mR) of xx  (start offset laN).
+    segs = [
+        jax.lax.slice_in_dim(blocks, params.laN + i, params.laN + i + n_frames, axis=lead)
+        for i in range(mR)
+    ]
+    windows = jnp.stack(segs, axis=lead + 1)  # [..., n_frames, mR, D]
+    return windows.reshape(windows.shape[:lead] + (n_frames, N))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _analysis_from_frames(windows: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+    m, M = params.m, params.M
+    prod = windows[..., ::-1] * h  # reversed window x prototype
+    v = prod.reshape(prod.shape[:-1] + (m, M)).sum(axis=-2)
+    # Unnormalized backward DFT (FFTW_BACKWARD / gsl radix2_backward,
+    # modulated.cc:345-349,393-397).
+    return jnp.fft.ifft(v, axis=-1) * M
+
+
+def analysis(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Oversampled DFT analysis bank over a whole utterance.
+
+    ``x``: float ``[..., T]`` (any leading batch/channel dims).
+    ``h``: analysis prototype, float ``[N]``.
+    Returns complex64 subband frames ``[..., n_frames, M]`` identical (up to
+    float precision) to iterating ``OverSampledDFTAnalysisBank::next``.
+    """
+    h = jnp.asarray(h)
+    if h.shape != (params.N,):
+        raise ValueError(
+            f"analysis prototype must have length N=M*m={params.N}, got {h.shape}"
+        )
+    windows = analysis_frames(x, params)
+    return _analysis_from_frames(windows, h.astype(x.dtype), params)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def synthesis(Y: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Oversampled DFT synthesis bank over a whole utterance.
+
+    ``Y``: complex subband frames ``[..., T_in, M]``.
+    ``g``: synthesis prototype, float ``[N]``.
+    Returns float samples ``[..., (T_in - synthesis_delay) * D]``, matching
+    the stream of ``OverSampledDFTSynthesisBank::next`` outputs (priming per
+    modulated.cc:574-578, polyphase + overlap-add per modulated.cc:594-606).
+    """
+    M, m, R, D = params.M, params.m, params.R, params.D
+    pd = params.synthesis_delay
+    T_in = Y.shape[-2]
+    T_out = T_in - pd
+    if T_out <= 0:
+        raise ValueError(f"need more than {pd} subband frames, got {T_in}")
+    lead = Y.ndim - 2
+
+    # Forward unnormalized DFT, real part (modulated.cc:556-563).
+    c = jnp.real(jnp.fft.fft(Y, axis=-1))  # [..., T_in, M]
+
+    # Polyphase FIR over pushed frames: s_t[mi] = sum_k gf[k, mi] * c[t'-Rk, mi]
+    # with gf[k, mi] = g[(M-1-mi) + M k]  (modulated.cc:594-598).
+    gf = jnp.asarray(g, c.dtype).reshape(m, M)[:, ::-1]  # [m, M]
+    # Zero history of (m-1)*R pushes (buffer_ starts zeroed).
+    cfg = [(0, 0)] * lead + [((m - 1) * R, 0), (0, 0)]
+    cp = jnp.pad(c, cfg)
+    # Push index of output t is t' = t + pd; in padded coords t' + (m-1)R.
+    # s over t = 0..T_out-1 : sum_k gf[k] * cp[t + pd + (m-1)R - Rk]
+    s = sum(
+        gf[k] * jax.lax.slice_in_dim(cp, pd + (m - 1 - k) * R, pd + (m - 1 - k) * R + T_out, axis=lead)
+        for k in range(m)
+    )  # [..., T_out, M]
+
+    # Overlap-add of R reversed segments (modulated.cc:603-606):
+    # out_t[i] = sum_j s_{t-j}[(R-1-j)*D + (D-1-i)]
+    cfg = [(0, 0)] * lead + [(R - 1, 0), (0, 0)]
+    sp = jnp.pad(s, cfg)
+    seg = sp.reshape(sp.shape[:-1] + (R, D))[..., ::-1]  # [..., T_out+R-1, R, D(rev)]
+    out = sum(
+        jax.lax.slice_in_dim(seg, R - 1 - j, R - 1 - j + T_out, axis=lead)[..., R - 1 - j, :]
+        for j in range(R)
+    )  # [..., T_out, D]
+    return out.reshape(out.shape[:lead] + (T_out * D,))
+
+
+def stft_analysis(x: jax.Array, M: int, r: int = 1, window_type: int = 1) -> jax.Array:
+    """Plain windowed STFT as a stream (``NormalFFTAnalysisBank``, modulated.cc:96-227).
+
+    Window types: 0 rect, 1 Hamming, 2 Hann (get_window, modulated.cc:47-72).
+    Forward unnormalized DFT of the windowed, time-reversed last-M samples.
+    Returns ``[..., n_frames, M]`` complex.
+    """
+    from .windows import get_window
+
+    params = FilterbankParams(M=M, m=1, r=r, delay_compensation_type=0)
+    windows = analysis_frames(x, params)  # [..., n_frames, M] chronological
+    win = jnp.asarray(get_window(window_type, M), x.dtype)
+    # output_[mi] = win[mi] * buffer(0, M-1-mi)  : reversed chronological window
+    v = windows[..., ::-1] * win
+    return jnp.fft.fft(v, axis=-1)
+
+
+def hermitian_mirror(half: jax.Array, M: int) -> jax.Array:
+    """Expand bins ``0..M/2`` to all ``M`` bins by conjugate symmetry.
+
+    The reference computes beamformer outputs only for bins ``0..M/2`` and
+    mirrors the conjugates into ``M/2+1..M-1`` (beamformer.cc:1142-1152).
+    ``half``: ``[..., M//2+1]`` complex -> ``[..., M]``.
+    """
+    mirror = jnp.conj(half[..., 1 : M // 2])[..., ::-1]
+    return jnp.concatenate([half, mirror], axis=-1)

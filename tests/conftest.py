@@ -1,0 +1,23 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh.
+
+The axon TPU plugin in this image ignores the JAX_PLATFORMS env var, so the
+platform must be forced through jax.config before any backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
