@@ -1,0 +1,1 @@
+from . import beamforming, adaptive_gsc  # noqa: F401

@@ -1,0 +1,262 @@
+"""Adaptive GSC beamformers (LMS / RLS active-weight adaptation).
+
+The reference adapts the active weight vector ``wa`` per frame per bin inside
+a Python loop (SubbandGSCLMSBeamformer.__iter__ pybeamformer.py:659-762,
+SubbandGSCRLSBeamformer.__iter__ pybeamformer.py:816-898).  Here each frame
+update is one `lax.scan` step carrying pytrees shaped ``[F, ...]`` — all
+frequency bins update in parallel on the VPU/MXU; time is the only sequential
+axis.  Throughput comes from F x batch parallelism, matching the reference's
+math decision for decision (silence gating, regularization leak, quadratic
+constraints, norm capping, min-frame warmup, LMS step-size slowdown).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .beamforming import array_manifold, blocking_matrix
+
+__all__ = [
+    "GSCLMSConfig",
+    "GSCRLSConfig",
+    "gsc_weights",
+    "gsc_lms",
+    "gsc_rls",
+]
+
+
+def gsc_weights(fftlen: int, samplerate: float, delays, Nc: int = 1):
+    """Quiescent weights + blocking matrix for a GSC
+    (calc_beamformer_weights, pybeamformer.py:739-746 / 882-889).
+
+    Returns ``(wqH [F, C], BmH [F, C-Nc, C])`` with ``BmH = B^T`` (transpose,
+    not conjugate — the reference's convention).
+    """
+    vs = array_manifold(fftlen, samplerate, delays)
+    B = blocking_matrix(vs, Nc)
+    return jnp.conj(vs), jnp.swapaxes(B, -1, -2)
+
+
+@dataclasses.dataclass(frozen=True)
+class GSCLMSConfig:
+    """Defaults per SubbandGSCLMSBeamformer.__init__ (pybeamformer.py:595-607)."""
+
+    beta: float = 0.97
+    gamma: float = 0.01
+    init_diagonal_load: float = 1.0e6
+    regularization_param: float = 1.0e-4
+    energy_floor: float = 90.0
+    sil_thresh: float = 1.0e8
+    max_wa_l2norm: float = 100.0
+    min_frames: int = 128
+    slowdown_after: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class GSCRLSConfig:
+    """Defaults per SubbandGSCRLSBeamformer.__init__ (pybeamformer.py:770-783)."""
+
+    beta: float = 0.97
+    gamma: float = 0.04
+    mu: float = 0.97
+    init_diagonal_load: float = 1.0e6
+    regularization_param: float = 1.0e-2
+    sil_thresh: float = 1.0e8
+    constraint_option: int = 3  # 0: none, 1: quadratic, 2: norm cap, 3: both
+    alpha2: float = 10.0
+    max_wa_l2norm: float = 100.0
+    min_frames: int = 128
+    slowdown_after: int = 4096
+
+
+class _LMSState(NamedTuple):
+    waH: jax.Array  # [F, B] conjugate active weights
+    subband_energy: jax.Array  # [F]
+    energy: jax.Array  # scalar running average power
+    gamma: jax.Array  # scalar step size (halved every slowdown_after)
+    isamp: jax.Array  # scalar frame counter
+
+
+class _RLSState(NamedTuple):
+    waH: jax.Array  # [F, B]
+    Pz: jax.Array  # [F, B, B] precision matrices
+    energy: jax.Array  # scalar
+    isamp: jax.Array  # scalar
+
+
+@partial(jax.jit, static_argnums=(4,))
+def gsc_lms(
+    X: jax.Array,
+    energy: jax.Array,
+    wqH: jax.Array,
+    BmH: jax.Array,
+    config: GSCLMSConfig = GSCLMSConfig(),
+    init_state: _LMSState | None = None,
+):
+    """Leaky power-normalized LMS GSC over an utterance.
+
+    ``X``: snapshots ``[T, F, C]``; ``energy``: ``[T]`` reference-channel
+    frame energies (`frame_energy`); ``wqH [F, C]``, ``BmH [F, B, C]`` from
+    `gsc_weights`.  Returns ``(Y [T, F], final_state)``.
+    Replicates pybeamformer.py:659-762 exactly.
+    """
+    c = config
+    F, B = BmH.shape[0], BmH.shape[1]
+    if init_state is None:
+        init_state = _LMSState(
+            waH=jnp.zeros((F, B), X.dtype),
+            subband_energy=jnp.full((F,), c.init_diagonal_load, jnp.float32),
+            energy=jnp.asarray(c.init_diagonal_load, jnp.float32),
+            gamma=jnp.asarray(c.gamma, jnp.float32),
+            isamp=jnp.asarray(0, jnp.int32),
+        )
+
+    def step(state: _LMSState, inputs):
+        Xt, energy_t = inputs  # [F, C], scalar
+        # Step-size slowdown (pybeamformer.py:669-671).
+        slow = (state.isamp > 0) & (state.isamp % c.slowdown_after == 0)
+        gamma = jnp.where(slow, state.gamma / 2.0, state.gamma)
+
+        gate = energy_t > state.energy / c.sil_thresh
+
+        Z = jnp.einsum("fbc,fc->fb", BmH, Xt)  # blocking-matrix outputs
+        Yc = jnp.einsum("fc,fc->f", wqH, Xt)  # upper branch
+
+        xpow = jnp.sum(jnp.abs(Xt) ** 2, axis=-1)  # per-bin cross-channel power
+        se = jnp.where(
+            state.isamp > 0,
+            state.subband_energy * c.beta + (1.0 - c.beta) * xpow,
+            xpow,
+        )
+        se = jnp.maximum(se, c.energy_floor)
+
+        epa = Yc - jnp.einsum("fb,fb->f", state.waH, Z)
+        alpha = gamma / se  # [F]
+        watH = state.waH + epa[:, None] * jnp.conj(Z) * alpha[:, None]
+        if c.regularization_param > 0:
+            watH = watH - alpha[:, None] * c.regularization_param * state.waH
+        norm = jnp.abs(jnp.sum(watH * jnp.conj(watH), axis=-1))
+        scale = jnp.where(norm > c.max_wa_l2norm, jnp.sqrt(c.max_wa_l2norm / norm), 1.0)
+        waH_new = watH * scale[:, None]
+
+        waH = jnp.where(gate, waH_new, state.waH)
+        subband_energy = jnp.where(gate, se, state.subband_energy)
+
+        Y = jnp.where(
+            state.isamp >= c.min_frames,
+            Yc - jnp.einsum("fb,fb->f", waH, Z),
+            Yc,
+        )
+        new_state = _LMSState(
+            waH=waH,
+            subband_energy=subband_energy,
+            energy=state.energy * c.beta + (1.0 - c.beta) * energy_t,
+            gamma=gamma,
+            isamp=state.isamp + 1,
+        )
+        return new_state, Y
+
+    final, Y = jax.lax.scan(step, init_state, (X, energy.astype(jnp.float32)))
+    return Y, final
+
+
+@partial(jax.jit, static_argnums=(4,))
+def gsc_rls(
+    X: jax.Array,
+    energy: jax.Array,
+    wqH: jax.Array,
+    BmH: jax.Array,
+    config: GSCRLSConfig = GSCRLSConfig(),
+    init_state: _RLSState | None = None,
+):
+    """RLS GSC with quadratic constraint over an utterance.
+
+    Same interface as `gsc_lms`.  Replicates pybeamformer.py:816-898
+    (Van Trees pp. 766-767 recursions; the C++ twin is
+    SubbandGSCRLS::update_active_weight_vector2_, beamformer.cc:1576-1645).
+    """
+    c = config
+    F, B = BmH.shape[0], BmH.shape[1]
+    if init_state is None:
+        init_state = _RLSState(
+            waH=jnp.zeros((F, B), X.dtype),
+            Pz=jnp.broadcast_to(
+                jnp.eye(B, dtype=X.dtype) / c.init_diagonal_load, (F, B, B)
+            ),
+            energy=jnp.asarray(c.init_diagonal_load, jnp.float32),
+            isamp=jnp.asarray(0, jnp.int32),
+        )
+
+    eyeB = jnp.eye(B, dtype=X.dtype)
+
+    def step(state: _RLSState, inputs):
+        Xt, energy_t = inputs
+        gate = energy_t > state.energy / c.sil_thresh
+
+        Z = jnp.einsum("fbc,fc->fb", BmH, Xt)
+        Yc = jnp.einsum("fc,fc->f", wqH, Xt)
+
+        # Gain vector & precision matrix update.
+        PzZ = jnp.einsum("fij,fj->fi", state.Pz, Z)
+        ip = jnp.einsum("fi,fi->f", jnp.conj(Z), PzZ)
+        gz = PzZ / (c.mu + ip)[:, None]
+        temp = jnp.einsum("fi,fij->fj", jnp.conj(Z), state.Pz)
+        PzK = (state.Pz - gz[:, :, None] * temp[:, None, :]) / c.mu
+
+        # Active weight update.
+        ep = Yc - jnp.einsum("fb,fb->f", state.waH, Z)
+        waH = state.waH + c.gamma * jnp.conj(gz) * ep[:, None]
+        if c.regularization_param > 0:
+            waH = waH - jnp.einsum("fij,fj->fi", jnp.conj(PzK), state.waH) * c.regularization_param
+        waK = jnp.conj(waH)
+
+        if c.constraint_option > 0:
+            waK2 = jnp.abs(jnp.einsum("fb,fb->f", waH, waK))
+            if c.constraint_option in (1, 3):
+                # Quadratic constraint (pybeamformer.py:849-861).
+                va = jnp.einsum("fij,fj->fi", PzK, waK)
+                a = jnp.abs(jnp.einsum("fi,fi->f", va, jnp.conj(va)))
+                b = -2.0 * jnp.real(jnp.einsum("fi,fi->f", jnp.conj(va), waK))
+                cc = waK2 - c.alpha2
+                arg = b * b - 4.0 * a * cc
+                a_safe = jnp.where(a > 0, a, 1.0)
+                betaK = jnp.where(
+                    arg > 0,
+                    -(b + jnp.sqrt(jnp.maximum(arg, 0.0))) / (2.0 * a_safe),
+                    -b / (2.0 * a_safe),
+                )
+                waH_q = waH - betaK[:, None] * jnp.conj(va)
+                waH = jnp.where((waK2 > c.alpha2)[:, None], waH_q, waH)
+            if c.constraint_option >= 2:
+                # Norm cap + precision reset (pybeamformer.py:862-865).
+                over = waK2 > c.max_wa_l2norm
+                waH = jnp.where(
+                    over[:, None], waH * jnp.sqrt(c.max_wa_l2norm / waK2)[:, None], waH
+                )
+                PzK = jnp.where(
+                    over[:, None, None], eyeB / c.init_diagonal_load, PzK
+                )
+
+        Pz_new = jnp.where(gate, PzK, state.Pz)
+        waH_new = jnp.where(gate, waH, state.waH)
+
+        Y = jnp.where(
+            state.isamp >= c.min_frames,
+            Yc - jnp.einsum("fb,fb->f", waH_new, Z),
+            Yc,
+        )
+        new_state = _RLSState(
+            waH=waH_new,
+            Pz=Pz_new,
+            energy=state.energy * c.beta + (1.0 - c.beta) * energy_t,
+            isamp=state.isamp + 1,
+        )
+        return new_state, Y
+
+    final, Y = jax.lax.scan(step, init_state, (X, energy.astype(jnp.float32)))
+    return Y, final

@@ -1,0 +1,181 @@
+"""Beamformer equivalence tests against per-bin numpy goldens, plus
+functional acceptance checks (distortionless response, null steering)."""
+
+import numpy as np
+import pytest
+
+import distant_speech_recognition_tpu.models.beamforming as bf
+import distant_speech_recognition_tpu.models.adaptive_gsc as ag
+from distant_speech_recognition_tpu.utils import geometry
+
+import reference_beamform as ref
+
+FFTLEN = 16
+FS = 16000.0
+F = FFTLEN // 2 + 1
+
+
+def _random_snapshots(rng, T=40, C=4):
+    X = rng.standard_normal((T, F, C)) + 1j * rng.standard_normal((T, F, C))
+    return X.astype(np.complex64)
+
+
+def test_array_manifold_matches_reference():
+    delays = geometry.calc_la_delays(np.arange(4)[:, None] * 50.0, azimuth=0.7)
+    vs = np.asarray(bf.array_manifold(FFTLEN, FS, delays))
+    for f in range(F):
+        golden = ref.calc_array_manifold_f(f, FFTLEN, FS, delays)
+        np.testing.assert_allclose(vs[f], golden, atol=1e-6)
+
+
+def test_blocking_matrix_matches_and_nulls(rng):
+    delays = geometry.calc_la_delays(np.arange(4)[:, None] * 50.0, azimuth=1.2)
+    vs = np.asarray(bf.array_manifold(FFTLEN, FS, delays)).astype(np.complex128)
+    B = np.asarray(bf.blocking_matrix(vs, Nc=1))
+    for f in range(F):
+        golden = ref.calc_blocking_matrix(vs[f], Nc=1)
+        np.testing.assert_allclose(B[f], golden, atol=1e-5)
+        # the defining property: vs^T B = 0
+        np.testing.assert_allclose(vs[f] @ B[f], 0, atol=1e-5)
+        # orthonormal columns
+        np.testing.assert_allclose(
+            np.conj(B[f]).T @ B[f], np.eye(3), atol=1e-5
+        )
+
+
+def test_delay_and_sum_distortionless(rng):
+    """A plane wave from the look direction passes with unit gain."""
+    delays = geometry.calc_la_delays(np.arange(4)[:, None] * 50.0, azimuth=0.5)
+    wqH = np.asarray(bf.delay_and_sum_weights(FFTLEN, FS, delays))
+    vs = np.asarray(bf.array_manifold(FFTLEN, FS, delays))
+    # X = manifold * C * s  (a unit plane wave across the array)
+    s = rng.standard_normal(F) + 1j * rng.standard_normal(F)
+    X = (vs * 4 * s[:, None])[None]  # [1, F, C]
+    Y = np.asarray(bf.apply_weights(wqH.astype(np.complex64), X.astype(np.complex64)))
+    np.testing.assert_allclose(Y[0], s, atol=1e-5)
+
+
+def test_lcmv_null_steering():
+    """LCMV places a null on the jammer and unity on the target."""
+    mpos = np.arange(4)[:, None] * 50.0
+    d_t = geometry.calc_la_delays(mpos, azimuth=0.4)
+    d_j = geometry.calc_la_delays(mpos, azimuth=2.0)
+    vs_t = np.asarray(bf.array_manifold(FFTLEN, FS, d_t))
+    vs_j = np.asarray(bf.array_manifold(FFTLEN, FS, d_j))
+    constraints = np.stack([vs_t, vs_j], axis=1)  # [F, 2, C]
+    wqH = np.asarray(bf.lcmv_weights(constraints, np.array([1.0, 0.0])))
+    for f in range(1, F - 1):
+        # w^H d_t = 1 (g scaled by the 1/C in vs), w^H d_j = 0
+        np.testing.assert_allclose(wqH[f] @ vs_t[f], 1.0, atol=1e-4)
+        np.testing.assert_allclose(wqH[f] @ vs_j[f], 0.0, atol=1e-4)
+
+
+def test_mvdr_weights_match_reference(rng):
+    delays = geometry.calc_la_delays(np.arange(4)[:, None] * 50.0, azimuth=0.9)
+    vs = np.asarray(bf.array_manifold(FFTLEN, FS, delays)).astype(np.complex128)
+    R = np.asarray(bf.diffuse_noise_coherence(np.c_[np.arange(4) * 50.0, np.zeros((4, 2))], FFTLEN, FS)).astype(
+        np.complex128
+    )
+    R = R + 0.01 * np.eye(4)
+    golden = np.conjugate(ref.mvdr_weights_ref(R, vs))
+    ours = np.asarray(bf.mvdr_weights(R.astype(np.complex64), vs.astype(np.complex64)))
+    np.testing.assert_allclose(ours, golden, atol=2e-4)
+    # distortionless: w^H d = 1/C  (d = vs includes the 1/C factor)
+    for f in range(1, F):
+        np.testing.assert_allclose(ours[f] @ vs[f], 1.0 / 4, atol=1e-4)
+
+
+def test_superdirective_runs():
+    mpos = np.c_[np.arange(4) * 50.0, np.zeros((4, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=1.0)
+    wqH = np.asarray(bf.superdirective_weights(mpos, delays, FFTLEN, FS))
+    assert wqH.shape == (F, 4)
+    assert np.all(np.isfinite(wqH))
+
+
+def test_sos_accumulation_matches_loop(rng):
+    X = _random_snapshots(rng, T=30)
+    mask = (rng.random(30) > 0.5).astype(np.float64)
+    R, counts = bf.accumulate_sos(X, mask)
+    R, counts = np.asarray(R), np.asarray(counts)
+    golden = np.zeros((F, 4, 4), complex)
+    for t in range(30):
+        if mask[t] > 0:
+            for f in range(F):
+                golden[f] += np.outer(X[t, f], np.conjugate(X[t, f]))
+    np.testing.assert_allclose(R, golden, rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(counts, np.full(F, mask.sum()), atol=1e-5)
+
+
+def test_blind_mvdr_matches_loop(rng):
+    X = _random_snapshots(rng, T=60)
+    tmask = (rng.random(60) > 0.6).astype(np.float64)
+    nmask = 1.0 - tmask
+    Rt, ct = [np.asarray(a) for a in bf.accumulate_sos(X, tmask)]
+    Rn, cn = [np.asarray(a) for a in bf.accumulate_sos(X, nmask)]
+    Rt = (Rt / ct[:, None, None]).astype(np.complex128)
+    Rn = np.asarray(
+        bf.improve_matrix_condition((Rn / cn[:, None, None]).astype(np.complex128), 1e-6)
+    )
+    ours = np.asarray(bf.blind_mvdr_weights(Rt, Rn, ref_micx=0, offset=0.0))
+    u = np.zeros(4); u[0] = 1.0
+    for f in range(F):
+        no = np.linalg.inv(Rn[f]) @ Rt[f]
+        golden = np.conjugate(no @ u / np.trace(no))
+        np.testing.assert_allclose(ours[f], golden, rtol=1e-3, atol=1e-4)
+
+
+def test_gev_weights_match_reference(rng):
+    X = _random_snapshots(rng, T=80)
+    # build PSD covariance pencils
+    tmask = (rng.random(80) > 0.5).astype(np.float64)
+    Rt, _ = [np.asarray(a) for a in bf.accumulate_sos(X, tmask)]
+    Rn, cn = [np.asarray(a) for a in bf.accumulate_sos(X, 1.0 - tmask)]
+    Rn = Rn / cn[:, None, None]
+    Rn = np.asarray(bf.improve_matrix_condition(Rn.astype(np.complex128), 1e-6))
+    Rn = Rn / (np.trace(Rn, axis1=-2, axis2=-1)[:, None, None].real / 4)
+    Rt = Rt.astype(np.complex128)
+
+    golden = ref.gev_weights_ref(Rt, Rn)
+    ours = np.asarray(bf.gev_weights(Rt, Rn))
+    # eigenvectors match up to a global phase per utterance; compare after
+    # aligning the first bin's phase
+    for f in range(F):
+        phase = np.exp(1j * np.angle(np.vdot(ours[f], golden[f])))
+        np.testing.assert_allclose(ours[f] * phase, golden[f], atol=2e-4)
+        # max-SNR property: w maximizes target/noise Rayleigh quotient
+    # beamformer normalization: v^H Rn v = 1
+    w = np.conjugate(ours)
+    for f in range(F):
+        np.testing.assert_allclose(np.conj(w[f]) @ Rn[f] @ w[f], 1.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("kind", ["lms", "rls"])
+def test_adaptive_gsc_matches_reference(kind, rng):
+    T, C = 50, 4
+    delays = geometry.calc_la_delays(np.arange(C)[:, None] * 50.0, azimuth=0.8)
+    wqH, BmH = ag.gsc_weights(FFTLEN, FS, delays)
+    wqH, BmH = np.asarray(wqH), np.asarray(BmH)
+    X = _random_snapshots(rng, T=T, C=C) * 40.0
+    energy = np.sum(np.abs(X) ** 2, axis=(1, 2)) / FFTLEN
+
+    if kind == "lms":
+        cfg = ag.GSCLMSConfig(min_frames=10, slowdown_after=16, sil_thresh=1e8,
+                              init_diagonal_load=1e2, energy_floor=1e-2)
+        golden, golden_wa = ref.gsc_lms_ref(
+            X.astype(np.complex128), energy, wqH, BmH, cfg
+        )
+        ours, state = ag.gsc_lms(X, energy, wqH.astype(np.complex64), BmH.astype(np.complex64), cfg)
+    else:
+        cfg = ag.GSCRLSConfig(min_frames=10, sil_thresh=1e8, init_diagonal_load=1e2,
+                              alpha2=10.0, max_wa_l2norm=100.0)
+        golden, golden_wa = ref.gsc_rls_ref(
+            X.astype(np.complex128), energy, wqH, BmH, cfg
+        )
+        ours, state = ag.gsc_rls(X, energy, wqH.astype(np.complex64), BmH.astype(np.complex64), cfg)
+
+    ours = np.asarray(ours)
+    assert ours.shape == golden.shape
+    scale = np.abs(golden).max()
+    np.testing.assert_allclose(ours / scale, golden / scale, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.waH), golden_wa, atol=2e-3)
