@@ -1,0 +1,80 @@
+"""Benchmark: audio-seconds/s/chip through the full enhancement pipeline.
+
+Measures the BASELINE.json metric — analysis -> adaptive GSC -> Zelinski
+postfilter -> synthesis on the reference workload configuration (M=256, m=4,
+r=1, 4 channels, 16 kHz) — and prints ONE JSON line.
+
+The reference publishes no numbers (BASELINE.md); the driver-side north star
+is >= 50x real-time per chip, so ``vs_baseline`` reports value / 50.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from distant_speech_recognition_tpu.models.pipeline import (
+        PipelineConfig,
+        build_pipeline,
+    )
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+    from distant_speech_recognition_tpu.utils import geometry
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    M, m, r = 256, 4, 1
+    C = 4
+    fs = 16000
+    B = 8           # utterance batch
+    secs = 10.0     # per utterance
+    T = int(fs * secs)
+
+    cfg = PipelineConfig(
+        fb=FilterbankParams(M=M, m=m, r=r, delay_compensation_type=2),
+        samplerate=float(fs),
+        beamformer="gsc_rls",
+        postfilter="zelinski",
+        pf_min_frames=2,
+    )
+    h, g = load_pair(M, m, r)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    fn = build_pipeline(cfg, mpos, delays, h, g)
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((B, C, T)) * 0.05).astype(np.float32)
+    xd = jax.device_put(x)
+
+    # Warmup / compile.
+    fn(xd).block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fn(xd)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = B * secs
+    value = audio_seconds / dt
+    n_chips = max(len(jax.devices()), 1)
+    value_per_chip = value / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_s_per_chip",
+                "value": round(value_per_chip, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value_per_chip / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""End-to-end enhancement pipelines: analysis -> beamform -> postfilter -> synthesis.
+
+The flagship "model" of the framework: the batched equivalent of the
+reference's canonical pull-graph (unit_test/test_online_beamforming.py:82-159:
+SampleFeature -> OverSampledDFTAnalysisBank per channel -> beamformer ->
+ZelinskiPostFilter -> OverSampledDFTSynthesisBank), expressed as one jittable
+function over an utterance batch ``x [B, C, T]``.
+
+Sharding: the batch axis is data-parallel; the beamformer/postfilter stages
+operate per frequency bin and carry a sharding constraint on the bin axis so
+pjit can split them across chips (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filterbank import FilterbankParams, analysis, synthesis, hermitian_mirror
+from . import beamforming as bf
+from . import postfilter as pfm
+from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
+
+__all__ = ["PipelineConfig", "build_pipeline", "enhance"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration mirroring the reference's JSON config surface
+    (unit_test/confs/*.json: beamformer{type}, postfilter{type,subtype,alpha})."""
+
+    fb: FilterbankParams = FilterbankParams()
+    samplerate: float = 16000.0
+    beamformer: str = "ds"  # ds | sd_mvdr | lcmv | gsc_lms | gsc_rls
+    postfilter: str = "none"  # none | zelinski | mccowan | lefkimmiatis | apab
+    pf_alpha: float = 0.6
+    pf_type: int = pfm.PostFilterType.ZELINSKI1_REAL
+    pf_min_frames: int = 0
+    sd_mu: float = 0.01
+    Nc: int = 1
+    lms: GSCLMSConfig = GSCLMSConfig()
+    rls: GSCRLSConfig = GSCRLSConfig()
+
+
+def _beamform_one(cfg: PipelineConfig, X, energy, wqH, BmH):
+    """Beamform one utterance's snapshots X [T, F, C] -> [T, F]."""
+    if cfg.beamformer in ("ds", "sd_mvdr", "lcmv"):
+        return bf.apply_weights(wqH, X)
+    if cfg.beamformer == "gsc_lms":
+        Y, _ = gsc_lms(X, energy, wqH, BmH, cfg.lms)
+        return Y
+    if cfg.beamformer == "gsc_rls":
+        Y, _ = gsc_rls(X, energy, wqH, BmH, cfg.rls)
+        return Y
+    raise ValueError(f"unknown beamformer {cfg.beamformer!r}")
+
+
+def _postfilter_one(cfg: PipelineConfig, X, Y, wq_manifold, Gamma):
+    if cfg.postfilter == "none":
+        return Y
+    if cfg.postfilter == "zelinski":
+        return pfm.zelinski_postfilter(
+            X, Y, wq_manifold, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames
+        )
+    if cfg.postfilter == "mccowan":
+        return pfm.mccowan_postfilter(
+            X, Y, wq_manifold, Gamma, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames
+        )
+    if cfg.postfilter == "lefkimmiatis":
+        return pfm.lefkimmiatis_postfilter(
+            X, Y, wq_manifold, Gamma, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames
+        )
+    if cfg.postfilter == "apab":
+        return pfm.apab_postfilter(X, Y, wq_manifold)
+    raise ValueError(f"unknown postfilter {cfg.postfilter!r}")
+
+
+def build_pipeline(
+    cfg: PipelineConfig,
+    mpos,
+    delays,
+    h: np.ndarray,
+    g: np.ndarray,
+    bin_sharding=None,
+):
+    """Build a jittable ``enhance(x [B, C, T]) -> y [B, T_out]`` closure.
+
+    Weights (manifold, quiescent, blocking matrix, diffuse coherence) are
+    computed once at build time, like the reference's out-of-loop
+    ``wrapper_weights_calculator`` (test_online_beamforming.py:166-183).
+    ``bin_sharding``: optional sharding applied to the bin axis of the
+    beamformer-stage tensors (a jax.sharding.NamedSharding for [T, F, C]
+    or compatible), letting pjit split bins across chips.
+    """
+    M = cfg.fb.M
+    fs = cfg.samplerate
+    delays = np.asarray(delays)
+
+    vs = bf.array_manifold(M, fs, delays)
+    wq_manifold = jnp.conj(vs)
+    if cfg.beamformer == "ds":
+        wqH = wq_manifold
+        BmH = None
+    elif cfg.beamformer == "sd_mvdr":
+        wqH = bf.superdirective_weights(mpos, delays, M, fs, mu=cfg.sd_mu)
+        BmH = None
+    elif cfg.beamformer in ("gsc_lms", "gsc_rls"):
+        wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
+    else:
+        raise ValueError(cfg.beamformer)
+
+    if cfg.postfilter in ("mccowan", "lefkimmiatis"):
+        Gamma = bf.diffuse_noise_coherence(mpos, M, fs)
+    else:
+        Gamma = None
+
+    h = jnp.asarray(h, jnp.float32)
+    g = jnp.asarray(g, jnp.float32)
+
+    def _one(x):
+        """x: [C, T] -> enhanced [T_out]."""
+        sub = analysis(x, h, cfg.fb)  # [C, Tf, M]
+        X = bf.snapshots(sub)  # [Tf, F, C]
+        if bin_sharding is not None:
+            X = jax.lax.with_sharding_constraint(X, bin_sharding)
+        energy = bf.frame_energy(sub[0])  # [Tf]
+        Y = _beamform_one(cfg, X, energy, wqH, BmH)  # [Tf, F]
+        Y = _postfilter_one(cfg, X, Y, wq_manifold, Gamma)
+        Yfull = hermitian_mirror(Y, M)
+        return synthesis(Yfull, g, cfg.fb)
+
+    @jax.jit
+    def enhance(x):
+        """x: [B, C, T] -> [B, T_out]."""
+        return jax.vmap(_one)(x)
+
+    return enhance
+
+
+def enhance(cfg: PipelineConfig, mpos, delays, h, g, x):
+    """One-shot convenience wrapper around `build_pipeline`."""
+    return build_pipeline(cfg, mpos, delays, h, g)(x)

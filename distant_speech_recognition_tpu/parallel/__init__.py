@@ -1,0 +1,7 @@
+from .mesh import (  # noqa: F401
+    MESH_AXES,
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+    snapshot_sharding,
+)
