@@ -1,1 +1,10 @@
-from . import beamforming, adaptive_gsc  # noqa: F401
+from . import (  # noqa: F401
+    adaptive_gsc,
+    aec,
+    beamforming,
+    dereverberation,
+    localization,
+    pipeline,
+    postfilter,
+    tracking,
+)

@@ -1,0 +1,133 @@
+"""Localization and tracking tests: GCC-PHAT delay recovery, SRP-PHAT DOA,
+and EKF tracking on synthetic TDOA observations."""
+
+import numpy as np
+import pytest
+
+from distant_speech_recognition_tpu.models import localization as loc
+from distant_speech_recognition_tpu.models import tracking as trk
+from distant_speech_recognition_tpu.models import beamforming as bf
+from distant_speech_recognition_tpu.ops.filterbank import stft_analysis
+
+
+FFTLEN = 512
+FS = 16000.0
+
+
+def test_gcc_phat_recovers_known_delay(rng):
+    """A pure integer-sample delay between two signals peaks at that lag."""
+    T = 4096
+    x = rng.standard_normal(T).astype(np.float32)
+    d = 7
+    y = np.roll(x, d)
+    X1 = np.fft.rfft(x.reshape(4, 1024), axis=-1)[:, : FFTLEN // 2 + 1]
+    X2 = np.fft.rfft(y.reshape(4, 1024), axis=-1)[:, : FFTLEN // 2 + 1]
+    # use a self-consistent fftlen for irfft
+    cc = np.asarray(loc.gcc_phat(X1.astype(np.complex64), X2.astype(np.complex64), 1024, energy_threshold=0.0))
+    delays, heights = loc.tdoa_peaks(cc, FS)
+    delays = np.asarray(delays)
+    # x1 lags x2 by -d samples: y[t] = x[t-d] so delay of x vs y is -d/fs... the
+    # peak appears at +d for cross_spectrum X1 X2*
+    np.testing.assert_allclose(np.abs(delays) * FS, d, atol=0.5)
+    assert np.all(np.asarray(heights) > 0.12)
+
+
+def test_gcc_phat_energy_gate(rng):
+    X1 = np.zeros((3, 9), np.complex64)
+    X2 = np.zeros((3, 9), np.complex64)
+    cc = np.asarray(loc.gcc_phat(X1, X2, 16, energy_threshold=64.0))
+    assert np.all(cc == 0)
+
+
+def test_tdoa_feature_vector_gating(rng):
+    delays = rng.standard_normal((5, 6)).astype(np.float32)
+    heights = np.full((5, 6), 0.05, np.float32)
+    heights[2, :3] = 0.5
+    heights[4, :] = 0.5
+    _, valid, frame_valid = loc.tdoa_feature_vectors(delays, heights, threshold=0.12, minimum_pairs=2)
+    valid, frame_valid = np.asarray(valid), np.asarray(frame_valid)
+    assert frame_valid.tolist() == [False, False, True, False, True]
+    assert valid[2].sum() == 3
+
+
+def test_srp_phat_finds_source_direction(rng):
+    """Plane wave from a known direction wins the SRP grid search."""
+    C = 6
+    # circular array, radius 100 mm
+    ang = np.linspace(0, 2 * np.pi, C, endpoint=False)
+    mpos = np.c_[100 * np.cos(ang), 100 * np.sin(ang), np.zeros(C)]
+    from distant_speech_recognition_tpu.utils.geometry import calc_ca_delays
+
+    M = 64
+    true_theta, true_phi = np.pi / 2, 0.9
+    delays = calc_ca_delays(mpos, true_phi, true_theta)
+    vs = np.asarray(bf.array_manifold(M, FS, delays))  # [F, C]
+    T = 10
+    s = (rng.standard_normal((T, M // 2 + 1)) + 1j * rng.standard_normal((T, M // 2 + 1)))
+    X = (vs[None] * C * s[:, :, None]).astype(np.complex64)  # [T, F, C]
+
+    thetas = [np.pi / 2]
+    phis = np.linspace(-np.pi, np.pi, 72, endpoint=False)
+    steering, grid = loc.srp_phat_steering_table(mpos, M, FS, thetas, phis)
+    srp = np.asarray(loc.srp_phat(X, steering, min_bin=1))
+    best = np.asarray(grid)[srp.mean(axis=0).argmax()]
+    err = np.angle(np.exp(1j * (best[1] - true_phi)))
+    assert abs(err) < 0.1, (best, true_phi)
+
+
+def _simulate_tdoa_track(rng, T=100):
+    """Source moving slowly; observations = pair TDOAs + noise."""
+    C = 5
+    mpos = np.c_[np.arange(C) * 150.0, np.zeros(C), np.zeros(C)]  # mm
+    pairs = loc.mic_pairs(C)
+    pos0 = np.array([800.0, 1500.0, 0.0])
+    vel = np.array([3.0, -2.0, 0.0])
+    positions = pos0[None] + np.arange(T)[:, None] * vel[None]
+    delays = np.stack(
+        [np.asarray(loc.pair_tdoa_model(p.astype(np.float32), mpos, pairs)) for p in positions]
+    )
+    delays += rng.standard_normal(delays.shape) * 2e-6
+    return mpos, pairs, positions, delays.astype(np.float32)
+
+
+def test_ekf_tracks_moving_source(rng):
+    mpos, pairs, positions, delays = _simulate_tdoa_track(rng)
+    T, P = delays.shape
+    cfg = trk.TrackerConfig(sigmaV2=1e-9, sigmaK2=1e4, time_delta=1.0)
+    F_mat = np.eye(3)
+    U = np.eye(3) * 10.0
+    mask = np.ones((T, P), bool)
+    frame_valid = np.ones(T, bool)
+    track = np.asarray(
+        trk.ekf_track(cfg, F_mat, U, positions[0] + [100, -150, 30], mpos, pairs, delays, mask, frame_valid)
+    )
+    final_err = np.linalg.norm(track[-1] - positions[-1])
+    init_err = np.linalg.norm(positions[0] + [100, -150, 30] - positions[0])
+    assert final_err < 0.5 * init_err, (final_err, init_err)
+
+
+def test_iekf_tracks_and_gating_rejects_outliers(rng):
+    mpos, pairs, positions, delays = _simulate_tdoa_track(rng)
+    T, P = delays.shape
+    # inject gross outliers at some frames
+    bad = [20, 40, 60]
+    delays_bad = delays.copy()
+    delays_bad[bad] += 5e-3
+    F_mat = np.eye(3)
+    U = np.eye(3) * 10.0
+    mask = np.ones((T, P), bool)
+    frame_valid = np.ones(T, bool)
+    x0 = positions[0] + [50, -50, 0]
+
+    def run(gate_prob, iters):
+        cfg = trk.TrackerConfig(
+            sigmaV2=1e-9, sigmaK2=1e4, gate_prob=gate_prob, num_iterations=iters
+        )
+        return np.asarray(
+            trk.iekf_track(cfg, F_mat, U, x0, mpos, pairs, delays_bad, mask, frame_valid)
+        )
+
+    err_ungated = np.linalg.norm(run(0.0, 3)[-1] - positions[-1])
+    err_gated = np.linalg.norm(run(0.95, 3)[-1] - positions[-1])
+    # innovation gating must strongly limit the damage from gross outliers
+    assert err_gated < 0.25 * err_ungated, (err_gated, err_ungated)
