@@ -3,8 +3,11 @@ from . import (  # noqa: F401
     aec,
     beamforming,
     dereverberation,
+    features,
     localization,
+    lti,
     pipeline,
     postfilter,
+    sad,
     tracking,
 )

@@ -1,1 +1,1 @@
-from . import wavio, prototypes  # noqa: F401
+from . import geometry, kaldi_io, measures, prototypes, wavio  # noqa: F401

@@ -1,0 +1,116 @@
+"""Tests for the MFCC chain, Kaldi ark I/O, objective measures, and LTI ops."""
+
+import numpy as np
+import pytest
+
+from distant_speech_recognition_tpu.models import features as ft
+from distant_speech_recognition_tpu.models import lti
+from distant_speech_recognition_tpu.utils import kaldi_io, measures
+
+
+def test_frame_and_preemphasis_golden(rng):
+    x = rng.standard_normal(1000).astype(np.float32)
+    frames = np.asarray(ft.frame_signal(x, 320, 160))
+    assert frames.shape == (-(-1000 // 160), 320)
+    np.testing.assert_allclose(frames[0], x[:320], atol=0)
+    # preemphasis: golden streaming loop with carried prior
+    pe = np.asarray(ft.preemphasis(frames, 0.95))
+    prior = 0.0
+    for t in range(3):
+        for i in range(320):
+            want = frames[t, i] - 0.95 * prior
+            assert abs(pe[t, i] - want) < 1e-5
+            prior = frames[t, i]
+
+
+def test_mel_matrix_properties():
+    M = ft.mel_matrix(256, 16000.0, 100.0, 6800.0, 30)
+    assert M.shape == (30, 256)
+    assert (M >= -0.01).all()  # tiny negative edge weights from the reference quirk
+    # every filter has support, centers increase
+    assert (M.sum(axis=1) > 0).all()
+    centers = M.argmax(axis=1)
+    assert (np.diff(centers) > 0).all()
+
+
+def test_mfcc_end_to_end(rng):
+    x = rng.standard_normal(16000).astype(np.float32)
+    cep = np.asarray(ft.mfcc(x))
+    assert cep.shape[1] == 13
+    assert np.isfinite(cep).all()
+    # CMN: means ~ 0
+    np.testing.assert_allclose(cep.mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_dct_matrices():
+    for t in (0, 1, 2):
+        C = ft.dct_matrix(13, 30, t)
+        assert C.shape == (13, 30)
+    C1 = ft.dct_matrix(13, 30, 1)
+    np.testing.assert_allclose(C1[0], np.ones(30))
+
+
+def test_adjacent_splice(rng):
+    x = rng.standard_normal((10, 3)).astype(np.float32)
+    out = np.asarray(ft.adjacent_splice(x, 2))
+    assert out.shape == (10, 15)
+    np.testing.assert_allclose(out[5, 6:9], x[5])  # center block
+    np.testing.assert_allclose(out[0, 0:3], x[0])  # edge padding
+
+
+def test_kaldi_feat_ark_roundtrip(tmp_path, rng):
+    utts = {"utt1": rng.standard_normal((5, 13)).astype(np.float32),
+            "utt2": rng.standard_normal((3, 13)).astype(np.float32)}
+    p = str(tmp_path / "t.feat.ark")
+    kaldi_io.write_feat_ark(p, utts)
+    back = dict(kaldi_io.read_feat_ark(p))
+    assert set(back) == {"utt1", "utt2"}
+    np.testing.assert_allclose(back["utt1"], utts["utt1"], atol=1e-6)
+
+
+def test_kaldi_wav_and_intvec_roundtrip(tmp_path, rng):
+    w = (rng.standard_normal(1000) * 1000).astype(np.int16)
+    p = str(tmp_path / "t.wav.ark")
+    kaldi_io.write_wav_ark(p, {"u": w}, samplerate=16000)
+    uttid, samples, rate = next(kaldi_io.read_wav_ark(p))
+    assert uttid == "u" and rate == 16000
+    np.testing.assert_array_equal(samples, w)
+
+    iv = np.array([1, 5, 2, 9], np.int32)
+    p2 = str(tmp_path / "t.iv.ark")
+    kaldi_io.write_int_vector_ark(p2, {"u": iv})
+    uttid, vec = next(kaldi_io.read_int_vector_ark(p2))
+    np.testing.assert_array_equal(vec, iv)
+
+
+def test_snr_measures(rng):
+    x = rng.standard_normal(8000)
+    noise = 0.1 * rng.standard_normal(8000)
+    val = measures.snr(x, x + noise)
+    assert 15 < val < 25  # ~20 dB
+    assert measures.snr(x, 2.0 * x) > 100  # gain-normalized
+    sseg = measures.segmental_snr(x, x + noise)
+    assert 10 < sseg < 35
+    assert measures.itakura_saito(np.abs(x[:100]) + 1, np.abs(x[:100]) + 1) < 1e-10
+
+
+def test_overlap_add_save_match_direct(rng):
+    x = rng.standard_normal(500).astype(np.float32)
+    h = rng.standard_normal(31).astype(np.float32)
+    want = np.convolve(x, h)
+    oa = np.asarray(lti.overlap_add_filter(x, h))
+    np.testing.assert_allclose(oa, want, atol=1e-3)
+    os_ = np.asarray(lti.overlap_save_filter(x, h))
+    np.testing.assert_allclose(os_, want[:500], atol=1e-3)
+
+
+def test_fast_block_lms_identifies_filter(rng):
+    T = 16384
+    x = rng.standard_normal(T).astype(np.float32)
+    h = np.zeros(32, np.float32); h[3] = 1.0; h[10] = -0.5
+    d = np.convolve(x, h)[:T].astype(np.float32)
+    err, W = lti.fast_block_lms(d, x, block_len=64, alpha=0.5, gamma=0.9)
+    err = np.asarray(err)
+    head = np.mean(err[:2000] ** 2)
+    tail = np.mean(err[-2000:] ** 2)
+    assert tail < 0.05 * head, (head, tail)
