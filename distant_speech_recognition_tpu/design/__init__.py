@@ -1,0 +1,1 @@
+from . import cosine_modulated, nyquist  # noqa: F401

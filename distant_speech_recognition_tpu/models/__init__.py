@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     dereverberation,
     features,
     localization,
+    lpc,
     lti,
     pipeline,
     postfilter,

@@ -7,3 +7,5 @@ from .filterbank import (  # noqa: F401
     hermitian_mirror,
     num_analysis_frames,
 )
+from . import pr_filterbank  # noqa: F401
+from .pr_filterbank import PRFilterbankParams, pr_analysis, pr_synthesis  # noqa: F401
