@@ -1,0 +1,168 @@
+"""ctypes bindings for the native host runtime (runtime/native/streamio.cc).
+
+The shared library is built on demand with g++ (no pybind11 in this image;
+plain C ABI + ctypes).  Falls back cleanly: `native_available()` gates use,
+and utils.wavio covers the same surface in pure Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native", "streamio.cc")
+_LIB = os.path.join(_HERE, "native", "libstreamio.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return None
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except Exception as e:  # toolchain missing
+        return str(e)
+    if r.returncode != 0:
+        return r.stderr
+    return None
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        _build_error = _build()
+        if _build_error is not None:
+            return None
+        lib = ctypes.CDLL(_LIB)
+        lib.wav_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.wav_info.restype = ctypes.c_int
+        lib.wav_read_planar_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.wav_read_planar_f32.restype = ctypes.c_int
+        lib.wav_write_planar_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.wav_write_planar_f32.restype = ctypes.c_int
+        lib.frame_blocks_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.frame_blocks_f32.restype = ctypes.c_int64
+        lib.stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+        lib.stream_open.restype = ctypes.c_void_p
+        lib.stream_read_block.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        lib.stream_read_block.restype = ctypes.c_int64
+        lib.stream_close.argtypes = [ctypes.c_void_p]
+        lib.stream_close.restype = None
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def read_wav_native(path: str) -> tuple[np.ndarray, int]:
+    """Read a 16-bit WAV -> (float32 [channels, T], samplerate) via the
+    native reader."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    c = ctypes.c_int32()
+    r = ctypes.c_int32()
+    n = ctypes.c_int64()
+    rc = lib.wav_info(path.encode(), ctypes.byref(c), ctypes.byref(r), ctypes.byref(n))
+    if rc != 0:
+        raise IOError(f"wav_info({path}) failed: {rc}")
+    out = np.empty((c.value, n.value), np.float32)
+    rc = lib.wav_read_planar_f32(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size
+    )
+    if rc != 0:
+        raise IOError(f"wav_read_planar_f32({path}) failed: {rc}")
+    return out, r.value
+
+
+def write_wav_native(path: str, data: np.ndarray, samplerate: int) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    data = np.ascontiguousarray(np.atleast_2d(np.asarray(data, np.float32)))
+    rc = lib.wav_write_planar_f32(
+        path.encode(),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[0],
+        data.shape[1],
+        samplerate,
+    )
+    if rc != 0:
+        raise IOError(f"wav_write_planar_f32({path}) failed: {rc}")
+
+
+class NativeStreamReader:
+    """O(1)-memory incremental block reader (IterativeSingleChannelSample-
+    Feature equivalent, feature/feature.h:237-322)."""
+
+    def __init__(self, path: str, channel: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_build_error}")
+        self._lib = lib
+        self._h = lib.stream_open(path.encode(), channel)
+        if not self._h:
+            raise IOError(f"stream_open({path}, ch={channel}) failed")
+
+    def read_block(self, block_len: int) -> np.ndarray | None:
+        """Next zero-padded block, or None at end of stream."""
+        out = np.empty(block_len, np.float32)
+        got = self._lib.stream_read_block(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), block_len
+        )
+        if got <= 0:
+            return None
+        return out
+
+    def __iter__(self):
+        raise TypeError("use read_block(block_len)")
+
+    def close(self):
+        if self._h:
+            self._lib.stream_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

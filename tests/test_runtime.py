@@ -1,0 +1,48 @@
+"""Native runtime tests: byte-exact agreement with the pure-Python path."""
+
+import numpy as np
+import pytest
+
+from distant_speech_recognition_tpu import runtime
+from distant_speech_recognition_tpu.utils import wavio
+
+REF_WAV = "/root/reference/btk20_src/unit_test/data/speech_at_20sec.wav"
+
+needs_native = pytest.mark.skipif(
+    not runtime.native_available(), reason="native toolchain unavailable"
+)
+
+
+@needs_native
+def test_native_read_matches_python():
+    x_py, rate_py = wavio.read_wav(REF_WAV)
+    x_c, rate_c = runtime.read_wav_native(REF_WAV)
+    assert rate_c == rate_py
+    assert x_c.shape == x_py.shape
+    np.testing.assert_array_equal(x_c, x_py)
+
+
+@needs_native
+def test_native_write_roundtrip(tmp_path, rng):
+    x = (rng.standard_normal((2, 5000)) * 0.1).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    runtime.write_wav_native(p, x, 16000)
+    back, rate = wavio.read_wav(p)
+    assert rate == 16000
+    np.testing.assert_allclose(back, x, atol=1.0 / 32768)
+
+
+@needs_native
+def test_native_stream_reader_matches_full_read():
+    x, _ = runtime.read_wav_native(REF_WAV)
+    with runtime.NativeStreamReader(REF_WAV, channel=0) as r:
+        blocks = []
+        while True:
+            b = r.read_block(1024)
+            if b is None:
+                break
+            blocks.append(b)
+    stream = np.concatenate(blocks)
+    T = x.shape[1]
+    np.testing.assert_array_equal(stream[:T], x[0])
+    assert np.all(stream[T:] == 0)  # zero-padded tail block
