@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..ops.complex_ops import ceinsum
 
 from .beamforming import array_manifold, blocking_matrix
 
@@ -124,8 +125,8 @@ def gsc_lms(
 
         gate = energy_t > state.energy / c.sil_thresh
 
-        Z = jnp.einsum("fbc,fc->fb", BmH, Xt)  # blocking-matrix outputs
-        Yc = jnp.einsum("fc,fc->f", wqH, Xt)  # upper branch
+        Z = ceinsum("fbc,fc->fb", BmH, Xt)  # blocking-matrix outputs
+        Yc = ceinsum("fc,fc->f", wqH, Xt)  # upper branch
 
         xpow = jnp.sum(jnp.abs(Xt) ** 2, axis=-1)  # per-bin cross-channel power
         se = jnp.where(
@@ -135,7 +136,7 @@ def gsc_lms(
         )
         se = jnp.maximum(se, c.energy_floor)
 
-        epa = Yc - jnp.einsum("fb,fb->f", state.waH, Z)
+        epa = Yc - ceinsum("fb,fb->f", state.waH, Z)
         alpha = gamma / se  # [F]
         watH = state.waH + epa[:, None] * jnp.conj(Z) * alpha[:, None]
         if c.regularization_param > 0:
@@ -149,7 +150,7 @@ def gsc_lms(
 
         Y = jnp.where(
             state.isamp >= c.min_frames,
-            Yc - jnp.einsum("fb,fb->f", waH, Z),
+            Yc - ceinsum("fb,fb->f", waH, Z),
             Yc,
         )
         new_state = _LMSState(
@@ -198,30 +199,30 @@ def gsc_rls(
         Xt, energy_t = inputs
         gate = energy_t > state.energy / c.sil_thresh
 
-        Z = jnp.einsum("fbc,fc->fb", BmH, Xt)
-        Yc = jnp.einsum("fc,fc->f", wqH, Xt)
+        Z = ceinsum("fbc,fc->fb", BmH, Xt)
+        Yc = ceinsum("fc,fc->f", wqH, Xt)
 
         # Gain vector & precision matrix update.
-        PzZ = jnp.einsum("fij,fj->fi", state.Pz, Z)
-        ip = jnp.einsum("fi,fi->f", jnp.conj(Z), PzZ)
+        PzZ = ceinsum("fij,fj->fi", state.Pz, Z)
+        ip = ceinsum("fi,fi->f", jnp.conj(Z), PzZ)
         gz = PzZ / (c.mu + ip)[:, None]
-        temp = jnp.einsum("fi,fij->fj", jnp.conj(Z), state.Pz)
+        temp = ceinsum("fi,fij->fj", jnp.conj(Z), state.Pz)
         PzK = (state.Pz - gz[:, :, None] * temp[:, None, :]) / c.mu
 
         # Active weight update.
-        ep = Yc - jnp.einsum("fb,fb->f", state.waH, Z)
+        ep = Yc - ceinsum("fb,fb->f", state.waH, Z)
         waH = state.waH + c.gamma * jnp.conj(gz) * ep[:, None]
         if c.regularization_param > 0:
-            waH = waH - jnp.einsum("fij,fj->fi", jnp.conj(PzK), state.waH) * c.regularization_param
+            waH = waH - ceinsum("fij,fj->fi", jnp.conj(PzK), state.waH) * c.regularization_param
         waK = jnp.conj(waH)
 
         if c.constraint_option > 0:
-            waK2 = jnp.abs(jnp.einsum("fb,fb->f", waH, waK))
+            waK2 = jnp.abs(ceinsum("fb,fb->f", waH, waK))
             if c.constraint_option in (1, 3):
                 # Quadratic constraint (pybeamformer.py:849-861).
-                va = jnp.einsum("fij,fj->fi", PzK, waK)
-                a = jnp.abs(jnp.einsum("fi,fi->f", va, jnp.conj(va)))
-                b = -2.0 * jnp.real(jnp.einsum("fi,fi->f", jnp.conj(va), waK))
+                va = ceinsum("fij,fj->fi", PzK, waK)
+                a = jnp.abs(ceinsum("fi,fi->f", va, jnp.conj(va)))
+                b = -2.0 * jnp.real(ceinsum("fi,fi->f", jnp.conj(va), waK))
                 cc = waK2 - c.alpha2
                 arg = b * b - 4.0 * a * cc
                 a_safe = jnp.where(a > 0, a, 1.0)
@@ -247,7 +248,7 @@ def gsc_rls(
 
         Y = jnp.where(
             state.isamp >= c.min_frames,
-            Yc - jnp.einsum("fb,fb->f", waH_new, Z),
+            Yc - ceinsum("fb,fb->f", waH_new, Z),
             Yc,
         )
         new_state = _RLSState(

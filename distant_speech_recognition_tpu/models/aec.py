@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..ops.complex_ops import ceinsum
 
 __all__ = [
     "nlms_aec",
@@ -161,17 +162,17 @@ def block_kalman_aec(
 
     def step(s, inputs):
         Vk, Ak = inputs  # [F, N], [F]
-        Ek = Ak - jnp.einsum("fn,fn->f", s.R, Vk)
+        Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
         gate = jnp.abs(Vk[..., 0]) ** 2 > threshold
 
         sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
         K_k_k1 = s.K_k + sigmau2 * eye
-        scr = jnp.einsum("fnm,fm->fn", K_k_k1, jnp.conj(Vk))
-        sigma2_s = jnp.real(jnp.einsum("fn,fn->f", Vk, scr)) + sigma2_v
+        scr = ceinsum("fnm,fm->fn", K_k_k1, jnp.conj(Vk))
+        sigma2_s = jnp.real(ceinsum("fn,fn->f", Vk, scr)) + sigma2_v
         Gk = scr / sigma2_s[:, None]
         R_new = s.R + Ek[:, None] * Gk
         IGV = eye - Gk[:, :, None] * Vk[:, None, :]
-        K_new = jnp.einsum("fnm,fml->fnl", IGV, K_k_k1)
+        K_new = ceinsum("fnm,fml->fnl", IGV, K_k_k1)
 
         s_new = S(
             R=jnp.where(gate[:, None], R_new, s.R),
@@ -247,7 +248,7 @@ def dtd_block_kalman_aec(
 
     def step(s, inputs):
         Vk, Ak = inputs
-        Ek = Ak - jnp.einsum("fn,fn->f", s.R, Vk)
+        Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
         sf, snr, EkE, SkE = _dtd_scale_factors(
             Ak, Ek, s.frame, s.snr, s.EkE, s.SkE, smooth, snr_th, eng_th
         )
@@ -255,12 +256,12 @@ def dtd_block_kalman_aec(
 
         sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
         K_k_k1 = s.K_k * 1.0 + (sf[:, None, None] * sigmau2) * eye  # Sigma_u scaled by sf
-        scr = jnp.einsum("fnm,fm->fn", K_k_k1, jnp.conj(Vk))
-        sigma2_s = jnp.real(jnp.einsum("fn,fn->f", Vk, scr)) + sigma2_v
+        scr = ceinsum("fnm,fm->fn", K_k_k1, jnp.conj(Vk))
+        sigma2_s = jnp.real(ceinsum("fn,fn->f", Vk, scr)) + sigma2_v
         Gk = scr / sigma2_s[:, None]
         R_new = s.R + Ek[:, None] * Gk
         IGV = eye - Gk[:, :, None] * Vk[:, None, :]
-        K_new = jnp.einsum("fnm,fml->fnl", IGV, K_k_k1)
+        K_new = ceinsum("fnm,fml->fnl", IGV, K_k_k1)
 
         s_new = S(
             R=jnp.where(gate[:, None], R_new, s.R),
@@ -335,7 +336,7 @@ def information_filter_aec(
 
     def step(s, inputs):
         Vk, Ak = inputs
-        Ek = Ak - jnp.einsum("fn,fn->f", s.R, Vk)
+        Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
         absEk = jnp.abs(Ek)
         Ek = jnp.where(absEk < floor_val, Ek / jnp.where(absEk > 0, absEk, 1.0), Ek)
 
@@ -359,13 +360,13 @@ def information_filter_aec(
         sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
         K_k_k1 = s.K_k + sigmau2 * eye
         Y_pred = _inv_h(K_k_k1)  # information matrix
-        y_pred = jnp.einsum("fnm,fm->fn", Y_pred, R_base)
+        y_pred = ceinsum("fnm,fm->fn", Y_pred, R_base)
         scale = (1.0 / sigma2_v)[:, None]
         i_k = jnp.conj(Vk) * scale * Ak[:, None]
-        I_k = jnp.einsum("fn,fm->fnm", jnp.conj(Vk) * scale, Vk)
+        I_k = ceinsum("fn,fm->fnm", jnp.conj(Vk) * scale, Vk)
         Y_new = I_k + Y_pred + loading * eye
         K_new = _inv_h(Y_new)
-        R_new = jnp.einsum("fnm,fm->fn", K_new, y_pred + i_k)
+        R_new = ceinsum("fnm,fm->fn", K_new, y_pred + i_k)
 
         s_new = S(
             R=jnp.where(gate[:, None], R_new, R_base),

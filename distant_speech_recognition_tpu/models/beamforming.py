@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops.complex_ops import ceinsum
 import numpy as np
 
 __all__ = [
@@ -122,7 +123,7 @@ def blocking_matrix(vs: jax.Array, Nc: int = 1) -> jax.Array:
 
 def apply_weights(wqH: jax.Array, X: jax.Array) -> jax.Array:
     """Fixed-weight beamformer output ``Y[..., t, f] = sum_c wqH[f,c] X[...,t,f,c]``."""
-    return jnp.einsum("fc,...tfc->...tf", wqH, X)
+    return ceinsum("fc,...tfc->...tf", wqH, X)
 
 
 def delay_and_sum_weights(fftlen: int, samplerate: float, delays) -> jax.Array:
@@ -175,7 +176,8 @@ def _pinv_hermitian(R: jax.Array, threshold: float) -> jax.Array:
     an absolute singular-value threshold, beamformer.cc:232-289)."""
     w, v = jnp.linalg.eigh(R)
     inv_w = jnp.where(jnp.abs(w) > threshold, 1.0 / w, 0.0)
-    return jnp.einsum("...ij,...j,...kj->...ik", v, inv_w.astype(v.dtype), jnp.conj(v))
+    vw = v * inv_w.astype(v.dtype)[..., None, :]
+    return ceinsum("...ij,...kj->...ik", vw, jnp.conj(v))
 
 
 def mvdr_weights(R: jax.Array, vs: jax.Array, dthreshold: float = 1.0e-8) -> jax.Array:
@@ -190,7 +192,7 @@ def mvdr_weights(R: jax.Array, vs: jax.Array, dthreshold: float = 1.0e-8) -> jax
     """
     C = vs.shape[-1]
     invR = _pinv_hermitian(R, dthreshold)
-    tmp = jnp.einsum("...ji,...j->...i", jnp.conj(invR), vs)  # invR^H d
+    tmp = ceinsum("...ji,...j->...i", jnp.conj(invR), vs)  # invR^H d
     lam = jnp.sum(jnp.conj(tmp) * vs, axis=-1, keepdims=True)  # d^H invR d
     w = tmp / (lam * C)
     w = w.at[..., 0, :].set(jnp.ones((C,), w.dtype))
@@ -249,7 +251,8 @@ def accumulate_sos(X: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Arr
     if weights.ndim < X.ndim - 1:
         weights = weights[..., None]
     w = jnp.broadcast_to(weights, X.shape[:-1]).astype(jnp.float32)
-    R = jnp.einsum("...tf,...tfc,...tfd->...fcd", w, X, jnp.conj(X))
+    Xw = X * w[..., None].astype(X.dtype)
+    R = ceinsum("...tfc,...tfd->...fcd", Xw, jnp.conj(X))
     counts = jnp.sum(w, axis=-2)
     return R, counts
 

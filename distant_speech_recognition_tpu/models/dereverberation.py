@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops.complex_ops import ceinsum
 
 SUBBAND_FLOOR = 1.0e-3  # dereverberation.cc:144
 
@@ -80,12 +81,13 @@ def wpe_estimate(
 
     def em_iteration(G, _):
         # G: [C, F, C*P]
-        pred = jnp.einsum("cfp,tfp->ctf", jnp.conj(G), L)
+        pred = ceinsum("cfp,tfp->ctf", jnp.conj(G), L)
         resid = Y - jnp.where(valid, pred, 0.0)
         theta = jnp.maximum(jnp.abs(resid), SUBBAND_FLOOR) ** 2  # [C, T, F]
         w = jnp.where(valid, 1.0 / theta, 0.0)  # masked inverse variance
-        R = jnp.einsum("ctf,tfp,tfq->cfpq", w, L, jnp.conj(L))
-        r = jnp.einsum("ctf,ctf,tfp->cfp", w, jnp.conj(Y), L)
+        Lw = w[..., None].astype(L.dtype) * L[None]
+        R = ceinsum("ctfp,tfq->cfpq", Lw, jnp.conj(L))
+        r = ceinsum("ctf,tfp->cfp", (w.astype(Y.dtype) * jnp.conj(Y)), L)
         R = R + diagonal_bias * eye
         # max-diagonal loading (load_R_)
         diag = jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))
@@ -116,7 +118,7 @@ def wpe_apply(Y: jax.Array, G: jax.Array, lowerN: int) -> jax.Array:
     P = G.shape[-1] // C
     L = _lag_tensor(Y, lowerN, P)  # [C, T, F, P]
     L = jnp.moveaxis(L, 0, -2).reshape(T, F, C * P)
-    pred = jnp.einsum("cfp,tfp->ctf", jnp.conj(G), L)
+    pred = ceinsum("cfp,tfp->ctf", jnp.conj(G), L)
     valid = (jnp.arange(T) >= lowerN)[:, None]
     return Y - jnp.where(valid, pred, 0.0)
 

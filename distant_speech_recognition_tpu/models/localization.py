@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops.complex_ops import ceinsum
 import numpy as np
 
 __all__ = [
@@ -157,10 +158,125 @@ def srp_phat(
     """
     mag = jnp.abs(X)
     Xn = X / jnp.where(mag > 0, mag, 1.0)
-    Y = jnp.einsum("gfc,...tfc->...tgf", steering, Xn)
+    Y = ceinsum("gfc,...tfc->...tgf", steering, Xn)
     p = jnp.abs(Y) ** 2
     F = X.shape[-2]
     lo = min_bin
     hi = F if max_bin is None else max_bin
     mask = (jnp.arange(F) >= lo) & (jnp.arange(F) < hi)
     return jnp.sum(jnp.where(mask, p, 0.0), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# GCC variants with noise-weighting (localization/localization.cc:1200-1392)
+# ---------------------------------------------------------------------------
+
+def noise_spectra(X1: jax.Array, X2: jax.Array, noise_mask, alpha: float = 0.95):
+    """Recursive noise power/cross spectra over frames flagged as noise
+    (NoisePowerSpectrum/NoiseCrossSpectrum, localization.h:72-115).
+
+    ``X1``/``X2``: [T, F]; ``noise_mask``: bool [T].  Returns
+    (N1 [F], N2 [F], Gn1n2 [F]) — the final recursive estimates.
+    """
+    def step(carry, inputs):
+        n1, n2, g = carry
+        x1, x2, is_noise = inputs
+        n1n = alpha * n1 + (1 - alpha) * jnp.abs(x1) ** 2
+        n2n = alpha * n2 + (1 - alpha) * jnp.abs(x2) ** 2
+        gn = alpha * g + (1 - alpha) * x1 * jnp.conj(x2)
+        return (
+            jnp.where(is_noise, n1n, n1),
+            jnp.where(is_noise, n2n, n2),
+            jnp.where(is_noise, gn, g),
+        ), None
+
+    F = X1.shape[-1]
+    init = (jnp.zeros(F), jnp.zeros(F), jnp.zeros(F, X1.dtype))
+    (N1, N2, G), _ = jax.lax.scan(step, init, (X1, X2, jnp.asarray(noise_mask)))
+    return N1, N2, G
+
+
+def gcc_weighted(
+    X1: jax.Array,
+    X2: jax.Array,
+    fftlen: int,
+    mode: str = "phat",
+    Gn1n2=None,
+    N1=None,
+    N2=None,
+    q: float = 0.3,
+    smooth_beta: float = 0.0,
+):
+    """Generalized cross-correlation with the reference's weighting family
+    (GCC{Raw,GnnSub,Phat,GnnSubPhat,MLRRaw,MLRGnnSub}::calcCrossSpectrumValue,
+    localization.cc:1322-1392) and optional recursive cross-spectrum
+    smoothing (beta recursion, localization.cc:1262-1266).
+
+    ``X1``/``X2``: [T, F] half-band spectra.  Returns time-domain GCC
+    [T, fftlen].
+    """
+    cross = X1 * jnp.conj(X2)
+    if mode == "raw":
+        G = cross
+    elif mode == "gnn_sub":
+        G = cross - Gn1n2
+    elif mode == "phat":
+        mag = jnp.abs(cross)
+        G = cross / jnp.where(mag > 0, mag, 1.0)
+    elif mode == "gnn_sub_phat":
+        num = cross - (0 if Gn1n2 is None else Gn1n2)
+        mag = jnp.abs(num)
+        G = num / jnp.where(mag > 0, mag, 1.0)
+    elif mode in ("mlr_raw", "mlr_gnn_sub"):
+        q1, q2 = 1.0 - q, q
+        X12 = jnp.abs(X1) ** 2
+        X22 = jnp.abs(X2) ** 2
+        if N1 is not None and N2 is not None:
+            den = q2 * X12 * X22 + q1 * (N2 * X12 + N1 * X22)
+        else:
+            den = q2 * X12 * X22
+        w = jnp.sqrt(X12 * X22) / jnp.maximum(den, 1e-20)
+        num = cross - Gn1n2 if (mode == "mlr_gnn_sub" and Gn1n2 is not None) else cross
+        G = num * w
+    else:
+        raise ValueError(f"unknown GCC mode {mode!r}")
+
+    if smooth_beta > 0:
+        def step(g, gt):
+            g = smooth_beta * g + (1 - smooth_beta) * gt
+            return g, g
+
+        _, G = jax.lax.scan(step, jnp.zeros_like(G[0]), G)
+    return jnp.fft.irfft(G, n=fftlen, axis=-1)
+
+
+def find_cc_peak(
+    cc: jax.Array,
+    samplerate: float,
+    min_delay: float = -jnp.inf,
+    max_delay: float = jnp.inf,
+    interpolate: bool = True,
+):
+    """Peak of the cross-correlation restricted to a delay window, with
+    parabolic interpolation (GCC::findMaximum, localization.cc:1277-1320).
+
+    ``cc``: [..., fftlen].  Returns (delay_seconds, peak_value).
+    """
+    fftlen = cc.shape[-1]
+    idx = jnp.arange(fftlen)
+    lag = jnp.where(idx < fftlen // 2, idx, idx - fftlen)
+    delay_s = lag / samplerate
+    ok = (delay_s >= min_delay) & (delay_s <= max_delay)
+    masked = jnp.where(ok, cc, -jnp.inf)
+    k = jnp.argmax(masked, axis=-1)
+    peak = jnp.take_along_axis(cc, k[..., None], axis=-1)[..., 0]
+    base = lag[k].astype(jnp.float32)
+    if interpolate:
+        km = (k - 1) % fftlen
+        kp = (k + 1) % fftlen
+        ym = jnp.take_along_axis(cc, km[..., None], axis=-1)[..., 0]
+        yp = jnp.take_along_axis(cc, kp[..., None], axis=-1)[..., 0]
+        denom = ym - 2 * peak + yp
+        frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym - yp) / denom, 0.0)
+        base = base + jnp.clip(frac, -1.0, 1.0)
+    return base / samplerate, peak

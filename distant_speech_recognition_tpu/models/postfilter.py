@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from ..ops.complex_ops import ceinsum
 import numpy as np
 
 SPECTRAL_FLOOR = 1.0e-4  # postfilter.cc:56
@@ -213,7 +214,7 @@ def lefkimmiatis_postfilter(
     phi_vv = _avg_pair_psd(Phi, noise_term, real_mode)
 
     invR = _pinv_hermitian(Gamma, min_sv)
-    tmp = jnp.einsum("fji,fj->fi", jnp.conj(invR), wq)
+    tmp = ceinsum("fji,fj->fi", jnp.conj(invR), wq)
     lam = jnp.sum(jnp.conj(tmp) * wq, axis=-1)  # d^H invR d  [F]
     lam_v = jnp.real(lam) if real_mode else jnp.abs(lam)
 
@@ -243,7 +244,7 @@ def apab_postfilter(
     C = X.shape[-1]
     phi_yy = jnp.abs(Y) ** 2
     if channel < 0:
-        ref = jnp.einsum("fc,...tfc->...tf", jnp.conj(wq), X)
+        ref = ceinsum("fc,...tfc->...tf", jnp.conj(wq), X)
     else:
         ref = jnp.conj(wq[:, channel]) * X[..., channel]
     phi_xx = jnp.abs(ref) ** 2

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from ..ops.complex_ops import ceinsum
 
 SSPEED_MM_S = 343740.0
 
@@ -73,7 +74,7 @@ def sh_transform(X: jax.Array, Y_matrix) -> jax.Array:
     ``X``: [..., T, F, C] -> ``F``: [..., T, F, dim].
     """
     sh = jnp.asarray(np.conj(Y_matrix), jnp.complex64)
-    return jnp.einsum("dc,...tfc->...tfd", sh, X)
+    return ceinsum("dc,...tfc->...tfd", sh, X)
 
 
 def mode_amplitudes(max_order: int, ka) -> np.ndarray:
@@ -162,7 +163,7 @@ def apply_sh_weights(w, F: jax.Array) -> jax.Array:
     ``w``: [F, dim]; ``F``: [..., T, F, dim] -> [..., T, F].
     """
     wj = jnp.asarray(np.conj(w), jnp.complex64)
-    return jnp.einsum("fd,...tfd->...tf", wj, F)
+    return ceinsum("fd,...tfd->...tf", wj, F)
 
 
 def eigenmike_geometry() -> tuple[np.ndarray, np.ndarray]:
@@ -192,7 +193,7 @@ def srp_spherical(F_coeffs: jax.Array, max_order: int, b: np.ndarray,
         eigen_weights(max_order, b, th, ph, num_sensors, sigma2) for th, ph in grid
     ])  # [G, F, dim]
     Wj = jnp.asarray(np.conj(W), jnp.complex64)
-    Y = jnp.einsum("gfd,...tfd->...tgf", Wj, F_coeffs)
+    Y = ceinsum("gfd,...tfd->...tgf", Wj, F_coeffs)
     p = jnp.abs(Y) ** 2
     nF = F_coeffs.shape[-2]
     lo = min_bin

@@ -131,3 +131,34 @@ def test_iekf_tracks_and_gating_rejects_outliers(rng):
     err_gated = np.linalg.norm(run(0.95, 3)[-1] - positions[-1])
     # innovation gating must strongly limit the damage from gross outliers
     assert err_gated < 0.25 * err_ungated, (err_gated, err_ungated)
+
+
+def test_gcc_weighted_modes_and_peak(rng):
+    T, F = 8, 257
+    fftlen = 512
+    x = rng.standard_normal((T, fftlen)).astype(np.float32)
+    d = 5
+    y = np.roll(x, d, axis=-1)
+    X1 = np.fft.rfft(x, axis=-1).astype(np.complex64)
+    X2 = np.fft.rfft(y, axis=-1).astype(np.complex64)
+    N1, N2, G12 = loc.noise_spectra(X1 * 0.01, X2 * 0.01, np.ones(T, bool))
+    for mode in ["raw", "phat", "gnn_sub", "gnn_sub_phat", "mlr_raw", "mlr_gnn_sub"]:
+        cc = np.asarray(
+            loc.gcc_weighted(X1, X2, fftlen, mode=mode, Gn1n2=np.asarray(G12),
+                             N1=np.asarray(N1), N2=np.asarray(N2))
+        )
+        delay, peak = loc.find_cc_peak(cc, 16000.0)
+        est = np.asarray(delay) * 16000.0
+        np.testing.assert_allclose(est, -d, atol=0.5), mode  # X1 conj(X2) peaks at -d
+
+
+def test_find_cc_peak_delay_window(rng):
+    cc = np.zeros((1, 64), np.float32)
+    cc[0, 5] = 1.0   # +5 samples
+    cc[0, 60] = 2.0  # -4 samples (larger peak)
+    # unrestricted: picks -4
+    delay, _ = loc.find_cc_peak(cc, 1.0, interpolate=False)
+    assert np.asarray(delay)[0] == -4
+    # restricted to positive delays: picks +5
+    delay, _ = loc.find_cc_peak(cc, 1.0, min_delay=0.0, interpolate=False)
+    assert np.asarray(delay)[0] == 5
