@@ -179,3 +179,28 @@ def test_adaptive_gsc_matches_reference(kind, rng):
     scale = np.abs(golden).max()
     np.testing.assert_allclose(ours / scale, golden / scale, atol=2e-3)
     np.testing.assert_allclose(np.asarray(state.waH), golden_wa, atol=2e-3)
+
+
+def test_mmi_binary_masking_suppresses_interferer(rng):
+    """Two sources from different directions; MMI masking recovers the
+    target's bins and suppresses interferer-dominated ones."""
+    from distant_speech_recognition_tpu.models import mmi
+
+    mpos = np.arange(4)[:, None] * 50.0
+    d_t = geometry.calc_la_delays(mpos, azimuth=0.5)
+    d_j = geometry.calc_la_delays(mpos, azimuth=2.2)
+    vs_t = np.asarray(bf.array_manifold(FFTLEN, FS, d_t))
+    vs_j = np.asarray(bf.array_manifold(FFTLEN, FS, d_j))
+
+    T = 50
+    # disjoint activity: target in even frames, jammer in odd
+    s = (rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F))) * (np.arange(T) % 2 == 0)[:, None]
+    n = (rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F))) * (np.arange(T) % 2 == 1)[:, None]
+    X = (vs_t[None] * 4 * s[..., None] + vs_j[None] * 4 * n[..., None]).astype(np.complex64)
+
+    wqH = np.stack([np.conj(vs_t), np.conj(vs_j)]).astype(np.complex64)
+    out = np.asarray(mmi.subband_mmi(X, wqH, target=0))
+    # jammer-only frames almost fully masked; target frames preserved
+    jam_frames = np.abs(out[1::2]).mean()
+    tgt_frames = np.abs(out[0::2]).mean()
+    assert jam_frames < 0.15 * tgt_frames, (jam_frames, tgt_frames)
