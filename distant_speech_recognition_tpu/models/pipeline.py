@@ -100,23 +100,28 @@ def build_pipeline(
     fs = cfg.samplerate
     delays = np.asarray(delays)
 
-    vs = bf.array_manifold(M, fs, delays)
-    wq_manifold = jnp.conj(vs)
-    if cfg.beamformer == "ds":
-        wqH = wq_manifold
-        BmH = None
-    elif cfg.beamformer == "sd_mvdr":
-        wqH = bf.superdirective_weights(mpos, delays, M, fs, mu=cfg.sd_mu)
-        BmH = None
-    elif cfg.beamformer in ("gsc_lms", "gsc_rls"):
-        wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
-    else:
-        raise ValueError(cfg.beamformer)
+    # Weight-table setup is tiny host-side compute; pin it to the CPU backend
+    # (the experimental axon TPU backend also mishandles some eager complex
+    # ops, and constants embed into the jitted program regardless).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        vs = bf.array_manifold(M, fs, delays)
+        wq_manifold = np.conj(np.asarray(vs))
+        if cfg.beamformer == "ds":
+            wqH = wq_manifold
+            BmH = None
+        elif cfg.beamformer == "sd_mvdr":
+            wqH = np.asarray(bf.superdirective_weights(mpos, delays, M, fs, mu=cfg.sd_mu))
+            BmH = None
+        elif cfg.beamformer in ("gsc_lms", "gsc_rls"):
+            wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
+            wqH, BmH = np.asarray(wqH), np.asarray(BmH)
+        else:
+            raise ValueError(cfg.beamformer)
 
-    if cfg.postfilter in ("mccowan", "lefkimmiatis"):
-        Gamma = bf.diffuse_noise_coherence(mpos, M, fs)
-    else:
-        Gamma = None
+        if cfg.postfilter in ("mccowan", "lefkimmiatis"):
+            Gamma = np.asarray(bf.diffuse_noise_coherence(mpos, M, fs))
+        else:
+            Gamma = None
 
     h = jnp.asarray(h, jnp.float32)
     g = jnp.asarray(g, jnp.float32)
