@@ -1,1 +1,1 @@
-from . import cosine_modulated, nyquist  # noqa: F401
+from . import cosine_modulated, dehaan, nyquist  # noqa: F401
