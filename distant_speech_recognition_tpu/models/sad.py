@@ -314,3 +314,150 @@ class MLPVad:
         hdn = jax.nn.sigmoid(x @ jnp.asarray(self.W1) + jnp.asarray(self.b1))
         out = jax.nn.softmax(hdn @ jnp.asarray(self.W2) + jnp.asarray(self.b2), axis=-1)
         return (out[..., 0] - out[..., 1]) > self.threshold
+
+
+# ---------------------------------------------------------------------------
+# VADMetric family extensions (sad/sad.h:187-660)
+# ---------------------------------------------------------------------------
+
+def _band_weights(F_half: int, fftlen: int, low_x: int, high_x: int):
+    idx = jnp.arange(F_half)
+    inband = (idx >= low_x) & (idx <= high_x)
+    interior = (idx != 0) & (idx != fftlen // 2 + 1)
+    return jnp.where(inband, jnp.where(interior, 2.0, 1.0), 0.0)
+
+
+def _cggd_loglhood(X, sigma, shape_f: float):
+    """Complex generalized-Gaussian log-likelihood with scale tied to sigma
+    (ComplexGeneralizedGaussian::logLhood).  shape_f = 1 is the complex
+    Gaussian."""
+    sigma2 = jnp.maximum(sigma**2, 1e-20)
+    f = shape_f
+    # scale B chosen so E|X|^2 = sigma^2 under CGGD(f)
+    lgB = (
+        jax.scipy.special.gammaln(1.0 / f)
+        - jax.scipy.special.gammaln(2.0 / f)
+    )  # log of Gamma(1/f)/Gamma(2/f)
+    B = jnp.exp(lgB)
+    norm = jnp.log(f) - jnp.log(jnp.pi * B * sigma2) - jax.scipy.special.gammaln(1.0 / f)
+    return norm - (jnp.abs(X) ** 2 / (B * sigma2)) ** f
+
+
+def negentropy_metric(
+    X: jax.Array,
+    envelope: jax.Array,
+    fftlen: int,
+    shape_f: float = 0.5,
+    threshold: float = 0.0,
+    low_x: int = 0,
+    high_x: int | None = None,
+):
+    """Negentropy VAD metric (NegentropyVADMetric::calc_negentropy,
+    sad.cc:1132-1171): per-bin log-likelihood ratio between a generalized
+    Gaussian and a Gaussian with the spectral-envelope variance; interior
+    bins doubled, normalized by the band size.
+
+    ``X``: [T, F] complex; ``envelope``: [T, F] (variance).  Returns
+    (decision bool [T], metric [T]).
+    """
+    F = X.shape[-1]
+    hx = F - 1 if high_x is None else high_x
+    sigma = jnp.sqrt(jnp.maximum(envelope, 1e-20))
+    lr = _cggd_loglhood(X, sigma, shape_f) - _cggd_loglhood(X, sigma, 1.0)
+    w = _band_weights(F, fftlen, low_x, hx)
+    metric = jnp.sum(lr * w, axis=-1) / jnp.sum(w)
+    return metric > threshold, metric
+
+
+def mutual_information_metric(
+    X1: jax.Array,
+    X2: jax.Array,
+    env1: jax.Array,
+    env2: jax.Array,
+    fftlen: int,
+    alpha: float = 0.95,
+    threshold: float = 0.0,
+    low_x: int = 0,
+    high_x: int | None = None,
+):
+    """Mutual-information VAD metric under jointly-Gaussian bins
+    (MutualInformationVADMetric, sad.cc with Gaussian marginals/joint):
+    per-bin MI = -log(1 - |rho|^2) - ... evaluated empirically as
+    joint - marginal1 - marginal2 with a recursively tracked complex
+    correlation coefficient rho (ccs_ recursion).
+
+    Returns (decision [T], metric [T]).
+    """
+    F = X1.shape[-1]
+    hx = F - 1 if high_x is None else high_x
+    s1 = jnp.sqrt(jnp.maximum(env1, 1e-20))
+    s2 = jnp.sqrt(jnp.maximum(env2, 1e-20))
+    u1 = X1 / s1
+    u2 = X2 / s2
+
+    def step(rho, inputs):
+        a, b = inputs
+        rho_new = alpha * rho + (1 - alpha) * a * jnp.conj(b)
+        return rho_new, rho_new
+
+    _, rhos = jax.lax.scan(step, jnp.zeros(F, X1.dtype), (u1, u2))
+    r2 = jnp.clip(jnp.abs(rhos) ** 2, 0.0, 0.999)
+    # Gaussian empirical MI contribution per bin
+    cross = 2.0 * jnp.real(u1 * jnp.conj(u2) * jnp.conj(rhos)) - r2 * (
+        jnp.abs(u1) ** 2 + jnp.abs(u2) ** 2
+    )
+    mutual = -jnp.log1p(-r2) + cross / (1.0 - r2)
+    w = _band_weights(F, fftlen, low_x, hx)
+    metric = jnp.sum(mutual * w, axis=-1) / jnp.sum(w)
+    return metric > threshold, metric
+
+
+def ccc_metric(
+    spectra: jax.Array,
+    fftlen: int,
+    threshold: float = 0.1,
+    num_candidates: int = 5,
+    low_x: int = 0,
+    high_x: int | None = None,
+):
+    """Cross-correlation-coefficient VAD metric (CCCVADMetric, sad.cc):
+    PHAT cross-spectrum between channel 0 and every other channel, inverse
+    FFT, average of the top-N CC peaks; speech when the mean metric exceeds
+    the threshold.
+
+    ``spectra``: [C, T, F] half band.  Returns (decision [T], metric [T]).
+    """
+    C = spectra.shape[0]
+    F = spectra.shape[-1]
+    hx = F - 1 if high_x is None else high_x
+    idx = jnp.arange(F)
+    band = (idx >= low_x) & (idx <= hx)
+    ref = spectra[0]
+    total = 0.0
+    for c in range(1, C):
+        cc_spec = jnp.conj(ref) * spectra[c]
+        mag = jnp.abs(cc_spec)
+        cc_spec = jnp.where(band, cc_spec / jnp.where(mag > 0, mag, 1.0), 0.0)
+        cc = jnp.fft.irfft(cc_spec, n=fftlen, axis=-1)
+        top = jax.lax.top_k(cc, num_candidates)[0]
+        total = total + jnp.mean(top, axis=-1)
+    metric = total / (C - 1)
+    return metric > threshold, metric
+
+
+def low_full_band_energy_ratio_metric(frames: jax.Array, order: int = 2):
+    """Low/full band energy ratio via short autocorrelation
+    (LowFullBandEnergyRatioVADMetric, sad.cc:1694-1701): the lower-band
+    energy from a smoothed covariance estimate over r[0..order], divided by
+    the full-band energy r[0].
+
+    ``frames``: [T, N] time-domain frames.  Returns metric [T].
+    """
+    N = frames.shape[-1]
+    Xf = jnp.fft.rfft(frames, n=2 * N, axis=-1)
+    r = jnp.fft.irfft(jnp.abs(Xf) ** 2, n=2 * N, axis=-1)[..., : order + 1] / N
+    # lower-band energy = mean of the averaged covariance entries (a simple
+    # lowpass: all-ones steering over the (order+1)-lag covariance)
+    w = jnp.ones(order + 1) / (order + 1)
+    le = jnp.einsum("i,...i->...", w, r)
+    return le / jnp.maximum(r[..., 0], 1e-20)

@@ -114,3 +114,33 @@ def test_mlp_vad_runs(rng):
     cep = rng.standard_normal((30, D)).astype(np.float32)
     dec = np.asarray(mlp(cep))
     assert dec.shape == (30,) and dec.dtype == bool
+
+
+def test_negentropy_and_mi_metrics(rng):
+    T, F = 40, 17
+    fftlen = 32
+    X1 = (rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F))).astype(np.complex64)
+    X2 = (X1 + 0.3 * (rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F)))).astype(np.complex64)
+    env = np.abs(X1) ** 2 + 0.5
+    dec, metric = sad.negentropy_metric(X1, env, fftlen, shape_f=0.5)
+    assert np.asarray(metric).shape == (T,)
+    assert np.isfinite(np.asarray(metric)).all()
+    dec2, mi = sad.mutual_information_metric(X1, X2, env, env, fftlen)
+    assert np.isfinite(np.asarray(mi)).all()
+    # correlated channels should eventually yield positive MI
+    assert np.asarray(mi)[10:].mean() > 0
+
+
+def test_ccc_and_lowfull_metrics(rng):
+    T, F, C = 20, 17, 3
+    fftlen = 32
+    base = (rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F))).astype(np.complex64)
+    spectra = np.stack([base, base, base * 0.5])  # correlated channels
+    dec, metric = sad.ccc_metric(spectra, fftlen)
+    assert np.asarray(metric).shape == (T,)
+    assert np.asarray(metric).mean() > 0.1  # identical channels correlate
+
+    frames = rng.standard_normal((T, 64)).astype(np.float32)
+    ratio = np.asarray(sad.low_full_band_energy_ratio_metric(frames))
+    assert ratio.shape == (T,)
+    assert np.isfinite(ratio).all()
