@@ -29,7 +29,7 @@ def main():
     M, m, r = 256, 4, 1
     C = 4
     fs = 16000
-    B = 8           # utterance batch
+    B = 32          # utterance batch
     secs = 10.0     # per utterance
     T = int(fs * secs)
 

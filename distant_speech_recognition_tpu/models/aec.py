@@ -30,6 +30,7 @@ __all__ = [
     "block_kalman_aec",
     "dtd_block_kalman_aec",
     "information_filter_aec",
+    "sqrt_information_filter_aec",
     "play_taps",
 ]
 
@@ -384,6 +385,132 @@ def information_filter_aec(
         R=R_init,
         sigma2_v=jnp.full((F,), sigmau2, jnp.float32),
         K_k=jnp.broadcast_to(sigmak2 * jnp.eye(N, dtype=V.dtype), (F, N, N)),
+        snr=jnp.zeros((F,), jnp.float32),
+        EkE=jnp.zeros((F,), jnp.float32),
+        SkE=jnp.zeros((F,), jnp.float32),
+        skipped=jnp.zeros((F,), jnp.int32),
+        frame=jnp.asarray(0, jnp.int32),
+    )
+    s, E = jax.lax.scan(step, s0, (taps, A))
+    return E, s.R
+
+
+@partial(jax.jit, static_argnums=(2,))
+def sqrt_information_filter_aec(
+    V: jax.Array,
+    A: jax.Array,
+    sampleN: int = 1,
+    beta: float = 0.95,
+    sigmau2: float = 10.0e-4,
+    snr_th: float = 2.0,
+    eng_th: float = 100.0,
+    smooth: float = 0.9,
+    loading: float = 1.0e-4,
+    amp4play: float = 1.0,
+    floor_val: float = 0.01,
+):
+    """Square-root information-filter echo canceller
+    (SquareRootInformationFilterEchoCancellationFeature, aec.cc:615-790).
+
+    Propagates the inverse Cholesky factor of the state covariance and the
+    information state through temporal/observational updates.  The reference
+    triangularizes pre-arrays with complex Givens sweeps; here each update is
+    one batched QR per bin (identical factors up to unitary phases —
+    see ops/sqrt_kernels.py).  SNR gating and the |E| floor follow the
+    reference; the global skip counter is per-bin as in
+    `information_filter_aec`.
+    """
+    from ..ops.sqrt_kernels import propagate_information_sqrt
+
+    F = V.shape[-1]
+    N = sampleN
+    taps = play_taps(V, N, amp4play)
+    R_init = jnp.zeros((F, N), V.dtype).at[:, 0].set(1.0)
+    # inverse Cholesky factor of K (upper triangular info square root)
+    S_init = jnp.broadcast_to(
+        (1.0 / jnp.sqrt(sigmau2)) * jnp.eye(N, dtype=V.dtype), (F, N, N)
+    )
+    Qs_inv = (1.0 / jnp.sqrt(sigmau2)) * jnp.eye(N, dtype=V.dtype)
+
+    class S(NamedTuple):
+        R: jax.Array  # filter coefficients [F, N]
+        Sinfo: jax.Array  # info square root [F, N, N]
+        sigma2_v: jax.Array
+        snr: jax.Array
+        EkE: jax.Array
+        SkE: jax.Array
+        skipped: jax.Array
+        frame: jax.Array
+
+    def step(s, inputs):
+        Vk, Ak = inputs
+        Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
+        absEk = jnp.abs(Ek)
+        Ek = jnp.where(absEk < floor_val, Ek / jnp.where(absEk > 0, absEk, 1.0), Ek)
+
+        smth = jnp.where(s.frame < 100, 1.0 - s.frame * (1.0 - smooth) / 100.0, smooth)
+        Sk = Ak - Ek
+        currEk = jnp.abs(Ek) ** 2
+        currSk = jnp.abs(Sk) ** 2
+        EkE = currEk * smth + s.EkE * (1.0 - smth)
+        SkE = currSk * smth + s.SkE * (1.0 - smth)
+        snr = (currSk / (currEk + 1e-15)) * smth + s.snr * (1.0 - smth)
+        sf_ok = (s.frame < 100) | ((snr > snr_th) & (SkE > eng_th))
+        gate = (jnp.abs(Vk[..., 0]) ** 2 > eng_th) & sf_ok
+
+        skipped = jnp.where(gate, s.skipped, s.skipped + 1)
+        reset = (~gate) & (s.skipped >= 30)
+        R_base = jnp.where(reset[:, None], R_init, s.R)
+        skipped = jnp.where(reset, 1, skipped)
+
+        sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
+
+        # Temporal update: info matrix of (K + Sigma_u) from the pre-array
+        # [[Qs_inv, -Sinfo],[0, Sinfo]] — equivalently combine covariances:
+        # Y_pred^{-1} = K + Sigma_u.  In square-root form: S_pred is the info
+        # factor of inv(inv(Y) + Sigma_u); realized with two QRs.
+        K_sqrt = jnp.linalg.inv(s.Sinfo)  # covariance sqrt (N<=4: cheap)
+        from ..ops.sqrt_kernels import propagate_covariance_sqrt
+
+        Kp_sqrt = propagate_covariance_sqrt(
+            jnp.swapaxes(jnp.conj(K_sqrt), -1, -2),
+            jnp.eye(N, dtype=V.dtype),
+            jnp.sqrt(sigmau2) * jnp.eye(N, dtype=V.dtype),
+        )
+        S_pred = jnp.linalg.inv(Kp_sqrt)
+
+        # Observational update + sqrt loading: stack the scaled regressor row
+        # and the sqrt(loading) identity into the QR.
+        rinv = (1.0 / jnp.sqrt(sigma2_v))[:, None]
+        S_obs = propagate_information_sqrt(S_pred, jnp.conj(Vk)[:, None, :] * rinv[..., None], jnp.ones((F, 1)))
+        S_new = propagate_information_sqrt(
+            S_obs, jnp.broadcast_to(jnp.sqrt(loading) * jnp.eye(N, dtype=V.dtype), (F, N, N)),
+            jnp.ones((F, N)),
+        )
+
+        # information state and coefficient extraction
+        Y_pred = ceinsum("fin,fim->fnm", jnp.conj(S_pred), S_pred)
+        y_pred = ceinsum("fnm,fm->fn", Y_pred, R_base)
+        i_k = jnp.conj(Vk) * (rinv**2) * Ak[:, None]
+        Y_new = ceinsum("fin,fim->fnm", jnp.conj(S_new), S_new)
+        R_new = jnp.linalg.solve(Y_new, (y_pred + i_k)[..., None])[..., 0]
+
+        s_new = S(
+            R=jnp.where(gate[:, None], R_new, R_base),
+            Sinfo=jnp.where(gate[:, None, None], S_new, s.Sinfo),
+            sigma2_v=jnp.where(gate, sigma2_v, s.sigma2_v),
+            snr=snr,
+            EkE=EkE,
+            SkE=SkE,
+            skipped=skipped,
+            frame=s.frame + 1,
+        )
+        return s_new, Ek
+
+    s0 = S(
+        R=R_init,
+        Sinfo=S_init,
+        sigma2_v=jnp.full((F,), sigmau2, jnp.float32),
         snr=jnp.zeros((F,), jnp.float32),
         EkE=jnp.zeros((F,), jnp.float32),
         SkE=jnp.zeros((F,), jnp.float32),

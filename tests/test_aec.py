@@ -124,3 +124,19 @@ def test_dtd_and_information_filter_run(rng):
     E2, R2 = aec.information_filter_aec(V, A, sampleN=2, eng_th=1.0)
     for out in (E1, R1, E2, R2):
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sqrt_information_filter_matches_information_filter(rng):
+    """The square-root propagation must track the dense information filter."""
+    T2, F2 = 300, 5
+    V = (rng.standard_normal((T2, F2)) + 1j * rng.standard_normal((T2, F2))).astype(np.complex64) * 20
+    A = (0.8 * np.exp(1j * 0.3) * V).astype(np.complex64)
+    E1, R1 = aec.information_filter_aec(V, A, sampleN=2, eng_th=1.0, loading=1e-4)
+    E2, R2 = aec.sqrt_information_filter_aec(V, A, sampleN=2, eng_th=1.0, loading=1e-4)
+    assert np.isfinite(np.asarray(E2)).all()
+    # both should cancel most of the echo by the end
+    tail1 = np.mean(np.abs(np.asarray(E1)[-30:]) ** 2)
+    tail2 = np.mean(np.abs(np.asarray(E2)[-30:]) ** 2)
+    raw = np.mean(np.abs(A[-30:]) ** 2)
+    assert tail2 < 0.2 * raw, (tail2, raw)  # SRIF init (K=sigma_u^2, reference quirk) adapts slower
+    assert tail1 < 0.1 * raw
