@@ -147,7 +147,11 @@ def lcmv_weights(constraints: jax.Array, gains) -> jax.Array:
     g = jnp.asarray(gains, Ct.dtype)
     Cm = jnp.swapaxes(Ct, -1, -2)  # [..., C, Nc]
     gram = jnp.conj(Ct) @ Cm  # C^H C  [..., Nc, Nc]
-    v = jnp.linalg.solve(gram, jnp.broadcast_to(g[..., None], gram.shape[:-1] + (1,)))
+    # Pseudo-inverse solve: the reference falls back to pinv when the Gram is
+    # singular (calc_null_beamformer_ -> pseudoinverse, beamformer.cc:330-360)
+    # — e.g. at bin 0 where all manifolds coincide.
+    inv = _pinv_hermitian(gram, 1.0e-8)
+    v = inv @ jnp.broadcast_to(g[..., None], gram.shape[:-1] + (1,))
     wq = (Cm @ v)[..., 0]
     return jnp.conj(wq)
 

@@ -86,6 +86,7 @@ def build_pipeline(
     h: np.ndarray,
     g: np.ndarray,
     bin_sharding=None,
+    noise_delays=None,
 ):
     """Build a jittable ``enhance(x [B, C, T]) -> y [B, T_out]`` closure.
 
@@ -108,6 +109,15 @@ def build_pipeline(
         wq_manifold = np.conj(np.asarray(vs))
         if cfg.beamformer == "ds":
             wqH = wq_manifold
+            BmH = None
+        elif cfg.beamformer == "lcmv":
+            # null steering: target + jammer manifolds as constraints
+            # (calc_gsc_weights_n path, test_online_beamforming.py:170-183)
+            njs = [bf.array_manifold(M, fs, np.asarray(d)) for d in (noise_delays or [])]
+            constraints = jnp.stack([vs] + njs, axis=1)  # [F, Nc, C]
+            gains = np.zeros(1 + len(njs))
+            gains[0] = 1.0
+            wqH = np.asarray(bf.lcmv_weights(constraints, gains))
             BmH = None
         elif cfg.beamformer == "sd_mvdr":
             wqH = np.asarray(bf.superdirective_weights(mpos, delays, M, fs, mu=cfg.sd_mu))

@@ -191,3 +191,34 @@ def iekf_track(cfg: TrackerConfig, F_mat, U, initialX, mpos, pairs, delays, mask
     if cfg.num_iterations <= 1:
         cfg = dataclasses.replace(cfg, num_iterations=3)
     return ekf_track(cfg, F_mat, U, initialX, mpos, pairs, delays, mask, frame_valid)
+
+
+def fflinear_ekf_track(cfg: TrackerConfig, F_mat, U, initial_azimuth, mpos, pairs,
+                       delays, mask, frame_valid, c: float = 343000.0):
+    """Far-field linear-array azimuth tracking (1-D state)
+    (FarfieldLinearArrayTDOAFeatureVector, pytdoa.py:332-420): pair model
+    ``tau = d_pair cos(az) / c`` with Jacobian ``-d_pair sin(az) / c``.
+
+    ``mpos``: [C, >=1] positions; distances are measured along the array from
+    sensor 0 as the reference does (collinearity projection).
+    """
+    mpos = np.asarray(mpos, dtype=np.float64)
+    d0 = np.linalg.norm(mpos - mpos[0], axis=-1)
+    pairs = tuple(pairs)
+    dists = jnp.asarray([d0[j] - d0[i] for (i, j) in pairs], jnp.float32)
+
+    def lin(xk_predict, obs):
+        az = xk_predict[0]
+        pred = dists * jnp.cos(az) / c
+        H = (-dists * jnp.sin(az) / c)[:, None]
+        y_lin = obs - (pred - H[:, 0] * az)
+        return H, y_lin
+
+    return _run(
+        cfg,
+        jnp.asarray(F_mat, jnp.float32).reshape(1, 1),
+        jnp.asarray(U, jnp.float32).reshape(1, 1),
+        jnp.atleast_1d(jnp.asarray(initial_azimuth, jnp.float32)),
+        (jnp.asarray(delays, jnp.float32), mask, frame_valid),
+        lin,
+    )

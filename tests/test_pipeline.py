@@ -112,3 +112,27 @@ def test_graft_entry_contract():
     y = fn(*args)
     assert np.isfinite(np.asarray(y)).all()
     ge.dryrun_multichip(8)
+
+
+def test_reference_json_configs_drive_tools(tmp_path):
+    """All the reference's shipped unit_test JSON configs drive the
+    config-compatible CLI tools to finite output."""
+    import json
+    import glob
+
+    import distant_speech_recognition_tpu.tools.online_beamforming as ob
+
+    files = sorted(
+        glob.glob(
+            "/root/reference/btk20_src/unit_test/data/CMU/R1/M1005/KINECT/RAW/segmented/U1001*_c?.wav"
+        )
+    )
+    CONF = "/root/reference/btk20_src/unit_test/confs"
+    for conf in ["ds", "sd", "gsclms", "gscrls", "lcmv_and_zelinski", "ds_and_zelinski"]:
+        with open(f"{CONF}/{conf}.json") as f:
+            ap = json.load(f)
+        energy, frames = ob.run(
+            None, None, 32, 4, 1, files, str(tmp_path / f"{conf}.wav"), ap
+        )
+        assert np.isfinite(energy) and energy > 0, conf
+        assert frames > 0
