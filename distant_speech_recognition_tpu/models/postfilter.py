@@ -63,14 +63,10 @@ def _csd_scan(aligned: jax.Array, alpha: float):
     outer = jnp.einsum("tfc,tfd->tfcd", aligned, jnp.conj(aligned))
     if alpha <= 0.0:
         return outer
+    # Linear recurrence -> associative scan (O(log T) depth on TPU).
+    from ..ops.recursions import ema
 
-    def step(phi, p):
-        phi = alpha * phi + (1.0 - alpha) * p
-        return phi, phi
-
-    # frame 0 initializes the state directly
-    _, rest = jax.lax.scan(step, outer[0], outer[1:])
-    return jnp.concatenate([outer[:1], rest], axis=0)
+    return ema(outer, alpha, axis=0, first_direct=True)
 
 
 def _pair_mask(C: int) -> np.ndarray:

@@ -9,3 +9,4 @@ from .filterbank import (  # noqa: F401
 )
 from . import pr_filterbank  # noqa: F401
 from .pr_filterbank import PRFilterbankParams, pr_analysis, pr_synthesis  # noqa: F401
+from . import complex_ops, recursions, sqrt_kernels  # noqa: F401

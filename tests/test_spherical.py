@@ -84,3 +84,36 @@ def test_spherical_ds_weights_shapes():
     assert w.shape == (9, 9)
     w2 = sph.hwnc_weights(3, b, 1.0, 0.5, num_sensors=32)
     assert np.isfinite(w2).all()
+
+
+def test_spherical_tracker_follows_moving_source():
+    """SH-domain EKF tracks a plane-wave source moving in azimuth on the
+    Eigenmike (tracker.cc equivalent)."""
+    from distant_speech_recognition_tpu.models import spherical_tracker as spt
+
+    max_order = 3
+    theta_s, phi_s = sph.eigenmike_geometry()
+    ka = np.linspace(0.8, 3.0, 9)
+    Y_mat, bn4pi = spt.make_tracker_tables(max_order, ka, theta_s, phi_s)
+
+    rng = np.random.default_rng(0)
+    T = 60
+    true_theta = np.full(T, np.pi / 2)
+    true_phi = 0.3 + 0.01 * np.arange(T)  # slow azimuth drift
+    X = np.zeros((T, len(ka), len(theta_s)), np.complex64)
+    for t in range(T):
+        amp = rng.standard_normal(len(ka)) + 1j * rng.standard_normal(len(ka))
+        pw = sph.plane_wave_on_rigid_sphere(max_order, ka, theta_s, phi_s,
+                                            true_theta[t], true_phi[t])
+        X[t] = (amp[:, None] * pw).astype(np.complex64)
+
+    cfg = spt.SphericalTrackerConfig(max_order=max_order, num_subbands_used=5,
+                                     sigmaV2=1e-2, sigmaU2=1e-3)
+    track = np.asarray(
+        spt.spherical_track(cfg, X, Y_mat, bn4pi, (np.pi / 2 + 0.2, 0.0))
+    )
+    # converges to and follows the true azimuth
+    err_phi = np.abs(np.angle(np.exp(1j * (track[-10:, 1] - true_phi[-10:]))))
+    assert err_phi.mean() < 0.1, (track[-5:], true_phi[-5:])
+    err_th = np.abs(track[-10:, 0] - true_theta[-10:])
+    assert err_th.mean() < 0.15
