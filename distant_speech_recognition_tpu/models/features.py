@@ -222,3 +222,53 @@ def mfcc(
     if cmn:
         cep = mean_subtraction(cep)
     return cep
+
+
+def spectral_resampling(power: jax.Array, ratio: float, out_dim: int | None = None) -> jax.Array:
+    """Resample a power spectrum by a frequency ratio with linear
+    interpolation (SpectralResamplingFeature, feature.h:743-771).
+
+    ``power``: [..., T, D] -> [..., T, out_dim].
+    """
+    D = power.shape[-1]
+    out = out_dim or D
+    src = jnp.arange(out) * ratio * (D / out)
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, D - 1)
+    hi = jnp.clip(lo + 1, 0, D - 1)
+    frac = src - lo
+    return power[..., lo] * (1.0 - frac) + power[..., hi] * frac
+
+
+def samplerate_conversion(x: jax.Array, source_rate: int, dest_rate: int) -> jax.Array:
+    """Sample-rate conversion (SamplerateConversionFeature, feature.h:775-809;
+    the reference wraps libsamplerate) via polyphase FFT resampling."""
+    from scipy.signal import resample_poly
+    import math
+
+    g = math.gcd(int(source_rate), int(dest_rate))
+    up, down = dest_rate // g, source_rate // g
+    return jnp.asarray(resample_poly(np.asarray(x), up, down, axis=-1).astype(np.float32))
+
+
+def vtln(power: jax.Array, ratio: float, edge: float = 0.8) -> jax.Array:
+    """Piecewise-linear vocal-tract-length normalization of a power spectrum
+    (VTLNFeature::nextOrg, feature.cc: two-segment warp with bin-integral
+    resampling).  ``power``: [..., T, D]; warp factor ``ratio``."""
+    D = power.shape[-1]
+    yedge = jnp.minimum(edge / ratio, 1.0)
+    b = jnp.where(yedge < 1.0, (1.0 - edge) / jnp.maximum(1.0 - yedge, 1e-9), 0.0)
+
+    Y = jnp.arange(D + 1) / D
+    X = jnp.where(Y < yedge, ratio * Y, b * Y + 1.0 - b) * D  # warped bin edges
+
+    # integrate the (piecewise-constant) source spectrum over [X0, X1]
+    cum = jnp.cumsum(power, axis=-1)
+    cum = jnp.concatenate([jnp.zeros_like(cum[..., :1]), cum], axis=-1)  # [.., D+1]
+
+    def integral(pos):
+        p = jnp.clip(pos, 0.0, D)
+        lo = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, D - 1)
+        frac = p - lo
+        return cum[..., lo] + frac * power[..., lo]
+
+    return integral(X[1:]) - integral(X[:-1])

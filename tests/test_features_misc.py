@@ -114,3 +114,24 @@ def test_fast_block_lms_identifies_filter(rng):
     head = np.mean(err[:2000] ** 2)
     tail = np.mean(err[-2000:] ** 2)
     assert tail < 0.05 * head, (head, tail)
+
+
+def test_spectral_resampling_and_vtln(rng):
+    p = np.abs(rng.standard_normal((4, 64))).astype(np.float32)
+    out = np.asarray(ft.spectral_resampling(p, 1.0))
+    np.testing.assert_allclose(out, p, atol=1e-5)  # unit ratio = identity
+    warped = np.asarray(ft.vtln(p, ratio=1.0, edge=0.8))
+    np.testing.assert_allclose(warped.sum(-1), p.sum(-1), rtol=1e-4)  # energy kept
+    warped2 = np.asarray(ft.vtln(p, ratio=1.2, edge=0.8))
+    assert np.isfinite(warped2).all() and warped2.shape == p.shape
+
+
+def test_samplerate_conversion(rng):
+    t = np.arange(16000) / 16000.0
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = np.asarray(ft.samplerate_conversion(x, 16000, 8000))
+    assert abs(len(y) - 8000) <= 2
+    # tone frequency preserved
+    f = np.fft.rfftfreq(len(y), 1 / 8000.0)
+    peak = f[np.abs(np.fft.rfft(y)).argmax()]
+    assert abs(peak - 440) < 5
