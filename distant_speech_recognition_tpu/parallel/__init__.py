@@ -5,3 +5,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
     snapshot_sharding,
 )
+from .runner import enhance_files, run_batch  # noqa: F401

@@ -136,3 +136,43 @@ def test_reference_json_configs_drive_tools(tmp_path):
         )
         assert np.isfinite(energy) and energy > 0, conf
         assert frames > 0
+
+
+def test_multihost_runner_single_host_path(tmp_path):
+    """enhance_files on the virtual 8-device mesh with freq parallelism."""
+    import glob
+
+    from distant_speech_recognition_tpu.design.nyquist import design_nyquist_pair
+    from distant_speech_recognition_tpu.models.pipeline import PipelineConfig
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+    from distant_speech_recognition_tpu.parallel import enhance_files
+    from distant_speech_recognition_tpu.utils import geometry
+
+    files = sorted(
+        glob.glob(
+            "/root/reference/btk20_src/unit_test/data/CMU/R1/M1005/KINECT/RAW/segmented/U1001*_c?.wav"
+        )
+    )
+    # 4 "utterances": reuse the same 4-ch set four times
+    mpos = np.c_[np.array([-113.0, 36.0, 76.0, 113.0]), np.zeros((4, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=1.2)
+    h, g = design_nyquist_pair(32, 4, 1)
+    cfg = PipelineConfig(fb=FilterbankParams(M=32, m=4, r=1), beamformer="sd_mvdr",
+                         postfilter="zelinski", pf_min_frames=2)
+
+    # build a little 4-utterance multichannel list by stacking the channels
+    from distant_speech_recognition_tpu.utils.wavio import read_wav, write_wav
+
+    x = np.stack([read_wav(f)[0][0] for f in files])
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"utt{i}.wav")
+        write_wav(p, x[:, : 16000 + 100 * i], 16000)
+        paths.append(p)
+
+    outs = enhance_files(cfg, mpos, delays, h, g, paths, str(tmp_path / "out"),
+                         freq_parallel=2)
+    assert len(outs) == 4
+    for o in outs:
+        y, rate = read_wav(o)
+        assert np.isfinite(y).all() and np.abs(y).max() > 0
