@@ -63,10 +63,20 @@ def _csd_scan(aligned: jax.Array, alpha: float):
     outer = jnp.einsum("tfc,tfd->tfcd", aligned, jnp.conj(aligned))
     if alpha <= 0.0:
         return outer
-    # Linear recurrence -> associative scan (O(log T) depth on TPU).
-    from ..ops.recursions import ema
+    # Linear recurrence: O(log T)-depth associative scan where it compiles
+    # well (CPU); the experimental axon TPU backend stalls compiling large
+    # associative scans, so it keeps the sequential scan.
+    if jax.default_backend() == "cpu":
+        from ..ops.recursions import ema
 
-    return ema(outer, alpha, axis=0, first_direct=True)
+        return ema(outer, alpha, axis=0, first_direct=True)
+
+    def step(phi, p):
+        phi = alpha * phi + (1.0 - alpha) * p
+        return phi, phi
+
+    _, rest = jax.lax.scan(step, outer[0], outer[1:])
+    return jnp.concatenate([outer[:1], rest], axis=0)
 
 
 def _pair_mask(C: int) -> np.ndarray:
