@@ -221,3 +221,27 @@ def lpc_cepstrum(a: jax.Array, E: jax.Array, ncep: int) -> jax.Array:
     c0 = jnp.zeros(a.shape[:-1] + (ncep,), a.dtype)
     c, _ = jax.lax.scan(step, c0, jnp.arange(1, ncep + 1))
     return c
+
+
+def lpc_envelope_frames(frames: jax.Array, order: int, fftlen: int):
+    """Per-frame LPC spectral envelopes (LPCSpectrumEstimator,
+    feature/spectralestimator.h:58-112): autocorrelation -> Levinson-Durbin
+    -> all-pole spectrum, batched over frames.  [..., T, N] -> [..., T, F]."""
+    r = autocorrelation(frames, order)
+    a, E = levinson_durbin(r, order)
+    return lpc_spectrum(a, E, fftlen)
+
+
+def cepstral_spectrum_estimator(spectra: jax.Array, order: int = 14,
+                                log_padding: float = 1.0) -> jax.Array:
+    """Smoothed spectral envelope via truncated cepstrum
+    (CepstralSpectrumEstimator, spectralestimator.h:117-139): cepstrum of
+    log(pad + |X|), lifter to ``order`` coefficients, transform back and
+    exponentiate.  ``spectra``: [..., T, M] full complex spectra."""
+    M = spectra.shape[-1]
+    logmag = jnp.log(log_padding + jnp.abs(spectra))
+    cep = jnp.fft.ifft(logmag.astype(jnp.complex64), axis=-1)
+    k = jnp.arange(M)
+    lifter = (k < order) | (k > M - order)
+    cep = jnp.where(lifter, cep, 0.0)
+    return jnp.exp(jnp.real(jnp.fft.fft(cep, axis=-1)))

@@ -80,3 +80,18 @@ def test_lpc_cepstrum_runs(rng):
     c = np.asarray(lpc.lpc_cepstrum(a, E, 10))
     assert c.shape == (10,)
     np.testing.assert_allclose(c[0], np.asarray(a)[0], atol=1e-5)  # c1 = a1
+
+
+def test_frame_envelopes_and_cepstral_estimator(rng):
+    frames = rng.standard_normal((6, 256)).astype(np.float32)
+    env = np.asarray(lpc.lpc_envelope_frames(frames, 12, 256))
+    assert env.shape == (6, 129) and np.isfinite(env).all()
+
+    spec = np.fft.fft(frames, axis=-1).astype(np.complex64)
+    smooth = np.asarray(lpc.cepstral_spectrum_estimator(spec, order=14))
+    assert smooth.shape == spec.shape and np.isfinite(smooth).all()
+    # smoother than raw magnitude: fewer sign changes in the derivative
+    raw = np.abs(spec[0])
+    def roughness(v):
+        return np.abs(np.diff(np.sign(np.diff(v)))).sum()
+    assert roughness(smooth[0]) < roughness(raw)
