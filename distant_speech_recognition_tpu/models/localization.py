@@ -280,3 +280,60 @@ def find_cc_peak(
         frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym - yp) / denom, 0.0)
         base = base + jnp.clip(frac, -1.0, 1.0)
     return base / samplerate, peak
+
+
+# ---------------------------------------------------------------------------
+# MCC localization (localization/mcc_localizer.h:36-311)
+# ---------------------------------------------------------------------------
+
+def linear_array_delay_grid(mpos_1d, num_points: int = 36, samplerate: float = 16000.0,
+                            sspeed: float = 343740.0):
+    """Far-field azimuth search grid for a linear array -> integer sample
+    delays (SGB4LinearArray, mcc_localizer.h:66-80).
+
+    Returns (delays_samples [G, C] int, azimuths [G]).
+    """
+    from ..utils.geometry import calc_la_delays
+
+    az = np.linspace(0.0, np.pi, num_points)
+    mpos = np.asarray(mpos_1d, np.float64).reshape(-1, 1)
+    d = np.stack([calc_la_delays(mpos, a, sspeed) for a in az])
+    return np.round(d * samplerate).astype(np.int64), az
+
+
+def mcc_localize(x: jax.Array, delay_grid, num_best: int = 1,
+                 normalize_variance: bool = True):
+    """Multichannel-cross-correlation localization over a delay grid
+    (MCCLocalizer::search + calcObjectiveFunction, mcc_localizer.cc:360-440).
+
+    For each hypothesis, the channels are aligned by the grid's integer
+    sample delays and the cost is ``logdet(R) - sum log diag(R)`` of the
+    aligned covariance — minimal when the channels are maximally correlated
+    (MCCC = 1 - exp(cost)).
+
+    ``x``: time block [C, T]; ``delay_grid``: [G, C] samples.
+    Returns (best_indices [num_best], mccc [G]).
+    """
+    x = jnp.asarray(x)
+    C, T = x.shape
+    dg = np.asarray(delay_grid)
+    G = dg.shape[0]
+    max_d = int(np.abs(dg).max())
+    xp = jnp.pad(x, ((0, 0), (max_d, max_d)))
+
+    # aligned[g, c, t] = x[c, t + delay[g, c]]
+    idx = jnp.arange(T)[None, None, :] + jnp.asarray(dg)[:, :, None] + max_d
+    aligned = jnp.take_along_axis(
+        jnp.broadcast_to(xp[None], (G, C, xp.shape[-1])), idx, axis=-1
+    )
+    mean = jnp.mean(aligned, axis=-1, keepdims=True)
+    Rc = jnp.einsum("gct,gdt->gcd", aligned - mean, aligned - mean) / T
+    diag = jnp.diagonal(Rc, axis1=-2, axis2=-1)
+    if normalize_variance:
+        sign, ldet = jnp.linalg.slogdet(Rc)
+        cost = ldet - jnp.sum(jnp.log(jnp.maximum(diag, 1e-20)), axis=-1)
+    else:
+        sign, cost = jnp.linalg.slogdet(Rc)
+    mccc = 1.0 - jnp.exp(cost)
+    best = jax.lax.top_k(mccc, num_best)[1]
+    return best, mccc

@@ -162,3 +162,30 @@ def test_find_cc_peak_delay_window(rng):
     # restricted to positive delays: picks +5
     delay, _ = loc.find_cc_peak(cc, 1.0, min_delay=0.0, interpolate=False)
     assert np.asarray(delay)[0] == 5
+
+
+def test_mcc_localizer_finds_azimuth(rng):
+    """MCCC cost is maximal at the true plane-wave azimuth."""
+    from distant_speech_recognition_tpu.utils.signal_generator import plane_wave_array
+
+    mpos_1d = np.arange(4) * 100.0  # mm
+    src = rng.standard_normal(8000).astype(np.float32)
+    true_az = 1.1
+    x = plane_wave_array(src, mpos_1d.reshape(-1, 1), azimuth=0.0, polar=true_az)
+    # linear-array convention: steer over azimuth with calc_la_delays
+    grid, az = loc.linear_array_delay_grid(mpos_1d, 72)
+    # simulate with matching convention: delays = -pos*cos(az)/c
+    from distant_speech_recognition_tpu.utils.geometry import calc_la_delays
+
+    d = calc_la_delays(mpos_1d.reshape(-1, 1), true_az)
+    T = len(src)
+    S = np.fft.rfft(src)
+    freqs = np.fft.rfftfreq(T, 1 / 16000.0)
+    x = np.stack([
+        np.fft.irfft(S * np.exp(-2j * np.pi * freqs * di), n=T) for di in d
+    ]).astype(np.float32)
+
+    best, mccc = loc.mcc_localize(x, grid, num_best=3)
+    est = az[int(np.asarray(best)[0])]
+    assert abs(est - true_az) < 0.15, (est, true_az)
+    assert np.asarray(mccc).max() > 0.9
