@@ -258,3 +258,41 @@ def hermitian_mirror(half: jax.Array, M: int) -> jax.Array:
     """
     mirror = jnp.conj(half[..., 1 : M // 2])[..., ::-1]
     return jnp.concatenate([half, mirror], axis=-1)
+
+
+def analysis_pallas(x: jax.Array, h: jax.Array, params: FilterbankParams,
+                    interpret: bool = False) -> jax.Array:
+    """`analysis` with the polyphase stage as a Pallas TPU kernel
+    (ops/pallas_kernels.polyphase_fir): the reversed-window stream is read
+    once per tile from VMEM and the m taps accumulate in registers instead
+    of materializing m shifted operands.  Bit-identical math to `analysis`.
+    """
+    from .pallas_kernels import polyphase_fir, reversed_window_stream
+
+    p = params
+    D, M, m, R, N = p.D, p.M, p.m, p.R, p.N
+    h = jnp.asarray(h, x.dtype)
+    if h.shape != (N,):
+        raise ValueError(f"analysis prototype must have length N=M*m={N}, got {h.shape}")
+    if x.ndim != 1:
+        # batch via vmap over leading dims
+        lead = x.shape[:-1]
+        flat = x.reshape((-1, x.shape[-1]))
+        out = jax.vmap(lambda xx: analysis_pallas(xx, h, params, interpret))(flat)
+        return out.reshape(lead + out.shape[1:])
+
+    x = _pad_to_blocks(x, D)
+    n_blocks = x.shape[-1] // D
+    n_frames = n_blocks - p.laN + p.analysis_delay
+    mR = m * R
+    front = mR - 1
+    tail = n_frames - 1 + p.laN + mR - (front + n_blocks)
+    xx = jnp.pad(x, (front * D, max(tail, 0) * D))
+    blocks = xx.reshape(-1, D)
+
+    S_arr = reversed_window_stream(blocks, M, R)  # [n_pushes, M]
+    hist = (m - 1) * R
+    slab = jax.lax.slice_in_dim(S_arr, p.laN, p.laN + n_frames + hist, axis=0)
+    h_folded = h.reshape(m, M)
+    v = polyphase_fir(slab, h_folded, m, R, interpret=interpret)
+    return jnp.fft.ifft(v, axis=-1) * M

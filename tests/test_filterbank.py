@@ -104,3 +104,28 @@ def test_stft_analysis_shape(rng):
     assert out.shape == (num_analysis_frames(params, 1000), 64)
     # hermitian symmetry of a real windowed frame's DFT
     np.testing.assert_allclose(out[5, 1:], np.conj(out[5, 1:][::-1]), atol=1e-3)
+
+
+def test_pallas_analysis_matches_xla(rng):
+    """The Pallas polyphase kernel (interpreter mode on CPU) reproduces the
+    XLA analysis path exactly."""
+    from distant_speech_recognition_tpu.ops.filterbank import analysis_pallas
+
+    for (M, m, r, dc) in [(8, 4, 1, 2), (16, 2, 0, 1), (8, 4, 2, 0)]:
+        params = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=dc)
+        h = rng.standard_normal(M * m) * 0.1
+        x = rng.standard_normal(params.D * 23 + 7).astype(np.float32)
+        want = np.asarray(analysis(x, h, params))
+        got = np.asarray(analysis_pallas(x, h, params, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5), (M, m, r, dc)
+
+
+def test_pallas_analysis_batched(rng):
+    from distant_speech_recognition_tpu.ops.filterbank import analysis_pallas
+
+    params = FilterbankParams(M=8, m=4, r=1)
+    h = rng.standard_normal(32) * 0.1
+    x = rng.standard_normal((2, 3, 300)).astype(np.float32)
+    want = np.asarray(analysis(x, h, params))
+    got = np.asarray(analysis_pallas(x, h, params, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
