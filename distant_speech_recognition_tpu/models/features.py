@@ -272,3 +272,34 @@ def vtln(power: jax.Array, ratio: float, edge: float = 0.8) -> jax.Array:
         return cum[..., lo] + frac * power[..., lo]
 
     return integral(X[1:]) - integral(X[:-1])
+
+
+def alog_feature(x: jax.Array, m: float = 1.0, a: float = 4.0,
+                 floor: float = -1.0e10, min_max=None) -> jax.Array:
+    """'ALog' compressed log (ALogFeature, feature.cc:1342-1405):
+    ``m * log2(1 + a * x)``-style companding with optional running min/max
+    flooring; here the batch form with a plain floor."""
+    out = m * jnp.log2(1.0 + a * jnp.maximum(x, 0.0))
+    return jnp.maximum(out, floor)
+
+
+def norm_feature(x: jax.Array, minval: float = 0.0, maxval: float = 1.0) -> jax.Array:
+    """Min/max normalization to [minval, maxval] per utterance
+    (NormalizeFeature, feature.cc:1408-1455)."""
+    lo = jnp.min(x, axis=tuple(range(x.ndim - 1)), keepdims=True)
+    hi = jnp.max(x, axis=tuple(range(x.ndim - 1)), keepdims=True)
+    return minval + (x - lo) * (maxval - minval) / jnp.maximum(hi - lo, 1e-20)
+
+
+def threshold_feature(x: jax.Array, value: float = 0.0, thresh: float = 1.0,
+                      mode: str = "upper") -> jax.Array:
+    """Clamp values past a threshold (ThresholdFeature, feature.h:700-740):
+    'upper' replaces x > thresh, 'lower' replaces x < thresh, 'both' clamps
+    symmetrically at +-thresh."""
+    if mode == "upper":
+        return jnp.where(x > thresh, value, x)
+    if mode == "lower":
+        return jnp.where(x < thresh, value, x)
+    if mode == "both":
+        return jnp.where(jnp.abs(x) > thresh, jnp.sign(x) * value, x)
+    raise ValueError(mode)

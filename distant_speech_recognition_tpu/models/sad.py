@@ -461,3 +461,29 @@ def low_full_band_energy_ratio_metric(frames: jax.Array, order: int = 2):
     w = jnp.ones(order + 1) / (order + 1)
     le = jnp.einsum("i,...i->...", w, r)
     return le / jnp.maximum(r[..., 0], 1e-20)
+
+
+def tsps_metric(spectra: jax.Array, fftlen: int, low_x: int, high_x: int,
+                E0: float = 1.0):
+    """Target-signal-power-spectrum metric (TSPSVADMetric, sad.cc:
+    ``TSPS = log(P0 / (Ptot - P0)) - log(E0 / Ptot)``, +1/-1 decision).
+
+    ``spectra``: power spectra [C, T, F]."""
+    p = _band_power(spectra, fftlen, low_x, high_x)  # [C, T]
+    total = jnp.sum(p, axis=0)
+    tgt = p[0]
+    tsps = jnp.log(tgt / jnp.maximum(total - tgt, 1e-20)) - jnp.log(E0 / jnp.maximum(total, 1e-20))
+    return jnp.where(tsps > 0, 1.0, -1.0), tsps
+
+
+def hangover_fusion(metrics, head_n: int = 4, tail_n: int = 10, votes: int | None = None):
+    """Multi-metric hangover fusion (HangoverMultiStageVADFeature,
+    sad.h:665-771): a frame is 'above' when at least ``votes`` metrics are
+    positive; the head/tail machine smooths the fused decision.
+
+    ``metrics``: list of [T] arrays with positive-means-speech polarity.
+    """
+    stack = jnp.stack([jnp.asarray(m) > 0 for m in metrics])
+    need = votes if votes is not None else stack.shape[0]
+    above = jnp.sum(stack.astype(jnp.int32), axis=0) >= need
+    return energy_hangover_machine(above, head_n, tail_n)

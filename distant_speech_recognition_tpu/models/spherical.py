@@ -215,3 +215,22 @@ def plane_wave_on_rigid_sphere(max_order: int, ka, theta_s, phi_s,
         Y0 = np.conj(spherical_harmonic(m, n, theta0, phi0))
         out += 4 * np.pi * (_i_pow(n) * b[:, n])[:, None] * Ys[idx][None, :] * Y0
     return out
+
+
+def spherical_gsc_weights(max_order: int, b: np.ndarray, theta: float, phi: float,
+                          Nc: int = 1):
+    """SH-domain GSC: spherical D&S quiescent weights + a blocking matrix in
+    the SH coefficient space (SphericalGSCBeamformer, modalbeamformer.h /
+    cc:1499-1560: wq - wl with B built against the steering vector).
+
+    Returns (wqH [F, dim], BmH [F, dim-Nc, dim]); the adaptive lower branch
+    runs through models/adaptive_gsc.gsc_lms/gsc_rls on SH coefficients.
+    """
+    import jax.numpy as jnp
+
+    from .beamforming import blocking_matrix
+
+    w = spherical_ds_weights(max_order, b, theta, phi)  # [F, dim]
+    vs = jnp.asarray(np.conj(w), jnp.complex64)  # steering in SH space
+    B = blocking_matrix(vs, Nc)
+    return np.conj(np.asarray(vs)), np.swapaxes(np.asarray(B), -1, -2)

@@ -3,16 +3,16 @@
 The analysis bank's polyphase stage is, per output frame, an m-tap FIR over
 pushed (reversed) sample windows with stride R (modulated.cc:384-391):
 
-    v[t, mi] = sum_k h[mi + M k] * S[t - R k, mi]
+    v[t, mi] = sum_k h[mi + M k] * S[t + (m-1-k) R, mi]
 
-where ``S[t', i] = x[(t'+1) D - 1 - i]`` is the reversed-window stream.  The
-XLA path materializes the m shifted operands; this kernel streams one VMEM
-slab per frame tile and accumulates the m taps in registers, reading S once.
+The kernel receives the m tap-aligned views of the reversed-window stream
+(shifted in XLA — cheap slices of the same buffer) and accumulates all taps
+in VMEM registers, writing each [T_tile, M] output block once.  Tiling obeys
+the TPU (8, 128) block constraints: T_tile is a multiple of 8 and M must be
+a multiple of 128 (fall back to the XLA path otherwise).
 
-The kernel is exact (same float32 ops) and validated against the XLA path;
-`analysis` uses it when `PALLAS_ANALYSIS` is enabled (off by default — the
-axon backend in this image is fragile with custom kernels; flip it on for
-standard TPU runtimes).
+Exact float32 math; validated in interpreter mode against the XLA path and
+on-device for the production M=256 configuration.
 """
 
 from __future__ import annotations
@@ -22,19 +22,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-PALLAS_ANALYSIS = False  # opt-in
+PALLAS_ANALYSIS = False  # opt-in for analysis_pallas default usage
 
-__all__ = ["polyphase_fir", "PALLAS_ANALYSIS"]
+__all__ = ["polyphase_fir", "reversed_window_stream", "PALLAS_ANALYSIS"]
 
 
-def _polyphase_kernel(m: int, R: int, T_tile: int):
-    def kernel(s_ref, h_ref, v_ref):
-        # s_ref: [T_tile + (m-1)R, M] slab; h_ref: [m, M]; v_ref: [T_tile, M]
-        hist = (m - 1) * R
-        acc = h_ref[m - 1, :][None, :] * s_ref[0:T_tile, :]
-        for k in range(m - 2, -1, -1):
-            off = hist - k * R
-            acc = acc + h_ref[k, :][None, :] * s_ref[off : off + T_tile, :]
+def _make_kernel(m: int, T_tile: int):
+    def kernel(*refs):
+        h_ref = refs[m]
+        v_ref = refs[m + 1]
+        acc = h_ref[0, 0, :][None, :] * refs[0][:, :]
+        for k in range(1, m):
+            acc = acc + h_ref[k, 0, :][None, :] * refs[k][:, :]
         v_ref[:, :] = acc
 
     return kernel
@@ -46,13 +45,13 @@ def polyphase_fir(
     h_folded: jax.Array,
     m: int,
     R: int,
-    T_tile: int = 128,
+    T_tile: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Strided m-tap FIR over rows: ``v[t] = sum_k h[k] * S[t + (m-1-k) R]``.
 
-    ``S``: [T + (m-1)R, M] (already history-padded); ``h_folded``: [m, M]
-    with ``h_folded[k, mi] = h[mi + M k]``.  Returns v [T, M].
+    ``S``: [T + (m-1)R, M] (history-padded); ``h_folded``: [m, M] with
+    ``h_folded[k, mi] = h[mi + M k]``.  Returns v [T, M].
     """
     from jax.experimental import pallas as pl
 
@@ -60,21 +59,25 @@ def polyphase_fir(
     T = S.shape[0] - hist
     M = S.shape[1]
     n_tiles = -(-T // T_tile)
-    pad = n_tiles * T_tile - T
-    if pad:
-        S = jnp.pad(S, ((0, pad), (0, 0)))
+    T_pad = n_tiles * T_tile
+    # tap-aligned views, each padded to T_pad rows
+    taps = []
+    for k in range(m):
+        start = (m - 1 - k) * R
+        v = jax.lax.slice_in_dim(S, start, start + T, axis=0)
+        taps.append(jnp.pad(v, ((0, T_pad - T), (0, 0))))
+
+    h3 = jnp.asarray(h_folded, S.dtype).reshape(m, 1, M)
 
     out = pl.pallas_call(
-        _polyphase_kernel(m, R, T_tile),
+        _make_kernel(m, T_tile),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((T_tile + hist, M), lambda i: (i, 0)),
-            pl.BlockSpec((m, M), lambda i: (0, 0)),
-        ],
+        in_specs=[pl.BlockSpec((T_tile, M), lambda i: (i, 0)) for _ in range(m)]
+        + [pl.BlockSpec((m, 1, M), lambda i: (0, 0, 0))],
         out_specs=pl.BlockSpec((T_tile, M), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * T_tile, M), S.dtype),
+        out_shape=jax.ShapeDtypeStruct((T_pad, M), S.dtype),
         interpret=interpret,
-    )(S, jnp.asarray(h_folded, S.dtype))
+    )(*taps, h3)
     return out[:T]
 
 
