@@ -11,8 +11,11 @@ in VMEM registers, writing each [T_tile, M] output block once.  Tiling obeys
 the TPU (8, 128) block constraints: T_tile is a multiple of 8 and M must be
 a multiple of 128 (fall back to the XLA path otherwise).
 
-Exact float32 math; validated in interpreter mode against the XLA path and
-on-device for the production M=256 configuration.
+Exact float32 math; validated in interpreter mode against the XLA path.
+NOTE: the experimental axon TPU backend in this image rejects ALL custom
+Mosaic kernels at runtime (UNIMPLEMENTED) — on standard TPU runtimes the
+kernel compiles and runs; here it remains available via interpret=True and
+the flag stays off.
 """
 
 from __future__ import annotations
