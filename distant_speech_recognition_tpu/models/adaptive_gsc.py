@@ -117,6 +117,11 @@ def gsc_lms(
             isamp=jnp.asarray(0, jnp.int32),
         )
 
+    final, Y = jax.lax.scan(_lms_step_factory(c, wqH, BmH), init_state, (X, energy.astype(jnp.float32)))
+    return Y, final
+
+
+def _lms_step_factory(c: GSCLMSConfig, wqH, BmH):
     def step(state: _LMSState, inputs):
         Xt, energy_t = inputs  # [F, C], scalar
         # Step-size slowdown (pybeamformer.py:669-671).
@@ -162,8 +167,7 @@ def gsc_lms(
         )
         return new_state, Y
 
-    final, Y = jax.lax.scan(step, init_state, (X, energy.astype(jnp.float32)))
-    return Y, final
+    return step
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -193,7 +197,13 @@ def gsc_rls(
             isamp=jnp.asarray(0, jnp.int32),
         )
 
-    eyeB = jnp.eye(B, dtype=X.dtype)
+    final, Y = jax.lax.scan(_rls_step_factory(c, wqH, BmH), init_state, (X, energy.astype(jnp.float32)))
+    return Y, final
+
+
+def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
+    B = BmH.shape[1]
+    eyeB = jnp.eye(B, dtype=BmH.dtype)
 
     def step(state: _RLSState, inputs):
         Xt, energy_t = inputs
@@ -259,5 +269,77 @@ def gsc_rls(
         )
         return new_state, Y
 
-    final, Y = jax.lax.scan(step, init_state, (X, energy.astype(jnp.float32)))
-    return Y, final
+    return step
+
+
+@partial(jax.jit, static_argnums=(5, 6, 8, 9))
+def gsc_postfilter_fused(
+    X: jax.Array,
+    energy: jax.Array,
+    wqH: jax.Array,
+    BmH: jax.Array,
+    wq_manifold: jax.Array,
+    kind: str,
+    config,
+    pf_alpha: float = 0.6,
+    pf_type: int = 1,
+    pf_min_frames: int = 0,
+):
+    """Adaptive GSC + Zelinski postfilter in ONE scan over frames.
+
+    Produces outputs identical to ``gsc_{lms,rls}`` followed by
+    ``postfilter.zelinski_postfilter`` (the CSD recursion depends only on the
+    snapshots, so the states fuse safely), but with half the sequential scan
+    steps — the launch-bound cost on TPU.
+
+    ``wq_manifold``: [F, C] conjugate manifold for the postfilter alignment.
+    Returns ``Y_filtered [T, F]``.
+    """
+    import numpy as np
+
+    from .postfilter import SPECTRAL_FLOOR, _pair_mask
+
+    F, B = BmH.shape[0], BmH.shape[1]
+    C = X.shape[-1]
+    if kind == "lms":
+        gsc_state = _LMSState(
+            waH=jnp.zeros((F, B), X.dtype),
+            subband_energy=jnp.full((F,), config.init_diagonal_load, jnp.float32),
+            energy=jnp.asarray(config.init_diagonal_load, jnp.float32),
+            gamma=jnp.asarray(config.gamma, jnp.float32),
+            isamp=jnp.asarray(0, jnp.int32),
+        )
+        gsc_step = _lms_step_factory(config, wqH, BmH)
+    elif kind == "rls":
+        gsc_state = _RLSState(
+            waH=jnp.zeros((F, B), X.dtype),
+            Pz=jnp.broadcast_to(jnp.eye(B, dtype=X.dtype) / config.init_diagonal_load, (F, B, B)),
+            energy=jnp.asarray(config.init_diagonal_load, jnp.float32),
+            isamp=jnp.asarray(0, jnp.int32),
+        )
+        gsc_step = _rls_step_factory(config, wqH, BmH)
+    else:
+        raise ValueError(kind)
+
+    pair = jnp.asarray(_pair_mask(C))
+    real_mode = bool(pf_type & 0x01)
+
+    def step(carry, inputs):
+        gstate, phi, t = carry
+        Xt, energy_t = inputs
+        gstate, Y = gsc_step(gstate, (Xt, energy_t))
+
+        aligned = jnp.conj(wq_manifold) * Xt  # [F, C]
+        P = aligned[:, :, None] * jnp.conj(aligned)[:, None, :]
+        phi = jnp.where(t > 0, pf_alpha * phi + (1.0 - pf_alpha) * P, P)
+
+        csd_sum = jnp.sum(jnp.where(pair, phi, 0), axis=(-2, -1))
+        num = jnp.maximum(jnp.real(csd_sum), 0.0) if real_mode else jnp.abs(csd_sum)
+        den = jnp.sum(jnp.real(jnp.diagonal(phi, axis1=-2, axis2=-1)), axis=-1)
+        W = jnp.clip((num / den) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
+        out = jnp.where(t >= pf_min_frames, Y * W.astype(Y.dtype), Y)
+        return (gstate, phi, t + 1), out
+
+    init = (gsc_state, jnp.zeros((F, C, C), X.dtype), jnp.asarray(0, jnp.int32))
+    (_, _, _), Y = jax.lax.scan(step, init, (X, energy.astype(jnp.float32)))
+    return Y

@@ -136,6 +136,8 @@ def build_pipeline(
     h = jnp.asarray(h, jnp.float32)
     g = jnp.asarray(g, jnp.float32)
 
+    fused = cfg.beamformer in ("gsc_lms", "gsc_rls") and cfg.postfilter == "zelinski"
+
     def _one(x):
         """x: [C, T] -> enhanced [T_out]."""
         sub = analysis(x, h, cfg.fb)  # [C, Tf, M]
@@ -143,8 +145,21 @@ def build_pipeline(
         if bin_sharding is not None:
             X = jax.lax.with_sharding_constraint(X, bin_sharding)
         energy = bf.frame_energy(sub[0])  # [Tf]
-        Y = _beamform_one(cfg, X, energy, wqH, BmH)  # [Tf, F]
-        Y = _postfilter_one(cfg, X, Y, wq_manifold, Gamma)
+        if fused:
+            # one scan instead of GSC scan + CSD scan (identical outputs,
+            # half the sequential steps)
+            from .adaptive_gsc import gsc_postfilter_fused
+
+            kind = "lms" if cfg.beamformer == "gsc_lms" else "rls"
+            gcfg = cfg.lms if kind == "lms" else cfg.rls
+            Y = gsc_postfilter_fused(
+                X, energy, jnp.asarray(wqH), jnp.asarray(BmH),
+                jnp.asarray(wq_manifold), kind, gcfg,
+                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+            )
+        else:
+            Y = _beamform_one(cfg, X, energy, wqH, BmH)  # [Tf, F]
+            Y = _postfilter_one(cfg, X, Y, wq_manifold, Gamma)
         Yfull = hermitian_mirror(Y, M)
         return synthesis(Yfull, g, cfg.fb)
 

@@ -180,3 +180,111 @@ class StreamSynthesis:
                     frame[self.D - d - 1] += self.gsi.sample(self.R - sx - 1, d + sx * self.D)
             out.append(frame)
         return np.concatenate(out)
+
+
+class StreamPRAnalysis:
+    """PerfectReconstructionFFTAnalysisBank (modulated.cc:634-756)."""
+
+    def __init__(self, proto: np.ndarray, M: int, m: int, r: int):
+        self.M, self.m, self.r = M, m, r
+        self.M2 = 2 * M
+        self.R = 1 << r
+        self.R2 = 2 * self.R
+        self.D = M // self.R
+        self.proto = np.asarray(proto, np.float64)
+        assert len(self.proto) == self.M2 * m
+        self.pd = 2 * m - 1
+        self.buffer = RealBuffer(self.M2, m * (r + 2))
+        self.gsi = RealBuffer(self.D, self.R2)
+        self.w = np.exp(-1j * np.pi * np.arange(self.M2) / self.M2)
+        self.frames_padded = 0
+
+    def polyphase(self, mi, k):
+        return self.proto[mi + self.M2 * k]
+
+    def _update_buf(self):
+        convert = np.concatenate(
+            [self.gsi.row(self.R2 - s - 1) for s in range(self.R2)]
+        )
+        self.buffer.next_sample(convert, reverse=True)
+
+    def _push(self, src: BlockSource) -> bool:
+        if self.frames_padded == 0:
+            try:
+                block = src.next()
+                self.gsi.next_sample(block)
+            except StopIteration:
+                self.frames_padded += 1
+                self.gsi.next_sample(None)
+            self._update_buf()
+        elif self.frames_padded < self.pd:
+            self.gsi.next_sample(None)
+            self._update_buf()
+            self.frames_padded += 1
+        else:
+            return True
+        return False
+
+    def run(self, x: np.ndarray) -> np.ndarray:
+        src = BlockSource(x, self.D)
+        out = []
+        while True:
+            if self._push(src):
+                break
+            v = np.zeros(self.M2, complex)
+            for mi in range(self.M2):
+                s = 0.0
+                flip = 1
+                for k in range(self.m):
+                    s += flip * self.polyphase(mi, k) * self.buffer.sample((self.r + 2) * k, mi)
+                    flip *= -1
+                v[mi] = self.w[mi] * s
+            out.append(np.fft.ifft(v))  # normalized inverse (modulated.cc:704-711)
+        return np.array(out)
+
+
+class StreamPRSynthesis:
+    """PerfectReconstructionFFTSynthesisBank (modulated.cc:761-898)."""
+
+    def __init__(self, proto: np.ndarray, M: int, m: int, r: int):
+        self.M, self.m, self.r = M, m, r
+        self.M2 = 2 * M
+        self.R = 1 << r
+        self.R2 = 2 * self.R
+        self.D = M // self.R
+        self.proto = np.asarray(proto, np.float64)
+        self.pd = 2 * m - 1
+        self.buffer = RealBuffer(self.M2, m * (r + 2))
+        self.gsi = RealBuffer(self.M2, self.R2)
+        self.w = np.exp(+1j * np.pi * np.arange(self.M2) / self.M2)
+
+    def polyphase(self, mi, k):
+        return self.proto[mi + self.M2 * k]
+
+    def _push(self, Y):
+        c = np.real(np.fft.fft(Y) * self.w)
+        self.buffer.next_sample(c)
+
+    def run(self, Y: np.ndarray) -> np.ndarray:
+        T = Y.shape[0]
+        out = []
+        fed = 0
+        for _ in range(self.pd):
+            self._push(Y[fed]); fed += 1
+        while fed < T:
+            self._push(Y[fed]); fed += 1
+            s = np.zeros(self.M2)
+            for mi in range(self.M2):
+                flip = 1 if (self.m % 2 == 1) else -1
+                acc = 0.0
+                for k in range(self.m):
+                    acc += flip * self.polyphase(mi, self.m - k - 1) * self.buffer.sample((self.r + 2) * k, mi)
+                    flip *= -1
+                s[mi] = acc
+            self.gsi.next_sample(s)
+            frame = np.zeros(self.D)
+            for sx in range(self.R2):
+                for d in range(self.D):
+                    frame[self.D - d - 1] += self.gsi.sample(self.R2 - sx - 1, d + sx * self.D) / self.R
+            out.append(frame)
+        return np.concatenate(out)

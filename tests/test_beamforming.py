@@ -204,3 +204,31 @@ def test_mmi_binary_masking_suppresses_interferer(rng):
     jam_frames = np.abs(out[1::2]).mean()
     tgt_frames = np.abs(out[0::2]).mean()
     assert jam_frames < 0.15 * tgt_frames, (jam_frames, tgt_frames)
+
+
+@pytest.mark.parametrize("kind", ["lms", "rls"])
+def test_fused_gsc_zelinski_matches_sequential(kind, rng):
+    """The single-scan fused GSC+Zelinski equals the two-stage composition."""
+    from distant_speech_recognition_tpu.models import postfilter as pfm
+
+    T, C = 40, 4
+    delays = geometry.calc_la_delays(np.arange(C)[:, None] * 50.0, azimuth=0.8)
+    wqH, BmH = ag.gsc_weights(FFTLEN, FS, delays)
+    wqH, BmH = np.asarray(wqH).astype(np.complex64), np.asarray(BmH).astype(np.complex64)
+    wqm = np.conj(np.asarray(bf.array_manifold(FFTLEN, FS, delays))).astype(np.complex64)
+    X = _random_snapshots(rng, T=T, C=C) * 40.0
+    energy = np.sum(np.abs(X) ** 2, axis=(1, 2)) / FFTLEN
+
+    if kind == "lms":
+        cfg = ag.GSCLMSConfig(min_frames=10, slowdown_after=16, init_diagonal_load=1e2,
+                              energy_floor=1e-2)
+        Y, _ = ag.gsc_lms(X, energy, wqH, BmH, cfg)
+    else:
+        cfg = ag.GSCRLSConfig(min_frames=10, init_diagonal_load=1e2)
+        Y, _ = ag.gsc_rls(X, energy, wqH, BmH, cfg)
+    want = np.asarray(pfm.zelinski_postfilter(X, Y, wqm, 0.6, 1, 3))
+
+    got = np.asarray(
+        ag.gsc_postfilter_fused(X, energy, wqH, BmH, wqm, kind, cfg, 0.6, 1, 3)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)

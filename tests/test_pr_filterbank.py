@@ -58,3 +58,39 @@ def test_pr_prototype_stopband_decreases_with_design():
     # random lattice params give much higher stopband energy
     assert energy < 0.5
     assert len(h) == 32
+
+
+def test_pr_analysis_matches_stream():
+    """Batched PR analysis == frame-by-frame ring-buffer simulation."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from reference_stream import StreamPRAnalysis
+
+    rng = np.random.default_rng(5)
+    for (M, m, r) in [(4, 4, 0), (8, 2, 1)]:
+        proto = rng.standard_normal(2 * M * m) * 0.2
+        p = PRFilterbankParams(M=M, m=m, r=r)
+        x = rng.standard_normal(p.D * 17 + 3)
+        golden = StreamPRAnalysis(proto, M, m, r).run(x)
+        ours = np.asarray(pr_analysis(x.astype(np.float32), proto, p))
+        assert ours.shape == golden.shape, (ours.shape, golden.shape)
+        np.testing.assert_allclose(ours, golden, atol=5e-5)
+
+
+def test_pr_synthesis_matches_stream():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from reference_stream import StreamPRSynthesis
+
+    rng = np.random.default_rng(6)
+    for (M, m, r) in [(4, 4, 0), (8, 2, 1)]:
+        proto = rng.standard_normal(2 * M * m) * 0.2
+        p = PRFilterbankParams(M=M, m=m, r=r)
+        T_in = 19
+        Y = (rng.standard_normal((T_in, 2 * M)) + 1j * rng.standard_normal((T_in, 2 * M)))
+        golden = StreamPRSynthesis(proto, M, m, r).run(Y)
+        ours = np.asarray(pr_synthesis(Y.astype(np.complex64), proto, p))
+        assert ours.shape == golden.shape
+        np.testing.assert_allclose(ours, golden, atol=5e-4)
