@@ -335,3 +335,39 @@ def gev_weights(R_target: jax.Array, R_noise: jax.Array) -> jax.Array:
     corr = jnp.exp(-1j * theta).astype(x.dtype)
     x = jnp.concatenate([x[..., :1, :], x[..., 1:, :] * corr[..., None]], axis=-2)
     return jnp.conj(x)
+
+
+def weights_to_fir(woH: jax.Array, window_type: int = 1):
+    """Export per-channel time-domain FIR filters from subband weights
+    (BeamformerWeights::write_fir_coeff, beamformer.cc:775-830): the
+    conjugate total weight per bin is linear-phase-shifted by fftLen/2
+    (``e^{j pi (f+1)}``), mirrored, inverse-transformed (normalized), and
+    windowed.
+
+    ``woH``: [F, C] conjugate weights over bins 0..M/2.  Returns real FIR
+    coefficients [C, fftLen].
+    """
+    from ..ops.filterbank import hermitian_mirror
+    from ..ops.windows import get_window
+
+    F, C = woH.shape
+    fftlen = 2 * (F - 1)
+    k = jnp.arange(F)
+    shift = jnp.exp(1j * jnp.pi * (k + 1.0)).astype(woH.dtype)
+    half = woH * shift[:, None]  # note: woH is already the conjugate weight
+    full = hermitian_mirror(half.T, fftlen)  # [C, fftlen]
+    fir = jnp.real(jnp.fft.ifft(full, axis=-1))
+    win = jnp.asarray(get_window(window_type, fftlen), fir.dtype)
+    return fir * win
+
+
+def save_weights(path: str, **named_weights) -> None:
+    """Persist beamformer weights (SubbandBeamformer.save_active_weights,
+    pybeamformer.py:452-460) as a .npz archive."""
+    np.savez(path, **{k: np.asarray(v) for k, v in named_weights.items()})
+
+
+def load_weights(path: str) -> dict:
+    """Load weights saved by `save_weights`."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

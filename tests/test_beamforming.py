@@ -232,3 +232,24 @@ def test_fused_gsc_zelinski_matches_sequential(kind, rng):
         ag.gsc_postfilter_fused(X, energy, wqH, BmH, wqm, kind, cfg, 0.6, 1, 3)
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fir_export_and_weight_io(tmp_path, rng):
+    """FIR export: filtering with the exported FIRs approximates the
+    subband beamformer's frequency response."""
+    delays = geometry.calc_la_delays(np.arange(4)[:, None] * 50.0, azimuth=0.6)
+    wqH = np.asarray(bf.delay_and_sum_weights(64, FS, delays)).astype(np.complex64)
+    fir = np.asarray(bf.weights_to_fir(wqH))
+    assert fir.shape == (4, 64)
+    # frequency response of the FIR at bin k matches the (shifted) weight
+    H = np.fft.fft(fir / np.hamming(64)[None], axis=-1)  # undo window
+    k = np.arange(33)
+    shift = np.exp(1j * np.pi * (k + 1.0))
+    # the Nyquist bin's imaginary residue is dropped by the real-FIR export
+    # (the reference prints only real coefficients too) — compare below it
+    np.testing.assert_allclose(H[:, :32].T, (wqH * shift[:, None])[:32], atol=1e-4)
+
+    p = str(tmp_path / "w.npz")
+    bf.save_weights(p, wqH=wqH, fir=fir)
+    back = bf.load_weights(p)
+    np.testing.assert_allclose(back["wqH"], wqH)
