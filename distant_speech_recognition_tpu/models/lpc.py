@@ -21,7 +21,50 @@ __all__ = [
     "lpc_spectrum",
     "mvdr_envelope",
     "lpc_cepstrum",
+    "semnb_deviation_derivative",
 ]
+
+
+def semnb_deviation_derivative(P: jax.Array, order: int, fftlen: int) -> jax.Array:
+    """Derivative of the LP-envelope *deviation* sigma(m) = sqrt(S_p(m))
+    w.r.t. the subband power component P_m at the same bin (the SEMNB
+    estimator, feature/spectralestimator.cc:245-460).
+
+    The reference derives the chain rule by hand through an eigendecomposition
+    of the autocorrelation matrix (eqns. 8-28 of the SEMNB paper); here the
+    identical map is expressed functionally and differentiated with
+    ``jax.jacfwd`` — the TPU-native formulation.  The map, matching the
+    reference's conventions exactly (including the 2/fftLen factor applied
+    to ALL bins, spectralestimator.cc:359-363, 396-405):
+
+        r[k]    = (2/fftLen) sum_{m=0}^{fftLen/2} P[m] cos(2 pi k m / fftLen)
+        a       = R^{-1} r         (R Toeplitz from r, lags 0..order-1)
+        eps_p   = r[0] - a . r[1:]
+        S_p(m)  = eps_p / (|A(m)|^2 + 1e-7),  A = FFT([-1, a, 0...])
+        sigma   = sqrt(S_p)
+
+    ``P``: [fftlen//2 + 1] half power spectrum.  Returns [fftlen//2 + 1]:
+    d sigma(m) / d P_m (the diagonal of the Jacobian, as
+    calcDerivativeOfDeviation returns).
+    """
+    F2 = fftlen // 2
+
+    def _sigma(Ph):
+        k = jnp.arange(order + 1)
+        mm = jnp.arange(F2 + 1)
+        ct = jnp.cos(2.0 * jnp.pi * jnp.outer(k, mm) / fftlen)  # [order+1, F2+1]
+        ac = (2.0 / fftlen) * (ct @ Ph)  # lags 0..order
+        idx = jnp.abs(jnp.arange(order)[:, None] - jnp.arange(order)[None, :])
+        R = ac[idx]
+        r = ac[1:]
+        a = jnp.linalg.solve(R, r)
+        eps = ac[0] - jnp.dot(a, r)
+        A = jnp.fft.rfft(jnp.concatenate([jnp.array([-1.0], Ph.dtype), a]), n=fftlen)
+        S = eps / (jnp.abs(A) ** 2 + 1e-7)
+        return jnp.sqrt(jnp.maximum(S, 1e-20))
+
+    J = jax.jacfwd(_sigma)(jnp.asarray(P))
+    return jnp.diagonal(J)
 
 
 def autocorrelation(x: jax.Array, order: int) -> jax.Array:

@@ -33,6 +33,13 @@ __all__ = [
     "eigenmike_geometry",
     "srp_spherical",
     "plane_wave_on_rigid_sphere",
+    "spherical_gsc_weights",
+    "spherical_spatial_ds_weights",
+    "spherical_diffuse_coherence",
+    "spherical_spatial_hwnc_weights",
+    "spherical_moen_weights",
+    "dual_spherical_ds_weights",
+    "spherical_hwnc_gsc_weights",
 ]
 
 
@@ -232,5 +239,149 @@ def spherical_gsc_weights(max_order: int, b: np.ndarray, theta: float, phi: floa
 
     w = spherical_ds_weights(max_order, b, theta, phi)  # [F, dim]
     vs = jnp.asarray(np.conj(w), jnp.complex64)  # steering in SH space
+    B = blocking_matrix(vs, Nc)
+    return np.conj(np.asarray(vs)), np.swapaxes(np.asarray(B), -1, -2)
+
+
+def spherical_spatial_ds_weights(max_order: int, b: np.ndarray, Y_matrix: np.ndarray,
+                                 theta: float, phi: float) -> np.ndarray:
+    """Element-space spherical D&S weights
+    (SphericalSpatialDSBeamformer::calc_weights_, modalbeamformer.cc:2126-2180):
+    the rigid-sphere pressure model steered at the look direction,
+
+        w_s = (4 pi / C) sum_{n,m} i^n b_n(ka) Y_n^m(Omega_s) conj(Y_n^m(look)).
+
+    ``Y_matrix``: [dim, C] from :func:`spherical_harmonics_matrix` (the
+    reference stores conj(Y) in sh_s_ and conjugates it back here).
+    Output is applied as ``y = w^H X`` (zdotc, cc:2181-2228).  Returns [F, C].
+    """
+    C = Y_matrix.shape[1]
+    F = b.shape[0]
+    w = np.zeros((F, C), np.complex128)
+    for idx, (n, m) in enumerate(sh_index_pairs(max_order)):
+        Y0c = np.conj(spherical_harmonic(m, n, theta, phi))
+        w += (_i_pow(n) * b[:, n])[:, None] * (Y_matrix[idx] * Y0c)[None, :]
+    return 4.0 * np.pi / C * w
+
+
+def spherical_diffuse_coherence(max_order: int, b: np.ndarray, Y_matrix: np.ndarray,
+                                sigma2: float = 0.01) -> np.ndarray:
+    """Diffuse-field coherence of a rigid-sphere array,
+    ``Sigma_SI = A diag(|b_n|^2) A^H + sigma^2 I`` with ``A[c, idx] =
+    Y_n^m(Omega_c)`` (SphericalSpatialHWNCBeamformer::calc_diffuse_noise_model_,
+    modalbeamformer.cc:2305-2356).  Returns [F, C, C]."""
+    A = Y_matrix.T  # [C, dim]
+    pairs = sh_index_pairs(max_order)
+    bn2 = np.stack([np.abs(b[:, n]) ** 2 for n, _ in pairs], axis=-1)  # [F, dim]
+    Sigma = np.einsum("cd,fd,ed->fce", A, bn2, np.conj(A))
+    C = A.shape[0]
+    return Sigma + sigma2 * np.eye(C)[None]
+
+
+def spherical_spatial_hwnc_weights(max_order: int, b: np.ndarray, Y_matrix: np.ndarray,
+                                   theta: float, phi: float, sigma2: float = 0.01,
+                                   ratio: float = 0.0) -> np.ndarray:
+    """Element-space white-noise-gain-constrained MVDR against the spherical
+    diffuse-noise model (SphericalSpatialHWNCBeamformer::calc_weights_,
+    modalbeamformer.cc:2358-2436):
+
+        v = spatial D&S steering (unit norm);  w = Sigma^-1 v / (v^H Sigma^-1 v)
+
+    then scaled by ``2 sqrt(pi / (C wng))`` with the WNG table of calc_wng
+    (cc:1400-1430) when ``ratio > 0``, else by ``16 pi^2 / (C maxOrder^2)``.
+    Returns [F, C]; applied as ``y = w^H X``.
+    """
+    C = Y_matrix.shape[1]
+    v = spherical_spatial_ds_weights(max_order, b, Y_matrix, theta, phi)
+    v = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    Sigma = spherical_diffuse_coherence(max_order, b, Y_matrix, sigma2)
+    iSv = np.linalg.solve(Sigma, v[..., None])[..., 0]  # [F, C]
+    lam = np.einsum("fc,fc->f", np.conj(v), iSv)
+    w = iSv / lam[:, None]
+    if ratio > 0.0:
+        pairs_n = np.arange(max_order)
+        wng = (C / (16 * np.pi**2)) * ratio * np.sum(
+            (2 * pairs_n + 1)[None, :] * np.abs(b) ** 2, axis=-1
+        )
+        w *= (2.0 * np.sqrt(np.pi / (C * np.maximum(wng, 1e-20))))[:, None] / np.maximum(
+            np.linalg.norm(w, axis=-1, keepdims=True), 1e-20
+        )
+    else:
+        w *= (16.0 * np.pi**2) / (C * max_order * max_order)
+    return w
+
+
+def spherical_moen_weights(max_order: int, b: np.ndarray, Y_matrix: np.ndarray,
+                           theta: float, phi: float, diagonal_weight=0.0,
+                           bf_order: int | None = None) -> np.ndarray:
+    """Minimum-mean-squared-error ("MOEN") spherical beamformer in element
+    space (SphericalMOENBeamformer::calc_weights_/calc_moen_weights_,
+    modalbeamformer.cc:1946-2052):
+
+        A[idx, c] = 4 pi conj(Y_n^m(Omega_c)) i^n b_n(ka)
+        BN[idx]   = 2 pi conj(Y_n^m(look)),   n < bf_order
+        w         = C_N (A^H A + lambda I)^+ A^H BN,   C_N = 2 / maxOrder^2
+
+    Returns [F, C] *conjugated* so that the framework-wide application
+    ``y = w^H X`` realizes the unconjugated combination ``sum_c w_c X_c``
+    that the reference's own ``beampattern()`` (cc:2075-2111, zdotu) uses —
+    the zdotc in its ``next()`` contradicts its beampattern and does not
+    steer to the look direction.  ``diagonal_weight``: scalar or per-bin [F].
+    """
+    C = Y_matrix.shape[1]
+    F = b.shape[0]
+    dim = max_order * max_order
+    if bf_order is None:
+        bf_order = max_order
+    pairs = sh_index_pairs(max_order)
+    A = np.zeros((F, dim, C), np.complex128)
+    BN = np.zeros(dim, np.complex128)
+    for idx, (n, m) in enumerate(pairs):
+        A[:, idx, :] = 4 * np.pi * np.conj(Y_matrix[idx])[None, :] * (
+            _i_pow(n) * b[:, n]
+        )[:, None]
+        if n < bf_order:
+            BN[idx] = 2 * np.pi * np.conj(spherical_harmonic(m, n, theta, phi))
+    lam = np.broadcast_to(np.asarray(diagonal_weight, np.float64), (F,))
+    AH = np.conj(np.swapaxes(A, -1, -2))  # [F, C, dim]
+    G = AH @ A + lam[:, None, None] * np.eye(C)[None]
+    AH_BN = AH @ BN  # [F, C]
+    CN = 2.0 / (max_order * max_order)
+    return np.conj(CN * np.linalg.solve(G, AH_BN[..., None])[..., 0])
+
+
+def dual_spherical_ds_weights(max_order: int, b: np.ndarray, theta: float, phi: float,
+                              mpos_mm: np.ndarray, fftlen: int, samplerate: float,
+                              normalize: bool = False, wgain: float = 1.0):
+    """SH-domain spherical D&S weights plus the matched element-space
+    delay-and-sum weights (DualSphericalDSBeamformer::calc_weights_,
+    modalbeamformer.cc:1164-1230: keeps a second BeamformerWeights with a
+    plain time-delay beamformer for postfilter estimation).
+
+    ``mpos_mm``: [C, 3] cartesian sensor positions (mm).  Returns
+    (w_sh [F, dim], w_elem [F, C]).
+    """
+    from .beamforming import array_manifold
+
+    w_sh = spherical_ds_weights(max_order, b, theta, phi, normalize, wgain)
+    # unit vector towards (theta, phi), delays tau_c = -<u, p_c>/c
+    u = np.array([
+        np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)
+    ])
+    tau = -np.asarray(mpos_mm, np.float64) @ u / SSPEED_MM_S
+    vs = np.asarray(array_manifold(fftlen, samplerate, tau))  # already 1/C-scaled
+    return w_sh, np.conj(vs)
+
+
+def spherical_hwnc_gsc_weights(max_order: int, b: np.ndarray, theta: float, phi: float,
+                               num_sensors: int, sigma2: float = 0.01,
+                               ratio: float = 0.0, Nc: int = 1):
+    """SH-domain GSC whose quiescent branch is the WNG-constrained
+    eigenbeamformer (SphericalHWNCGSCBeamformer, modalbeamformer.cc:1690-1816).
+    Returns (wqH [F, dim], BmH [F, dim-Nc, dim])."""
+    from .beamforming import blocking_matrix
+
+    w = hwnc_weights(max_order, b, theta, phi, num_sensors, sigma2, ratio)
+    vs = jnp.asarray(np.conj(w), jnp.complex64)
     B = blocking_matrix(vs, Nc)
     return np.conj(np.asarray(vs)), np.swapaxes(np.asarray(B), -1, -2)
