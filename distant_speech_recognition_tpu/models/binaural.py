@@ -20,6 +20,7 @@ __all__ = [
     "iid_binary_mask",
     "kim_itd_threshold",
     "iid_threshold",
+    "fd_iid_threshold",
 ]
 
 
@@ -185,3 +186,46 @@ def iid_threshold(
     kurt = (s_Y4_T.mean(1) + s_Y4_I.mean(1)) - beta * sigma * sigma
     best = int(np.argmax(kurt))
     return float(cands[best]), cands, -kurt
+
+
+def fd_iid_threshold(
+    XL: jax.Array,
+    XR: jax.Array,
+    min_threshold: float,
+    max_threshold: float,
+    width: float,
+    d_eta: float = 0.01,
+    power_coeff: float = 1.0 / 15.0,
+    beta: float = 3.0,
+):
+    """Frequency-dependent IID threshold estimation
+    (FDIIDThresholdEstimator, binauralprocessing.cc:700-920): per frequency
+    bin, pick the masking threshold maximizing the kurtosis cost
+    ``J(f, th) = E[Y^4] - beta E[Y^2]^2`` of the masked left/right
+    envelopes raised to ``2 * power_coeff``.
+
+    ``XL/XR``: [T, F] half-band subband snapshots (bin 0 is ignored, as the
+    reference accumulates bins 1..M/2 only; its entry of the output vector
+    stays at the first candidate).  Returns
+    (threshold_per_freq [F], candidate_grid [K], cost [F, K]).
+    """
+    cands = np.arange(min_threshold, max_threshold + 1e-9, width)
+    AL = np.abs(np.asarray(XL))  # [T, F]
+    AR = np.abs(np.asarray(XR))
+
+    th = cands[:, None, None]  # [K, 1, 1]
+    mu_T = np.where(AL[None] <= AR[None] + th, d_eta, 1.0)
+    mu_I = np.where(AR[None] <= AL[None] + th, d_eta, 1.0)
+    Y1_T = (AL[None] * mu_T) ** (2.0 * power_coeff)
+    Y1_I = (AR[None] * mu_I) ** (2.0 * power_coeff)
+    Y2_T = Y1_T**2
+    Y2_I = Y1_I**2
+    # per-bin time averages (accumStats1 + calc_threshold normalization)
+    Y4 = (Y2_T**2 + Y2_I**2).mean(axis=1)  # [K, F]
+    sig = (Y2_T + Y2_I).mean(axis=1)
+    cost = (Y4 - beta * sig * sig).T  # [F, K]
+    # rho = -cost minimized with <=, so later candidates win ties
+    best = cost.shape[1] - 1 - np.argmax(cost[:, ::-1], axis=1)
+    thr = cands[best]
+    thr[0] = cands[0]  # bin 0 never updated by the reference
+    return thr, cands, cost

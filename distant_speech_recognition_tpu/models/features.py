@@ -275,12 +275,24 @@ def vtln(power: jax.Array, ratio: float, edge: float = 0.8) -> jax.Array:
 
 
 def alog_feature(x: jax.Array, m: float = 1.0, a: float = 4.0,
-                 floor: float = -1.0e10, min_max=None) -> jax.Array:
-    """'ALog' compressed log (ALogFeature, feature.cc:1342-1405):
-    ``m * log2(1 + a * x)``-style companding with optional running min/max
-    flooring; here the batch form with a plain floor."""
-    out = m * jnp.log2(1.0 + a * jnp.maximum(x, 0.0))
-    return jnp.maximum(out, floor)
+                 runon: bool = False) -> jax.Array:
+    """'ALog' additive-offset log compression (ALogFeature, feature.cc:
+    find_min_max_/next): ``out = m * log10(max / 10^a + x)`` with
+    non-positive arguments mapped to ``log10(1) = 0``.  In offline mode the
+    offset uses the whole-utterance max (the reference's two-pass
+    find_min_max_); with ``runon=True`` it is the running max of all frames
+    seen so far, as a cummax instead of a stateful loop.
+
+    ``x``: [..., T, n] frames.
+    """
+    frame_max = jnp.max(x, axis=-1, keepdims=True)  # [..., T, 1]
+    if runon:
+        mx = jax.lax.cummax(frame_max, axis=frame_max.ndim - 2)
+    else:
+        mx = jnp.max(frame_max, axis=-2, keepdims=True)
+    val = mx / (10.0**a) + x
+    val = jnp.where(val <= 0.0, 1.0, val)
+    return m * jnp.log10(val)
 
 
 def norm_feature(x: jax.Array, minval: float = 0.0, maxval: float = 1.0) -> jax.Array:

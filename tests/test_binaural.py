@@ -58,3 +58,48 @@ def test_iid_mask_and_threshold(rng):
     th, cands, cost = bn.iid_threshold(XL2, XR, -2.0, 2.0, 0.25)
     assert cands[0] <= th <= cands[-1]
     assert np.isfinite(cost).all()
+
+
+def test_fd_iid_threshold_matches_reference_loop():
+    """Vectorized FD-IID threshold == frame/bin/candidate transliteration of
+    FDIIDThresholdEstimator (binauralprocessing.cc:794-898)."""
+    from distant_speech_recognition_tpu.models.binaural import fd_iid_threshold
+
+    rng = np.random.default_rng(11)
+    T, F = 60, 9
+    XL = rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F))
+    XR = rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F))
+    act = rng.random(T) < 0.3
+    XL[act, 1:5] *= 6.0
+
+    lo, hi, width, eta, q, beta = -4.0, 4.0, 0.5, 0.01, 1.0 / 15.0, 3.0
+    cands = np.arange(lo, hi + 1e-9, width)
+    K = len(cands)
+    Y4 = np.zeros((F, K)); mean = np.zeros((F, K)); sig = np.zeros((F, K))
+    for t in range(T):
+        for f in range(1, F):
+            for k, th in enumerate(cands):
+                PT, PI = abs(XL[t, f]), abs(XR[t, f])
+                muT = eta if PT <= PI + th else 1.0
+                muI = eta if PI <= PT + th else 1.0
+                y1T = (PT * muT) ** (2 * q)
+                y1I = (PI * muI) ** (2 * q)
+                Y4[f, k] += y1T**4 + y1I**4
+                mean[f, k] += y1T + y1I
+                sig[f, k] += y1T**2 + y1I**2
+    Y4 /= T; sig /= T
+    cost_ref = Y4 - beta * sig * sig
+    thr_ref = np.zeros(F)
+    thr_ref[0] = cands[0]
+    for f in range(1, F):
+        best, rho_min = cands[0], np.inf
+        for k, th in enumerate(cands):
+            rho = -cost_ref[f, k]
+            if rho <= rho_min:
+                best, rho_min = th, rho
+        thr_ref[f] = best
+
+    thr, grid, cost = fd_iid_threshold(XL, XR, lo, hi, width, eta, q, beta)
+    np.testing.assert_allclose(grid, cands)
+    np.testing.assert_allclose(cost[1:], cost_ref[1:], rtol=1e-10)
+    np.testing.assert_allclose(thr, thr_ref)

@@ -135,3 +135,33 @@ def test_samplerate_conversion(rng):
     f = np.fft.rfftfreq(len(y), 1 / 8000.0)
     peak = f[np.abs(np.fft.rfft(y)).argmax()]
     assert abs(peak - 440) < 5
+
+
+def test_alog_feature_offline_and_runon():
+    """ALog additive-log compression vs a per-frame transliteration of
+    ALogFeature (feature.cc find_min_max_/next)."""
+    import jax.numpy as jnp
+    from distant_speech_recognition_tpu.models.features import alog_feature
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((12, 5)).astype(np.float32) * 3.0
+    m, a = 1.5, 4.0
+
+    def golden(runon):
+        out = np.zeros_like(x)
+        mx = -np.inf
+        gmax = x.max()
+        for t in range(x.shape[0]):
+            mx = max(mx, x[t].max())
+            b = (mx if runon else gmax) / 10.0**a
+            val = b + x[t]
+            val = np.where(val <= 0.0, 1.0, val)
+            out[t] = m * np.log10(val)
+        return out
+
+    np.testing.assert_allclose(
+        np.asarray(alog_feature(jnp.asarray(x), m, a, runon=False)), golden(False), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(alog_feature(jnp.asarray(x), m, a, runon=True)), golden(True), rtol=1e-5
+    )
