@@ -13,7 +13,7 @@ import pickle
 
 import numpy as np
 
-__all__ = ["load_prototype", "save_prototype", "prototype_path", "load_pair"]
+__all__ = ["load_prototype", "save_prototype", "prototype_path", "load_pair", "write_gsl_format", "read_gsl_format"]
 
 REFERENCE_PROTO_DIR = "/root/reference/btk20_src/unit_test/prototype.ny"
 
@@ -50,3 +50,19 @@ def load_pair(M: int, m: int, r: int, proto_dir: str | None = None) -> tuple[np.
 
         h, g = design_nyquist_pair(M, m, r)
     return h, g
+
+
+def write_gsl_format(path: str, proto) -> None:
+    """Raw little-endian float64 dump, binary-compatible with
+    ``gsl_vector_fwrite`` as used by ``write_gsl_format``
+    (modulated/modulated.cc:624-629)."""
+    import numpy as np
+
+    np.asarray(proto, "<f8").tofile(path)
+
+
+def read_gsl_format(path: str):
+    """Inverse of `write_gsl_format` (gsl_vector_fread layout)."""
+    import numpy as np
+
+    return np.fromfile(path, "<f8")

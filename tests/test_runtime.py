@@ -46,3 +46,24 @@ def test_native_stream_reader_matches_full_read():
     T = x.shape[1]
     np.testing.assert_array_equal(stream[:T], x[0])
     assert np.all(stream[T:] == 0)  # zero-padded tail block
+
+
+def test_profiling_stage_timer_and_gsl_dump(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    from distant_speech_recognition_tpu.utils.profiling import StageTimer, timed
+    from distant_speech_recognition_tpu.utils.prototypes import write_gsl_format, read_gsl_format
+
+    t = StageTimer()
+    with t("stage_a"):
+        _ = jnp.arange(1000.0).sum()
+    f = timed(t, "stage_b")(lambda x: x * 2.0)
+    f(jnp.ones(16))
+    st = t.stats()
+    assert st["stage_a"]["calls"] == 1 and st["stage_b"]["calls"] == 1
+    assert "stage_a" in t.report()
+
+    proto = np.random.default_rng(0).standard_normal(64)
+    p = str(tmp_path / "proto.v")
+    write_gsl_format(p, proto)
+    np.testing.assert_allclose(read_gsl_format(p), proto)
