@@ -9,6 +9,7 @@ is >= 50x real-time per chip, so ``vs_baseline`` reports value / 50.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -29,7 +30,7 @@ def main():
     M, m, r = 256, 4, 1
     C = 4
     fs = 16000
-    B = 32          # utterance batch
+    B = int(os.environ.get("BENCH_BATCH", "64"))  # utterance batch
     secs = 10.0     # per utterance
     T = int(fs * secs)
 

@@ -44,6 +44,15 @@ class PipelineConfig:
     Nc: int = 1
     lms: GSCLMSConfig = GSCLMSConfig()
     rls: GSCRLSConfig = GSCRLSConfig()
+    # full-chain extensions (BASELINE config 4: AEC -> WPE -> GSC -> postfilter)
+    aec: str = "none"  # none | nlms
+    aec_delta: float = 100.0
+    aec_epsilon: float = 1.0e-4
+    aec_threshold: float = 100.0
+    wpe: bool = False
+    wpe_lower: int = 2
+    wpe_upper: int = 6
+    wpe_iterations: int = 2
 
 
 def _beamform_one(cfg: PipelineConfig, X, energy, wqH, BmH):
@@ -138,10 +147,30 @@ def build_pipeline(
 
     fused = cfg.beamformer in ("gsc_lms", "gsc_rls") and cfg.postfilter == "zelinski"
 
-    def _one(x):
-        """x: [C, T] -> enhanced [T_out]."""
+    def _one(x, play=None):
+        """x: [C, T] (+ optional far-end playback [T]) -> enhanced [T_out]."""
         sub = analysis(x, h, cfg.fb)  # [C, Tf, M]
-        X = bf.snapshots(sub)  # [Tf, F, C]
+        if cfg.aec == "nlms" or cfg.wpe:
+            from .aec import nlms_aec
+            from .dereverberation import wpe_multichannel
+
+            F_half = M // 2 + 1
+            subh = sub[..., :F_half]  # [C, Tf, F]
+            if cfg.aec == "nlms":
+                # far-end reference through the same analysis bank
+                # (NLMSAcousticEchoCancellationFeature consumes subband
+                # snapshots of the played signal, aec.cc:41-81)
+                Vh = analysis(play, h, cfg.fb)[..., :F_half]
+                subh = jax.vmap(
+                    lambda A: nlms_aec(Vh, A, cfg.aec_delta, cfg.aec_epsilon,
+                                       cfg.aec_threshold)[0]
+                )(subh)
+            if cfg.wpe:
+                subh = wpe_multichannel(subh, cfg.wpe_lower, cfg.wpe_upper,
+                                        cfg.wpe_iterations)
+            X = jnp.moveaxis(subh, 0, -1)  # [Tf, F, C]
+        else:
+            X = bf.snapshots(sub)  # [Tf, F, C]
         if bin_sharding is not None:
             X = jax.lax.with_sharding_constraint(X, bin_sharding)
         energy = bf.frame_energy(sub[0])  # [Tf]
@@ -163,10 +192,19 @@ def build_pipeline(
         Yfull = hermitian_mirror(Y, M)
         return synthesis(Yfull, g, cfg.fb)
 
-    @jax.jit
-    def enhance(x):
-        """x: [B, C, T] -> [B, T_out]."""
-        return jax.vmap(_one)(x)
+    if cfg.aec == "nlms":
+
+        @jax.jit
+        def enhance(x, play):
+            """x: [B, C, T], play: [B, T] far-end reference -> [B, T_out]."""
+            return jax.vmap(_one)(x, play)
+
+    else:
+
+        @jax.jit
+        def enhance(x):
+            """x: [B, C, T] -> [B, T_out]."""
+            return jax.vmap(_one)(x)
 
     return enhance
 

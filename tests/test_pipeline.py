@@ -176,3 +176,51 @@ def test_multihost_runner_single_host_path(tmp_path):
     for o in outs:
         y, rate = read_wav(o)
         assert np.isfinite(y).all() and np.abs(y).max() > 0
+
+
+def test_full_chain_aec_wpe_gsc(tmp_path):
+    """BASELINE config 4: AEC -> WPE -> GSC -> postfilter chained.
+
+    The far-end echo must be suppressed relative to the chain without AEC."""
+    import jax.numpy as jnp
+
+    M, m, r = 32, 2, 1
+    fb = FilterbankParams(M=M, m=m, r=r)
+    from distant_speech_recognition_tpu.design.nyquist import design_nyquist_pair
+    h, g = design_nyquist_pair(M, m, r)
+    C, T = 4, 4000
+    fs = 16000.0
+    rng = np.random.default_rng(7)
+    t = np.arange(T) / fs
+    target = np.sin(2 * np.pi * 300 * t).astype(np.float32)
+    play = (rng.standard_normal(T) * 0.5).astype(np.float32)
+    # echo: in-frame delayed playback at each mic
+    echo = np.roll(play, 5) * 0.8
+    x = np.stack([target + echo + 0.01 * rng.standard_normal(T) for _ in range(C)]).astype(np.float32)
+
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = np.zeros(C)
+
+    base = dict(fb=fb, samplerate=fs, beamformer="gsc_rls", postfilter="zelinski")
+    cfg_chain = PipelineConfig(**base, aec="nlms", aec_threshold=1e-6,
+                               aec_delta=1.0, aec_epsilon=0.5,
+                               wpe=True, wpe_lower=2, wpe_upper=4)
+    cfg_plain = PipelineConfig(**base, wpe=True, wpe_lower=2, wpe_upper=4)
+
+    y_chain = np.asarray(build_pipeline(cfg_chain, mpos, delays, h, g)(
+        jnp.asarray(x[None]), jnp.asarray(play[None])
+    ))[0]
+    y_plain = np.asarray(build_pipeline(cfg_plain, mpos, delays, h, g)(jnp.asarray(x[None])))[0]
+
+    assert np.isfinite(y_chain).all()
+    # measure residual correlation with the playback (echo leakage)
+    n = min(len(y_chain), len(y_plain), T) - 600
+    sl = slice(500, n)
+
+    def leak(y):
+        d = fb.laN * fb.D  # analysis look-ahead alignment
+        e = np.roll(play, 5)[sl]
+        yy = y[sl]
+        return abs(np.corrcoef(yy, e[: len(yy)])[0, 1])
+
+    assert leak(y_chain) < leak(y_plain) * 0.7, (leak(y_chain), leak(y_plain))
