@@ -1,0 +1,112 @@
+"""SRP-PHAT-steered adaptive beamforming, fully in-graph.
+
+BASELINE config 5: per utterance, localize the source by SRP-PHAT over a
+steering grid, steer a GSC at the estimated direction, and enhance — the
+batched equivalent of chaining DOAEstimatorSRPDSBLA (beamformer.cc:2879-3211)
+into SubbandGSCRLS steering (set_look_direction -> calc_gsc_weights).
+
+Unlike ``build_pipeline`` (weights fixed at build time), the steering here is
+*traced*: the DOA argmax, the array manifold, and the blocking matrix are all
+computed inside the jitted graph, so every utterance in the batch gets its own
+look direction — and the whole thing shards over (batch, freq) mesh axes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.filterbank import analysis, hermitian_mirror, synthesis
+from . import beamforming as bf
+from .localization import srp_phat, srp_phat_steering_table
+
+__all__ = ["build_steered_pipeline"]
+
+
+def build_steered_pipeline(
+    cfg,
+    mpos,
+    h,
+    g,
+    thetas,
+    phis,
+    sspeed: float = 343740.0,
+    min_bin: int = 1,
+    max_bin: int | None = None,
+    bin_sharding=None,
+):
+    """Build jitted ``enhance(x [B, C, T]) -> (y [B, T_out], doa [B, 2])``.
+
+    ``cfg``: PipelineConfig with beamformer ds | gsc_lms | gsc_rls and
+    postfilter none | zelinski.  ``thetas``/``phis``: the polar/azimuth search
+    grid (radians).  The per-utterance DOA (theta, phi) is returned alongside
+    the enhanced audio.
+    """
+    from ..utils.geometry import calc_ca_delays
+    from .adaptive_gsc import gsc_postfilter_fused, gsc_lms, gsc_rls
+
+    if cfg.beamformer not in ("ds", "gsc_lms", "gsc_rls"):
+        raise ValueError(f"steered pipeline supports ds|gsc_lms|gsc_rls, got {cfg.beamformer}")
+    if cfg.postfilter not in ("none", "zelinski"):
+        raise ValueError(f"steered pipeline supports none|zelinski, got {cfg.postfilter}")
+
+    M = cfg.fb.M
+    fs = cfg.samplerate
+    mpos = np.asarray(mpos, np.float64)
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        steering, grid = srp_phat_steering_table(mpos, M, fs, thetas, phis, sspeed)
+        delay_table = np.stack(
+            [calc_ca_delays(mpos, p, t, sspeed) for t, p in np.asarray(grid)]
+        )  # [G, C]
+    steering = jnp.asarray(steering)
+    grid_j = jnp.asarray(grid)
+    delay_table = jnp.asarray(delay_table, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    g = jnp.asarray(g, jnp.float32)
+
+    def _one(x):
+        sub = analysis(x, h, cfg.fb)  # [C, Tf, M]
+        X = bf.snapshots(sub)  # [Tf, F, C]
+        if bin_sharding is not None:
+            X = jax.lax.with_sharding_constraint(X, bin_sharding)
+        energy = bf.frame_energy(sub[0])
+
+        # --- in-graph SRP-PHAT DOA (whole-utterance vote) ---------------
+        srp = srp_phat(X, steering, min_bin, max_bin)  # [Tf, G]
+        gidx = jnp.argmax(jnp.sum(srp, axis=0))
+        doa = grid_j[gidx]  # (theta, phi)
+        delays = delay_table[gidx]  # [C]
+
+        # --- steer the beamformer at the estimate -----------------------
+        vs = bf.array_manifold(M, fs, delays)  # [F, C] traced
+        wqH = jnp.conj(vs)
+        if cfg.beamformer == "ds":
+            Y = bf.apply_weights(wqH, X)
+            if cfg.postfilter == "zelinski":
+                from .postfilter import zelinski_postfilter
+
+                Y = zelinski_postfilter(X, Y, wqH, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames)
+        else:
+            BmH = jnp.swapaxes(bf.blocking_matrix(vs, cfg.Nc), -1, -2)
+            kind = "lms" if cfg.beamformer == "gsc_lms" else "rls"
+            gcfg = cfg.lms if kind == "lms" else cfg.rls
+            if cfg.postfilter == "zelinski":
+                Y = gsc_postfilter_fused(
+                    X, energy, wqH, BmH, wqH, kind, gcfg,
+                    cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                )
+            else:
+                run = gsc_lms if kind == "lms" else gsc_rls
+                Y, _ = run(X, energy, wqH, BmH, gcfg)
+
+        Yfull = hermitian_mirror(Y, M)
+        return synthesis(Yfull, g, cfg.fb), doa
+
+    @jax.jit
+    def enhance(x):
+        """x: [B, C, T] -> (y [B, T_out], doa [B, 2])."""
+        return jax.vmap(_one)(x)
+
+    return enhance

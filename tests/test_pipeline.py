@@ -224,3 +224,79 @@ def test_full_chain_aec_wpe_gsc(tmp_path):
         return abs(np.corrcoef(yy, e[: len(yy)])[0, 1])
 
     assert leak(y_chain) < leak(y_plain) * 0.7, (leak(y_chain), leak(y_plain))
+
+
+def test_srp_steered_gsc_pipeline():
+    """BASELINE config 5 core: in-graph SRP-PHAT DOA -> steered GSC, with
+    per-utterance look directions in one jitted batch."""
+    import jax.numpy as jnp
+    from distant_speech_recognition_tpu.models.steered import build_steered_pipeline
+    from distant_speech_recognition_tpu.utils.geometry import calc_ca_delays
+
+    M, m, r = 32, 2, 1
+    fb = FilterbankParams(M=M, m=m, r=r)
+    from distant_speech_recognition_tpu.design.nyquist import design_nyquist_pair
+    h, g = design_nyquist_pair(M, m, r)
+    Ch, T = 4, 4000
+    fs = 16000.0
+    # circular array, radius 100 mm
+    ang = 2 * np.pi * np.arange(Ch) / Ch
+    mpos = np.c_[100.0 * np.cos(ang), 100.0 * np.sin(ang), np.zeros(Ch)]
+
+    rng = np.random.default_rng(9)
+    phis = np.deg2rad(np.arange(0, 360, 30.0))
+    true_phis = [np.deg2rad(60.0), np.deg2rad(240.0)]
+    utts = []
+    for tp in true_phis:
+        tau = calc_ca_delays(mpos, tp, np.pi / 2)
+        s = rng.standard_normal(T + 128).astype(np.float32)
+        # plane wave: x_c(t) = s(t - tau_c), fractional delay via interp
+        x = np.stack([
+            np.interp(np.arange(T) + 64 - tau_c * fs, np.arange(T + 128), s).astype(np.float32)
+            + 0.05 * rng.standard_normal(T).astype(np.float32)
+            for tau_c in tau
+        ])
+        utts.append(x)
+    xb = jnp.asarray(np.stack(utts))  # [2, C, T]
+
+    cfg = PipelineConfig(fb=fb, samplerate=fs, beamformer="gsc_rls", postfilter="zelinski")
+    enhance = build_steered_pipeline(cfg, mpos, h, g, thetas=[np.pi / 2], phis=phis)
+    y, doa = enhance(xb)
+    y, doa = np.asarray(y), np.asarray(doa)
+    assert np.isfinite(y).all()
+    # each utterance localized to its own direction (within one grid cell)
+    for i, tp in enumerate(true_phis):
+        err = np.abs(np.angle(np.exp(1j * (doa[i, 1] - tp))))
+        assert err < np.deg2rad(31.0), (i, np.rad2deg(doa[i]), np.rad2deg(tp), err)
+    assert abs(doa[0, 1] - doa[1, 1]) > np.deg2rad(90.0)
+
+
+def test_srp_steered_pipeline_sharded_batch():
+    """Config 5 at scale: the steered pipeline sharded over the (batch, freq)
+    device mesh — identical outputs to the unsharded run."""
+    import jax.numpy as jnp
+    from distant_speech_recognition_tpu.models.steered import build_steered_pipeline
+
+    M, m, r = 32, 2, 1
+    fb = FilterbankParams(M=M, m=m, r=r)
+    from distant_speech_recognition_tpu.design.nyquist import design_nyquist_pair
+    h, g = design_nyquist_pair(M, m, r)
+    Ch, T, B = 4, 2000, 8
+    fs = 16000.0
+    ang = 2 * np.pi * np.arange(Ch) / Ch
+    mpos = np.c_[100.0 * np.cos(ang), 100.0 * np.sin(ang), np.zeros(Ch)]
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((B, Ch, T)).astype(np.float32) * 0.3
+
+    cfg = PipelineConfig(fb=fb, samplerate=fs, beamformer="gsc_rls", postfilter="zelinski")
+    phis = np.deg2rad(np.arange(0, 360, 45.0))
+    enhance = build_steered_pipeline(cfg, mpos, h, g, thetas=[np.pi / 2], phis=phis)
+
+    y_ref, doa_ref = enhance(jnp.asarray(x))
+
+    mesh = make_mesh(batch=4, freq=2)
+    with jax.set_mesh(mesh):
+        xs = shard_batch(mesh, jnp.asarray(x))
+        y_sh, doa_sh = enhance(xs)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(doa_sh), np.asarray(doa_ref))
