@@ -50,6 +50,7 @@ __all__ = [
     "num_analysis_frames",
     "stft_analysis",
     "hermitian_mirror",
+    "synthesis_pallas",
 ]
 
 
@@ -296,3 +297,42 @@ def analysis_pallas(x: jax.Array, h: jax.Array, params: FilterbankParams,
     h_folded = h.reshape(m, M)
     v = polyphase_fir(slab, h_folded, m, R, interpret=interpret)
     return jnp.fft.ifft(v, axis=-1) * M
+
+
+def synthesis_pallas(Y: jax.Array, g: jax.Array, params: FilterbankParams,
+                     interpret: bool = False) -> jax.Array:
+    """`synthesis` with the polyphase FIR stage as the Pallas TPU kernel
+    (ops/pallas_kernels.polyphase_fir — the synthesis FIR has the same
+    strided-tap structure as analysis, modulated.cc:594-598).  The small
+    R-segment overlap-add stays in XLA.  Bit-identical math to `synthesis`.
+    """
+    from .pallas_kernels import polyphase_fir
+
+    M, m, R, D = params.M, params.m, params.R, params.D
+    pd = params.synthesis_delay
+    T_in = Y.shape[-2]
+    T_out = T_in - pd
+    if T_out <= 0:
+        raise ValueError(f"need more than {pd} subband frames, got {T_in}")
+    if Y.ndim != 2:
+        lead = Y.shape[:-2]
+        flat = Y.reshape((-1,) + Y.shape[-2:])
+        out = jax.vmap(lambda yy: synthesis_pallas(yy, g, params, interpret))(flat)
+        return out.reshape(lead + out.shape[1:])
+
+    c = jnp.real(jnp.fft.fft(Y, axis=-1))  # [T_in, M]
+    gf = jnp.asarray(g, c.dtype).reshape(m, M)[:, ::-1]  # tap k pairs row t'-Rk
+    # polyphase_fir computes v[t] = sum_k h[k] * S[t + (m-1-k) R]; with
+    # S = c padded by (m-1)R zero rows and shifted by pd this is exactly
+    # s_t = sum_k gf[k] * c[t + pd - k R]  (see `synthesis`).
+    cp = jnp.pad(c, (((m - 1) * R, 0), (0, 0)))
+    S = jax.lax.slice_in_dim(cp, pd, pd + T_out + (m - 1) * R, axis=0)
+    s = polyphase_fir(S, gf, m, R, interpret=interpret)  # [T_out, M]
+
+    sp = jnp.pad(s, ((R - 1, 0), (0, 0)))
+    seg = sp.reshape(sp.shape[:-1] + (R, D))[..., ::-1]
+    out = sum(
+        jax.lax.slice_in_dim(seg, R - 1 - j, R - 1 - j + T_out, axis=0)[..., R - 1 - j, :]
+        for j in range(R)
+    )
+    return out.reshape(T_out * D)

@@ -129,3 +129,17 @@ def test_pallas_analysis_batched(rng):
     want = np.asarray(analysis(x, h, params))
     got = np.asarray(analysis_pallas(x, h, params, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_synthesis_pallas_matches_xla():
+    """Pallas synthesis FIR (interpret mode) == XLA synthesis path."""
+    import jax.numpy as jnp
+    from distant_speech_recognition_tpu.ops.filterbank import synthesis, synthesis_pallas
+
+    p = FilterbankParams(M=128, m=4, r=1)
+    rng = np.random.default_rng(2)
+    g = rng.standard_normal(p.N).astype(np.float32) * 0.1
+    Y = (rng.standard_normal((40, p.M)) + 1j * rng.standard_normal((40, p.M))).astype(np.complex64)
+    ref = np.asarray(synthesis(jnp.asarray(Y), jnp.asarray(g), p))
+    pal = np.asarray(synthesis_pallas(jnp.asarray(Y), jnp.asarray(g), p, interpret=True))
+    np.testing.assert_allclose(pal, ref, atol=2e-4)
