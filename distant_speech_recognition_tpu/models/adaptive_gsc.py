@@ -13,6 +13,7 @@ constraints, norm capping, min-frame warmup, LMS step-size slowdown).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -29,6 +30,11 @@ __all__ = [
     "gsc_lms",
     "gsc_rls",
 ]
+
+# Unrolling the frame scan amortizes the XLA while-loop trip overhead — the
+# per-step tensors ([B, F, C]-sized) are far too small to keep the chip busy,
+# so the loop is launch-bound.  Semantics are unchanged (pure codegen knob).
+SCAN_UNROLL = max(1, int(os.environ.get("DSR_SCAN_UNROLL", "1")))
 
 
 def gsc_weights(fftlen: int, samplerate: float, delays, Nc: int = 1):
@@ -117,7 +123,7 @@ def gsc_lms(
             isamp=jnp.asarray(0, jnp.int32),
         )
 
-    final, Y = jax.lax.scan(_lms_step_factory(c, wqH, BmH), init_state, (X, energy.astype(jnp.float32)))
+    final, Y = jax.lax.scan(_lms_step_factory(c, wqH, BmH), init_state, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)
     return Y, final
 
 
@@ -197,7 +203,7 @@ def gsc_rls(
             isamp=jnp.asarray(0, jnp.int32),
         )
 
-    final, Y = jax.lax.scan(_rls_step_factory(c, wqH, BmH), init_state, (X, energy.astype(jnp.float32)))
+    final, Y = jax.lax.scan(_rls_step_factory(c, wqH, BmH), init_state, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)
     return Y, final
 
 
@@ -341,5 +347,5 @@ def gsc_postfilter_fused(
         return (gstate, phi, t + 1), out
 
     init = (gsc_state, jnp.zeros((F, C, C), X.dtype), jnp.asarray(0, jnp.int32))
-    (_, _, _), Y = jax.lax.scan(step, init, (X, energy.astype(jnp.float32)))
+    (_, _, _), Y = jax.lax.scan(step, init, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)
     return Y
