@@ -74,6 +74,17 @@ def frame_energy(subbands_ch0: jax.Array) -> jax.Array:
     return jnp.sum(jnp.abs(subbands_ch0) ** 2, axis=-1) / M
 
 
+def frame_energy_half(subbands_half_ch0: jax.Array, M: int) -> jax.Array:
+    """`frame_energy` computed from bins ``0..M/2`` only.
+
+    Exact by hermitian symmetry: interior bins count twice, DC and Nyquist
+    once — identical to the full-M sum of `frame_energy`.
+    """
+    p = jnp.abs(subbands_half_ch0) ** 2
+    interior = 2.0 * jnp.sum(p[..., 1 : M // 2], axis=-1)
+    return (p[..., 0] + p[..., M // 2] + interior) / M
+
+
 def array_manifold(fftlen: int, samplerate: float, delays, half_band_shift: bool = False) -> jax.Array:
     """Array manifold vectors for bins ``0..M/2``: ``vs [F, C]``.
 

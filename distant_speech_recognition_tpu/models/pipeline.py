@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.filterbank import FilterbankParams, analysis, synthesis, hermitian_mirror
+from ..ops.filterbank import (
+    FilterbankParams,
+    analysis_half,
+    synthesis_half,
+)
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
@@ -149,18 +153,18 @@ def build_pipeline(
 
     def _one(x, play=None):
         """x: [C, T] (+ optional far-end playback [T]) -> enhanced [T_out]."""
-        sub = analysis(x, h, cfg.fb)  # [C, Tf, M]
+        # Half-band throughout: every stage below reads bins 0..M/2 only; the
+        # conjugate mirror is implicit in `synthesis_half` (beamformer.cc:1142-1152).
+        subh = analysis_half(x, h, cfg.fb)  # [C, Tf, F]
         if cfg.aec == "nlms" or cfg.wpe:
             from .aec import nlms_aec
             from .dereverberation import wpe_multichannel
 
-            F_half = M // 2 + 1
-            subh = sub[..., :F_half]  # [C, Tf, F]
             if cfg.aec == "nlms":
                 # far-end reference through the same analysis bank
                 # (NLMSAcousticEchoCancellationFeature consumes subband
                 # snapshots of the played signal, aec.cc:41-81)
-                Vh = analysis(play, h, cfg.fb)[..., :F_half]
+                Vh = analysis_half(play, h, cfg.fb)
                 subh = jax.vmap(
                     lambda A: nlms_aec(Vh, A, cfg.aec_delta, cfg.aec_epsilon,
                                        cfg.aec_threshold)[0]
@@ -168,12 +172,10 @@ def build_pipeline(
             if cfg.wpe:
                 subh = wpe_multichannel(subh, cfg.wpe_lower, cfg.wpe_upper,
                                         cfg.wpe_iterations)
-            X = jnp.moveaxis(subh, 0, -1)  # [Tf, F, C]
-        else:
-            X = bf.snapshots(sub)  # [Tf, F, C]
+        X = jnp.moveaxis(subh, 0, -1)  # [Tf, F, C]
         if bin_sharding is not None:
             X = jax.lax.with_sharding_constraint(X, bin_sharding)
-        energy = bf.frame_energy(sub[0])  # [Tf]
+        energy = bf.frame_energy_half(subh[0], M)  # [Tf]
         if fused:
             # one scan instead of GSC scan + CSD scan (identical outputs,
             # half the sequential steps)
@@ -189,8 +191,7 @@ def build_pipeline(
         else:
             Y = _beamform_one(cfg, X, energy, wqH, BmH)  # [Tf, F]
             Y = _postfilter_one(cfg, X, Y, wq_manifold, Gamma)
-        Yfull = hermitian_mirror(Y, M)
-        return synthesis(Yfull, g, cfg.fb)
+        return synthesis_half(Y, g, cfg.fb)
 
     if cfg.aec == "nlms":
 

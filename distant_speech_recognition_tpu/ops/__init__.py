@@ -2,7 +2,9 @@ from . import filterbank, windows  # noqa: F401
 from .filterbank import (  # noqa: F401
     FilterbankParams,
     analysis,
+    analysis_half,
     synthesis,
+    synthesis_half,
     stft_analysis,
     hermitian_mirror,
     num_analysis_frames,

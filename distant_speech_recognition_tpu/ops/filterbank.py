@@ -45,7 +45,9 @@ import numpy as np
 __all__ = [
     "FilterbankParams",
     "analysis",
+    "analysis_half",
     "synthesis",
+    "synthesis_half",
     "analysis_frames",
     "num_analysis_frames",
     "stft_analysis",
@@ -177,14 +179,75 @@ def analysis(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
     ``h``: analysis prototype, float ``[N]``.
     Returns complex64 subband frames ``[..., n_frames, M]`` identical (up to
     float precision) to iterating ``OverSampledDFTAnalysisBank::next``.
+
+    The polyphase FIR is evaluated as ``m`` shifted slices of the compact
+    reversed-window stream ``S [n_pushes, M]`` (the formulation of
+    `analysis_pallas`, bit-identical to the windows-tensor path of
+    `analysis_frames`): this keeps HBM traffic at O(T) instead of
+    materializing the ``m*R``-fold duplicated ``[n_frames, N]`` windows.
     """
+    v = _polyphase_v(x, h, params)
+    # Unnormalized backward DFT (FFTW_BACKWARD / gsl radix2_backward,
+    # modulated.cc:345-349,393-397).
+    return jnp.fft.ifft(v, axis=-1) * params.M
+
+
+def analysis_half(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+    """`analysis` restricted to bins ``0..M/2`` (``[..., n_frames, M//2+1]``).
+
+    The polyphase FIR output ``v`` is real, so the full spectrum is hermitian
+    and ``M*ifft(v)[..M/2] == conj(rfft(v))`` exactly — half the FFT work and
+    half the HBM traffic of `analysis` for consumers (all beamformers) that
+    only read the lower half band (beamformer.cc:1142-1152).
+    """
+    v = _polyphase_v(x, h, params)
+    return jnp.conj(jnp.fft.rfft(v, axis=-1))
+
+
+def _polyphase_v(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Polyphase FIR stage of the analysis bank: real ``v [..., n_frames, M]``."""
     h = jnp.asarray(h)
     if h.shape != (params.N,):
         raise ValueError(
             f"analysis prototype must have length N=M*m={params.N}, got {h.shape}"
         )
-    windows = analysis_frames(x, params)
-    return _analysis_from_frames(windows, h.astype(x.dtype), params)
+    p = params
+    D, M, m, R = p.D, p.M, p.m, p.R
+    h = h.astype(x.dtype)
+
+    x = _pad_to_blocks(x, D)
+    lead = x.ndim - 1
+    n_blocks = x.shape[-1] // D
+    n_frames = n_blocks - p.laN + p.analysis_delay
+    mR = m * R
+    front = mR - 1
+    tail = n_frames - 1 + p.laN + mR - (front + n_blocks)
+    cfg = [(0, 0)] * lead + [(front * D, max(tail, 0) * D)]
+    xx = jnp.pad(x, cfg)
+    blocks = xx.reshape(xx.shape[:-1] + (-1, D))  # [..., n_blocks', D]
+
+    # Reversed-window stream S[t', i] = xx[(t'+R) D - 1 - i]  (push semantics
+    # of RealBuffer_::nextSampleBlock, modulated.cc:363-373).
+    n = blocks.shape[lead] - (R - 1)
+    segs = [
+        jax.lax.slice_in_dim(blocks, R - 1 - j, R - 1 - j + n, axis=lead)
+        for j in range(R)
+    ]
+    win = jnp.stack(segs[::-1], axis=lead + 1)
+    S = win.reshape(win.shape[:lead] + (n, M))[..., ::-1]
+
+    # v[t, mi] = sum_k h[mi + M k] * S[laN + t + (m-1-k) R, mi]
+    # (polyphase loop, modulated.cc:384-391).
+    hist = (m - 1) * R
+    slab = jax.lax.slice_in_dim(S, p.laN, p.laN + n_frames + hist, axis=lead)
+    h_folded = h.reshape(m, M)
+    return sum(
+        h_folded[k]
+        * jax.lax.slice_in_dim(
+            slab, (m - 1 - k) * R, (m - 1 - k) * R + n_frames, axis=lead
+        )
+        for k in range(m)
+    )
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -197,16 +260,35 @@ def synthesis(Y: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array
     the stream of ``OverSampledDFTSynthesisBank::next`` outputs (priming per
     modulated.cc:574-578, polyphase + overlap-add per modulated.cc:594-606).
     """
+    # Forward unnormalized DFT, real part (modulated.cc:556-563).
+    c = jnp.real(jnp.fft.fft(Y, axis=-1))  # [..., T_in, M]
+    return _synthesis_from_c(c, g, params)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def synthesis_half(Y_half: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array:
+    """`synthesis` fed with only bins ``0..M/2`` (``[..., T_in, M//2+1]``).
+
+    Equals ``synthesis(hermitian_mirror(Y_half, M), g, params)`` exactly: the
+    reference takes ``Re(fft(Y))`` of the conjugate-mirrored spectrum
+    (modulated.cc:556-563), which is ``M * irfft(conj(Y_half))`` — half the
+    FFT work, and the mirrored full-M spectrum is never materialized.
+    (`Re()` drops imaginary DC/Nyquist parts in both formulations.)
+    """
+    M = params.M
+    c = jnp.fft.irfft(jnp.conj(Y_half), n=M, axis=-1) * M
+    return _synthesis_from_c(c, g, params)
+
+
+def _synthesis_from_c(c: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Polyphase + overlap-add stage of the synthesis bank (real ``c [..., T_in, M]``)."""
     M, m, R, D = params.M, params.m, params.R, params.D
     pd = params.synthesis_delay
-    T_in = Y.shape[-2]
+    T_in = c.shape[-2]
     T_out = T_in - pd
     if T_out <= 0:
         raise ValueError(f"need more than {pd} subband frames, got {T_in}")
-    lead = Y.ndim - 2
-
-    # Forward unnormalized DFT, real part (modulated.cc:556-563).
-    c = jnp.real(jnp.fft.fft(Y, axis=-1))  # [..., T_in, M]
+    lead = c.ndim - 2
 
     # Polyphase FIR over pushed frames: s_t[mi] = sum_k gf[k, mi] * c[t'-Rk, mi]
     # with gf[k, mi] = g[(M-1-mi) + M k]  (modulated.cc:594-598).

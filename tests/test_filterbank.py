@@ -143,3 +143,52 @@ def test_synthesis_pallas_matches_xla():
     ref = np.asarray(synthesis(jnp.asarray(Y), jnp.asarray(g), p))
     pal = np.asarray(synthesis_pallas(jnp.asarray(Y), jnp.asarray(g), p, interpret=True))
     np.testing.assert_allclose(pal, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("M,m,r,dc", CONFIGS)
+def test_analysis_half_matches_full(M, m, r, dc, rng):
+    """analysis_half == analysis restricted to bins 0..M/2 (rfft identity)."""
+    from distant_speech_recognition_tpu.ops.filterbank import analysis_half
+
+    params = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=dc)
+    h = _rand_proto(M, m, rng)
+    x = rng.standard_normal((2, params.D * 11 + 3)).astype(np.float32)
+    full = np.asarray(analysis(x, h, params))
+    half = np.asarray(analysis_half(x, h, params))
+    np.testing.assert_allclose(half, full[..., : M // 2 + 1], atol=1e-5)
+
+
+@pytest.mark.parametrize("M,m,r,dc", CONFIGS)
+def test_synthesis_half_matches_full(M, m, r, dc, rng):
+    """synthesis_half(Y_half) == synthesis(hermitian_mirror(Y_half)) including
+    complex DC/Nyquist bins (whose imaginary parts both paths drop via Re())."""
+    from distant_speech_recognition_tpu.ops.filterbank import (
+        hermitian_mirror,
+        synthesis_half,
+    )
+
+    params = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=dc)
+    g = _rand_proto(M, m, rng)
+    T_in = 23
+    Yh = (
+        rng.standard_normal((T_in, M // 2 + 1))
+        + 1j * rng.standard_normal((T_in, M // 2 + 1))
+    ).astype(np.complex64)
+    want = np.asarray(synthesis(np.asarray(hermitian_mirror(Yh, M)), g, params))
+    got = np.asarray(synthesis_half(Yh, g, params))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_frame_energy_half_matches_full(rng):
+    from distant_speech_recognition_tpu.models.beamforming import (
+        frame_energy,
+        frame_energy_half,
+    )
+
+    M = 16
+    sub = (rng.standard_normal((7, M)) @ np.exp(
+        -2j * np.pi * np.outer(np.arange(M), np.arange(M)) / M
+    )).astype(np.complex64)  # hermitian spectra of real frames
+    want = np.asarray(frame_energy(sub))
+    got = np.asarray(frame_energy_half(sub[..., : M // 2 + 1], M))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
