@@ -165,3 +165,41 @@ def test_alog_feature_offline_and_runon():
     np.testing.assert_allclose(
         np.asarray(alog_feature(jnp.asarray(x), m, a, runon=True)), golden(True), rtol=1e-5
     )
+
+
+def test_snr_normalization_flags(rng):
+    """calcSNR bit-flag normalizations (objective_measure.cc:42-160)."""
+    x = rng.standard_normal(4000)
+    # STDV scaling makes SNR invariant to a pure gain
+    v1 = measures.snr(x, 3.0 * x, normalization_option=measures.STDV_SCALING)
+    assert v1 > 100
+    # MEAN normalization removes DC offsets
+    v2 = measures.snr(x, x + 5.0,
+                      normalization_option=measures.MEAN_NORMALIZATION)
+    assert v2 > 100
+    # CC scaling == default normalize=True
+    noise = 0.1 * rng.standard_normal(4000)
+    assert measures.snr(x, x + noise) == measures.snr(
+        x, x + noise, normalization_option=measures.CC_SCALING)
+
+
+def test_itakura_saito_frames_and_quality_cli(tmp_path, rng):
+    """quality_assessment tool end-to-end (src/quality_assessment.cc)."""
+    from distant_speech_recognition_tpu.tools import quality_assessment
+    from distant_speech_recognition_tpu.utils.wavio import write_wav
+
+    fs = 16000
+    t = np.arange(fs) / fs
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    y = x + 0.01 * rng.standard_normal(fs).astype(np.float32)
+    f1, f2 = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(f1, x, fs)
+    write_wav(f2, y, fs)
+    snr_db, is_dist = quality_assessment.run(f1, f2, M=64, r=1)
+    assert snr_db > 20
+    # a pure tone has ~zero power in most bins, so broadband noise gives a
+    # large (but finite) IS distance
+    assert 0 <= is_dist < 100
+    # identical files: IS distance ~0, huge SNR
+    snr_same, is_same = quality_assessment.run(f1, f1, M=64, r=1)
+    assert is_same < 1e-6 and snr_same > 80
