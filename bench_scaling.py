@@ -21,6 +21,11 @@ import numpy as np
 def main():
     import jax
 
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+    # the documented CPU smoke invocation actually gets the virtual devices.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from distant_speech_recognition_tpu.models.pipeline import (
         PipelineConfig,
         build_pipeline,
