@@ -80,18 +80,36 @@ def enhance_files(
     # round-robin shard the file list across hosts
     pid, pn = jax.process_index(), jax.process_count()
     my_files = wav_paths[pid::pn]
-    sigs = []
-    rate = 16000
-    for p in my_files:
-        x, rate = read_wav(p)
-        sigs.append(x)
-    C = sigs[0].shape[0]
-    T = max(s.shape[-1] for s in sigs)
-    # pad the local batch to the per-host quota so global shapes agree
-    quota = -(-len(wav_paths) // pn)
-    x_local = np.zeros((quota, C, T), np.float32)
-    for i, s in enumerate(sigs):
-        x_local[i] = _pad_to(s, T)
+    quota = -(-len(wav_paths) // pn)  # per-host rows so global shapes agree
+    # the global batch (quota * pn) must divide over the mesh batch axis;
+    # round the per-host quota up (zero rows beamform to silence, dropped on
+    # write-out since only `my_files` rows are saved)
+    nb = mesh.shape["batch"]
+    per_host_mult = max(1, nb // pn) if nb % pn == 0 else nb
+    quota = -(-quota // per_host_mult) * per_host_mult
+
+    from ..runtime import native_io
+
+    if native_io.native_available() and my_files:
+        # native threaded batch loader: probe shapes from headers, then read
+        # all files concurrently into the padded [quota, C, T] tensor
+        infos = [native_io.wav_info_native(p) for p in my_files]
+        C = infos[0][0]
+        T = max(i[2] for i in infos)
+        rate = infos[0][1]
+        x_local = np.zeros((quota, C, T), np.float32)
+        x_local[: len(my_files)] = native_io.read_wav_batch_native(my_files, C, T)
+    else:
+        sigs = []
+        rate = 16000
+        for p in my_files:
+            x, rate = read_wav(p)
+            sigs.append(x)
+        C = sigs[0].shape[0]
+        T = max(s.shape[-1] for s in sigs)
+        x_local = np.zeros((quota, C, T), np.float32)
+        for i, s in enumerate(sigs):
+            x_local[i] = _pad_to(s, T)
 
     fn = build_pipeline(
         cfg, mpos, delays, h, g,

@@ -9,10 +9,12 @@
 //
 // Exposed as a plain C ABI for ctypes binding (no pybind11 in this image).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -156,6 +158,79 @@ int wav_write_planar_f32(const char* path, const float* data, int32_t num_channe
   }
   fclose(f);
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch loader (the data-loader role the reference lacks: read a
+// whole utterance batch into a preallocated [B, C, T_pad] tensor in parallel,
+// zero-padded / truncated to a fixed length for static device shapes).
+// ---------------------------------------------------------------------------
+
+// Read one file into out[C][T_pad]; channels beyond the file's are zeroed,
+// frames are zero-padded or truncated to T_pad.  Returns 0 on success.
+static int read_one_padded(const char* path, float* out, int32_t C_expect,
+                           int64_t T_pad) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  int rc = read_wav_header(f, &info);
+  if (rc != 0) { fclose(f); return rc; }
+  if (info.bits_per_sample != 16) { fclose(f); return -6; }
+  const int64_t C = info.num_channels;
+  const int64_t T = info.num_frames < T_pad ? info.num_frames : T_pad;
+  const int64_t Cw = C < C_expect ? C : C_expect;
+
+  memset(out, 0, (size_t)(C_expect * T_pad) * sizeof(float));
+  const int64_t CHUNK = 1 << 16;
+  std::vector<int16_t> buf((size_t)(CHUNK * C));
+  int64_t frame = 0;
+  fseek(f, (long)info.data_offset, SEEK_SET);
+  const float scale = 1.0f / 32768.0f;
+  while (frame < T) {
+    int64_t want = (T - frame < CHUNK) ? (T - frame) : CHUNK;
+    size_t got = fread(buf.data(), sizeof(int16_t) * (size_t)C, (size_t)want, f);
+    if (got == 0) break;
+    for (int64_t t = 0; t < (int64_t)got; ++t)
+      for (int64_t c = 0; c < Cw; ++c)
+        out[c * T_pad + frame + t] = (float)buf[(size_t)(t * C + c)] * scale;
+    frame += (int64_t)got;
+  }
+  fclose(f);
+  return 0;
+}
+
+// Read n_files WAVs concurrently into out[b][C_expect][T_pad] (caller
+// allocated, n_files*C_expect*T_pad floats).  paths: array of C strings.
+// num_threads <= 0 selects the hardware concurrency.  Returns 0 on success,
+// or the first nonzero per-file error code.
+int batch_read_planar_f32(const char** paths, int32_t n_files, float* out,
+                          int32_t C_expect, int64_t T_pad,
+                          int32_t num_threads) {
+  if (n_files <= 0) return 0;
+  int nt = num_threads > 0 ? num_threads
+                           : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > n_files) nt = n_files;
+  std::atomic<int32_t> next(0);
+  std::atomic<int> err(0);
+  const int64_t stride = (int64_t)C_expect * T_pad;
+  auto worker = [&]() {
+    for (;;) {
+      int32_t b = next.fetch_add(1);
+      if (b >= n_files) break;
+      int rc = read_one_padded(paths[b], out + (int64_t)b * stride, C_expect,
+                               T_pad);
+      if (rc != 0) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, rc);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve((size_t)nt);
+  for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return err.load();
 }
 
 // ---------------------------------------------------------------------------

@@ -75,6 +75,15 @@ def _load():
             ctypes.c_int64,
         ]
         lib.frame_blocks_f32.restype = ctypes.c_int64
+        lib.batch_read_planar_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.batch_read_planar_f32.restype = ctypes.c_int
         lib.stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int32]
         lib.stream_open.restype = ctypes.c_void_p
         lib.stream_read_block.argtypes = [
@@ -128,6 +137,48 @@ def write_wav_native(path: str, data: np.ndarray, samplerate: int) -> None:
     )
     if rc != 0:
         raise IOError(f"wav_write_planar_f32({path}) failed: {rc}")
+
+
+def wav_info_native(path: str) -> tuple[int, int, int]:
+    """Header-only probe -> (channels, samplerate, num_frames)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    c = ctypes.c_int32()
+    r = ctypes.c_int32()
+    n = ctypes.c_int64()
+    rc = lib.wav_info(path.encode(), ctypes.byref(c), ctypes.byref(r), ctypes.byref(n))
+    if rc != 0:
+        raise IOError(f"wav_info({path}) failed: {rc}")
+    return c.value, r.value, n.value
+
+
+def read_wav_batch_native(paths, channels: int, T_pad: int,
+                          num_threads: int = 0) -> np.ndarray:
+    """Threaded batch WAV loader -> float32 ``[B, channels, T_pad]``.
+
+    Each file is zero-padded / truncated to ``T_pad`` frames and to
+    ``channels`` channels (the static device batch shape).  Files are read
+    concurrently by the native thread pool (``num_threads<=0`` = hardware
+    concurrency) — the data-loader stage feeding the device.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    encoded = [p.encode() for p in paths]
+    arr = (ctypes.c_char_p * len(encoded))(*encoded)
+    out = np.empty((len(paths), channels, T_pad), np.float32)
+    rc = lib.batch_read_planar_f32(
+        arr,
+        len(encoded),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        channels,
+        T_pad,
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"batch_read_planar_f32 failed: {rc}")
+    return out
 
 
 class NativeStreamReader:

@@ -67,3 +67,38 @@ def test_profiling_stage_timer_and_gsl_dump(tmp_path):
     p = str(tmp_path / "proto.v")
     write_gsl_format(p, proto)
     np.testing.assert_allclose(read_gsl_format(p), proto)
+
+
+def test_native_batch_loader(tmp_path):
+    """Threaded batch loader: pad/truncate to static [B, C, T] and match the
+    single-file reader bit for bit."""
+    import numpy as np
+    from distant_speech_recognition_tpu.runtime import native_io
+    from distant_speech_recognition_tpu.utils.wavio import write_wav
+
+    if not native_io.native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(0)
+    paths, refs = [], []
+    for i, T in enumerate([1000, 1700, 400]):
+        x = (rng.standard_normal((2, T)) * 0.1).astype(np.float32)
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, x, 16000)
+        paths.append(p)
+        refs.append(x)
+
+    T_pad = 1700
+    batch = native_io.read_wav_batch_native(paths, channels=2, T_pad=T_pad)
+    assert batch.shape == (3, 2, T_pad)
+    for i, x in enumerate(refs):
+        single, rate = native_io.read_wav_native(paths[i])
+        assert rate == 16000
+        T = min(x.shape[-1], T_pad)
+        np.testing.assert_array_equal(batch[i, :, :T], single[:, :T])
+        assert np.all(batch[i, :, T:] == 0.0)
+
+    # header probe
+    c, r, n = native_io.wav_info_native(paths[0])
+    assert (c, r, n) == (2, 16000, 1000)
