@@ -16,7 +16,7 @@ def run(input_audio_paths, out_ark, samplerate=16000, ncep=13, filter_n=30):
 
     utts = {}
     for path in input_audio_paths:
-        x, rate = read_wav(path)
+        x, rate = read_wav(path, normalize=False)
         cep = np.asarray(mfcc(x[0], samplerate=float(rate), ncep=ncep, filter_n=filter_n))
         uttid = os.path.splitext(os.path.basename(path))[0]
         utts[uttid] = cep

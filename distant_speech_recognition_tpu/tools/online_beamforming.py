@@ -28,7 +28,7 @@ def run(analysis_filter_path, synthesis_filter_path, M, m, r,
     fb = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=2)
     cfg, mpos, delays, extra = parse_ap_conf(ap_conf, fb, samplerate)
 
-    x = np.stack([read_wav(p)[0][0] for p in input_audio_paths])  # [C, T]
+    x = np.stack([read_wav(p, normalize=False)[0][0] for p in input_audio_paths])  # [C, T]
     fn = build_pipeline(cfg, mpos, delays, h, g,
                         noise_delays=extra.get("noise_delays"))
     y = np.asarray(fn(x[None]))[0]
@@ -37,7 +37,7 @@ def run(analysis_filter_path, synthesis_filter_path, M, m, r,
         d = os.path.dirname(out_path)
         if d:
             os.makedirs(d, exist_ok=True)
-        write_wav(out_path, y, samplerate)
+        write_wav(out_path, y, samplerate, normalized=False)
 
     total_energy = float(np.sum(y.astype(np.float64) ** 2))
     frame_no = len(y) // fb.D

@@ -26,7 +26,7 @@ def run(M, m, r, input_audio_paths, out_path, ap_conf, samplerate=16000):
     btype = bf_conf["type"]
     energy_threshold = bf_conf.get("energy_threshold", 10)
 
-    x = np.stack([read_wav(pth)[0][0] for pth in input_audio_paths])
+    x = np.stack([read_wav(pth, normalize=False)[0][0] for pth in input_audio_paths])
     sub = np.asarray(analysis(x, h, p))  # [C, T, M]
     X = np.asarray(bf.snapshots(sub))  # [T, F, C]
     energy = np.asarray(bf.frame_energy(sub[0]))  # [T]
@@ -82,7 +82,7 @@ def run(M, m, r, input_audio_paths, out_path, ap_conf, samplerate=16000):
         d = os.path.dirname(out_path)
         if d:
             os.makedirs(d, exist_ok=True)
-        write_wav(out_path, y, samplerate)
+        write_wav(out_path, y, samplerate, normalized=False)
     print("Avg. output power: %f" % float((y.astype(np.float64) ** 2).sum() / max(len(y) // p.D, 1)))
     return y
 

@@ -23,7 +23,7 @@ def run(input_audio_paths, out_path, ap_conf, samplerate=16000):
     pairs = [tuple(p) for p in td.get("pair_ids")] if td.get("pair_ids") else None
     mpos = np.asarray(ap_conf["microphone_positions"], dtype=np.float64)
 
-    chans = [read_wav(p)[0][0] for p in input_audio_paths]
+    chans = [read_wav(p, normalize=False)[0][0] for p in input_audio_paths]
     n = min(len(c) for c in chans)
     x = np.stack([c[:n] for c in chans])
     if pairs is None:

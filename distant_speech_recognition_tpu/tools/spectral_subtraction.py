@@ -18,7 +18,7 @@ def run(input_path, out_path, M=256, m=4, r=1, noise_seconds=1.0,
 
     h, g = load_pair(M, m, r)
     p = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=2)
-    x, rate = read_wav(input_path)
+    x, rate = read_wav(input_path, normalize=False)
     X = np.asarray(analysis(x[0], h, p))[..., : M // 2 + 1]
     n_frames = max(int(noise_seconds * rate / p.D), 1)
     npsd = average_noise_psd(X[:n_frames])
@@ -27,7 +27,7 @@ def run(input_path, out_path, M=256, m=4, r=1, noise_seconds=1.0,
     d = os.path.dirname(out_path)
     if d:
         os.makedirs(d, exist_ok=True)
-    write_wav(out_path, y, rate)
+    write_wav(out_path, y, rate, normalized=False)
     print("wrote", out_path)
     return y
 

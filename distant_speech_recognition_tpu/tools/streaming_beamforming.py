@@ -36,7 +36,7 @@ def run(analysis_filter_path, synthesis_filter_path, M, m, r,
     fb = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=2)
     cfg, mpos, delays, extra = parse_ap_conf(ap_conf, fb, samplerate)
 
-    x = np.stack([read_wav(p)[0][0] for p in input_audio_paths])  # [C, T]
+    x = np.stack([read_wav(p, normalize=False)[0][0] for p in input_audio_paths])  # [C, T]
     se = StreamingEnhancer(cfg, mpos, delays, h, g)
     if resume:
         se.restore(load_pytree(resume))
@@ -53,7 +53,7 @@ def run(analysis_filter_path, synthesis_filter_path, M, m, r,
         d = os.path.dirname(out_path)
         if d:
             os.makedirs(d, exist_ok=True)
-        write_wav(out_path, y, samplerate)
+        write_wav(out_path, y, samplerate, normalized=False)
 
     total_energy = float(np.sum(y.astype(np.float64) ** 2))
     frame_no = max(len(y) // fb.D, 1)

@@ -18,8 +18,8 @@ def run(M, m, r, played_path, recorded_path, out_path, conf, samplerate=16000):
 
     h, g = load_pair(M, m, r)
     p = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=2)
-    v = read_wav(played_path)[0][0]
-    a = read_wav(recorded_path)[0][0]
+    v = read_wav(played_path, normalize=False)[0][0]
+    a = read_wav(recorded_path, normalize=False)[0][0]
     n = min(len(v), len(a))
     V = np.asarray(analysis(v[:n], h, p))[..., : M // 2 + 1]
     A = np.asarray(analysis(a[:n], h, p))[..., : M // 2 + 1]
@@ -49,7 +49,7 @@ def run(M, m, r, played_path, recorded_path, out_path, conf, samplerate=16000):
     d = os.path.dirname(out_path)
     if d:
         os.makedirs(d, exist_ok=True)
-    write_wav(out_path, y, samplerate)
+    write_wav(out_path, y, samplerate, normalized=False)
     print("wrote", out_path, "residual power %.4e" % float((y**2).mean()))
     return y
 

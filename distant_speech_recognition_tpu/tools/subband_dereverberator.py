@@ -28,7 +28,7 @@ def run(M, m, r, input_audio_paths, out_prefix, conf, samplerate=16000):
     diagonal_bias = dv.get("diagonal_bias", 0.0)
     dtype = dv.get("type", "wpe")
 
-    x = np.stack([read_wav(pth)[0][0] for pth in input_audio_paths])
+    x = np.stack([read_wav(pth, normalize=False)[0][0] for pth in input_audio_paths])
     Y = np.asarray(analysis(x, h, p))[..., : M // 2 + 1]  # [C, T, F]
     if dtype == "mc_wpe" and Y.shape[0] > 1:
         Z = np.asarray(wpe_multichannel(Y, lowerN, upperN, iters, load_db, diagonal_bias))
@@ -41,7 +41,7 @@ def run(M, m, r, input_audio_paths, out_prefix, conf, samplerate=16000):
         d = os.path.dirname(outp)
         if d:
             os.makedirs(d, exist_ok=True)
-        write_wav(outp, y, samplerate)
+        write_wav(outp, y, samplerate, normalized=False)
         outs.append(outp)
         print("wrote", outp)
     return outs

@@ -19,7 +19,7 @@ def run(input_audio_paths, out_path, ap_conf, samplerate=16000):
     fftlen = td.get("fftlen", 16384)
     shiftlen = td.get("shiftlen", fftlen // 2)
     pairs = [tuple(p) for p in td.get("pair_ids")] if td.get("pair_ids") else None
-    chans = [read_wav(p)[0][0] for p in input_audio_paths]
+    chans = [read_wav(p, normalize=False)[0][0] for p in input_audio_paths]
     n = min(len(c) for c in chans)
     x = np.stack([c[:n] for c in chans])
     if pairs is None:

@@ -1,0 +1,110 @@
+"""Drive every remaining shipped reference JSON config (unit_test/confs/*)
+through the matching CLI tool on the real CMU fixtures — the automated
+version of the reference's manual end-to-end test scripts (SURVEY.md §4).
+
+test_pipeline.py covers the online-beamforming confs; this module covers the
+SOS-batch, WPE, AEC, TDOA, and tracking confs.
+"""
+
+import glob
+import json
+
+import numpy as np
+import pytest
+
+CONF = "/root/reference/btk20_src/unit_test/confs"
+DATA = "/root/reference/btk20_src/unit_test/data"
+CMU = sorted(
+    glob.glob(f"{DATA}/CMU/R1/M1005/KINECT/RAW/segmented/U1001*_c?.wav")
+)
+
+
+def _conf(name):
+    with open(f"{CONF}/{name}.json") as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("name", ["smimvdr", "bmvdr_vad", "gev_vad"])
+def test_sos_batch_confs(name, tmp_path):
+    from distant_speech_recognition_tpu.tools import sos_batch_beamforming
+
+    out = str(tmp_path / f"{name}.wav")
+    result = sos_batch_beamforming.run(32, 4, 1, CMU, out, _conf(name))
+    y = np.asarray(result)
+    assert np.isfinite(y).all() and float((y.astype(np.float64) ** 2).mean()) > 0
+
+
+def test_wpe_conf(tmp_path):
+    from distant_speech_recognition_tpu.tools import subband_dereverberator
+
+    conf = _conf("wpe")
+    outs = subband_dereverberator.run(
+        32, 4, 1, CMU[:2], str(tmp_path / "wpe"), conf
+    )
+    from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+    assert len(outs) == 2
+    for pth in outs:
+        y, _ = read_wav(pth, normalize=False)
+        assert np.isfinite(y).all() and np.abs(y).max() > 0
+
+
+def test_nlms_aec_conf(tmp_path):
+    from distant_speech_recognition_tpu.tools import subband_aec
+    from distant_speech_recognition_tpu.utils.wavio import read_wav, write_wav
+
+    conf = _conf("nlms_aec")
+    # synthesize a far-end/near-end echo pair at the reference's raw int16
+    # scale: recorded = attenuated delayed playback + low-level noise
+    v, rate = read_wav(f"{DATA}/lt.wav", normalize=False)
+    v = v[0][: rate * 3]
+    rng = np.random.default_rng(0)
+    # echo delay must stay below one block (D=16 at M=32) — the reference's
+    # NLMS is a single-tap-per-bin canceller (aec.cc:41-81)
+    a = 0.6 * np.roll(v, 4) + 20.0 * rng.standard_normal(len(v)).astype(np.float32)
+    played, recorded = str(tmp_path / "play.wav"), str(tmp_path / "rec.wav")
+    write_wav(played, v, rate, normalized=False)
+    write_wav(recorded, a, rate, normalized=False)
+    # 1) shipped conf verbatim: runs to finite output (its epsilon=1e-3 is
+    #    aggressive — the reference recursion aec.cc:41-81 is only
+    #    conditionally stable, which we reproduce rather than repair)
+    y = subband_aec.run(
+        32, 4, 1, played, recorded, str(tmp_path / "aec.wav"), conf,
+    )
+    y = np.asarray(y)
+    assert np.isfinite(y).all() and float(np.abs(y).max()) > 0
+
+    # 2) convergent step size: echo is actually cancelled
+    conf2 = {**conf, "epsilon": 1e-4}
+    y2 = np.asarray(
+        subband_aec.run(32, 4, 1, played, recorded,
+                        str(tmp_path / "aec2.wav"), conf2)
+    )
+    n = min(len(y2), len(a))
+    tail = slice(n // 2, n)  # after adaptation
+    residual = float((y2[tail].astype(np.float64) ** 2).mean())
+    echo = float((a[:n][tail].astype(np.float64) ** 2).mean())
+    assert residual < 0.85 * echo, (residual, echo)
+
+
+def test_gcc_phat_tdoae_conf(tmp_path):
+    from distant_speech_recognition_tpu.tools import tdoa_estimator
+
+    out = str(tmp_path / "tdoa.json")
+    tdoa_estimator.run(CMU, out, _conf("gcc_phat_tdoae"))
+    with open(out) as f:
+        traj = json.load(f)
+    assert len(traj) > 0
+
+
+@pytest.mark.parametrize("name", ["ekfst", "iekfst"])
+def test_tracker_confs(name, tmp_path):
+    from distant_speech_recognition_tpu.tools import source_tracking
+
+    out = str(tmp_path / f"{name}.json")
+    source_tracking.run(CMU, out, _conf(name))
+    with open(out) as f:
+        result = json.load(f)
+    positions = np.asarray(result["positions"], np.float64)
+    assert positions.size > 0 and np.isfinite(positions).all()
+    assert any(result["frame_valid"])
