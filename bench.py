@@ -49,7 +49,9 @@ def main():
     fn = build_pipeline(cfg, mpos, delays, h, g)
 
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal((B, C, T)) * 0.05).astype(np.float32)
+    # raw int16-scale floats (reference SampleFeature norm=0.0 convention),
+    # so the adaptive gates behave as calibrated
+    x = (rng.standard_normal((B, C, T)) * 1500.0).astype(np.float32)
     xd = jax.device_put(x)
 
     # Warmup / compile.

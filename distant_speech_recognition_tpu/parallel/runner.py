@@ -62,13 +62,17 @@ def enhance_files(
     mesh=None,
     freq_parallel: int = 1,
     noise_delays=None,
+    normalize: bool = False,
 ):
     """End-to-end multi-utterance enhancement: read this host's shard of
     ``wav_paths``, run the sharded pipeline, write enhanced WAVs.
 
     Utterances are padded to the longest in the batch (static shapes); the
     batch axis is data-parallel, the beamformer stage bins shard over the
-    ``freq`` axis when ``freq_parallel > 1``.
+    ``freq`` axis when ``freq_parallel > 1``.  ``normalize=False`` (default)
+    feeds raw int16-scale floats — the reference's SampleFeature norm=0.0
+    convention that the adaptive-beamformer config defaults (energy floors,
+    silence thresholds) are calibrated for.
     """
     from ..models.pipeline import build_pipeline
     from ..utils.wavio import read_wav, write_wav
@@ -98,12 +102,14 @@ def enhance_files(
         T = max(i[2] for i in infos)
         rate = infos[0][1]
         x_local = np.zeros((quota, C, T), np.float32)
-        x_local[: len(my_files)] = native_io.read_wav_batch_native(my_files, C, T)
+        x_local[: len(my_files)] = native_io.read_wav_batch_native(
+            my_files, C, T, normalize=normalize
+        )
     else:
         sigs = []
         rate = 16000
         for p in my_files:
-            x, rate = read_wav(p)
+            x, rate = read_wav(p, normalize=normalize)
             sigs.append(x)
         C = sigs[0].shape[0]
         T = max(s.shape[-1] for s in sigs)
@@ -124,6 +130,6 @@ def enhance_files(
     for i, p in enumerate(my_files):
         name = os.path.splitext(os.path.basename(p))[0] + "_enhanced.wav"
         outp = os.path.join(out_dir, name)
-        write_wav(outp, y[i], rate)
+        write_wav(outp, y[i], rate, normalized=normalize)
         outs.append(outp)
     return outs

@@ -154,13 +154,16 @@ def wav_info_native(path: str) -> tuple[int, int, int]:
 
 
 def read_wav_batch_native(paths, channels: int, T_pad: int,
-                          num_threads: int = 0) -> np.ndarray:
+                          num_threads: int = 0,
+                          normalize: bool = True) -> np.ndarray:
     """Threaded batch WAV loader -> float32 ``[B, channels, T_pad]``.
 
     Each file is zero-padded / truncated to ``T_pad`` frames and to
     ``channels`` channels (the static device batch shape).  Files are read
     concurrently by the native thread pool (``num_threads<=0`` = hardware
     concurrency) — the data-loader stage feeding the device.
+    ``normalize=False`` returns raw int16-scale floats (the reference's
+    SampleFeature norm=0.0 default).
     """
     lib = _load()
     if lib is None:
@@ -178,6 +181,8 @@ def read_wav_batch_native(paths, channels: int, T_pad: int,
     )
     if rc != 0:
         raise IOError(f"batch_read_planar_f32 failed: {rc}")
+    if not normalize:
+        out *= 32768.0
     return out
 
 
