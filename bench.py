@@ -30,9 +30,9 @@ def main():
     M, m, r = 256, 4, 1
     C = 4
     fs = 16000
-    # 256 is the single-chip HBM sweet spot for 10 s utterances (384 OOMs);
-    # throughput scales with batch until then (~15k audio-s/s/chip).
-    B = int(os.environ.get("BENCH_BATCH", "256"))  # utterance batch
+    # 384 is the single-chip sweet spot for 10 s utterances with the
+    # half-band matmul-DFT pipeline (~29k audio-s/s/chip on v5e).
+    B = int(os.environ.get("BENCH_BATCH", "384"))  # utterance batch
     secs = 10.0     # per utterance
     T = int(fs * secs)
 

@@ -31,12 +31,11 @@ from ..ops.filterbank import (
     synthesis_half,
 )
 
-# The rfft/irfft half-band filterbank paths do half the FFT flops, but their
-# non-power-of-2 output shapes (M/2+1 lanes) tile worse on the TPU: measured
-# on the axon runtime the full-M complex FFT pipeline is ~8% faster, so it is
-# the default.  Set DSR_HALF_BAND=1 to use the half-band FFTs (lower HBM
-# footprint; preferable when memory-bound).
-HALF_BAND = os.environ.get("DSR_HALF_BAND", "0") == "1"
+# With the DFT-as-matmul transforms (ops/dft.py) the half-band path does
+# half the MXU work and half the HBM traffic of the full-M path, so it is
+# the default.  Set DSR_HALF_BAND=0 to run full-M complex transforms end to
+# end (only useful for debugging the hermitian-mirror algebra).
+HALF_BAND = os.environ.get("DSR_HALF_BAND", "1") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights

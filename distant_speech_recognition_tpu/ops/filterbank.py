@@ -42,6 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import dft
+
 __all__ = [
     "FilterbankParams",
     "analysis",
@@ -181,31 +183,32 @@ def analysis(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
     float precision) to iterating ``OverSampledDFTAnalysisBank::next``.
 
     The polyphase FIR is evaluated as ``m`` shifted slices of the compact
-    reversed-window stream ``S [n_pushes, M]`` (the formulation of
-    `analysis_pallas`, bit-identical to the windows-tensor path of
-    `analysis_frames`): this keeps HBM traffic at O(T) instead of
-    materializing the ``m*R``-fold duplicated ``[n_frames, N]`` windows.
+    UNreversed push stream ``U [n_pushes, M]`` — O(T) HBM traffic, no
+    ``[n_frames, N]`` window tensor and no lane-dimension reversal (a real
+    shuffle on TPU); the reference's time reversal + unnormalized backward
+    DFT (modulated.cc:384-397) is folded into the DFT matrix / twiddle of
+    `ops.dft.analysis_dft`.
     """
-    v = _polyphase_v(x, h, params)
-    # Unnormalized backward DFT (FFTW_BACKWARD / gsl radix2_backward,
-    # modulated.cc:345-349,393-397).
-    return jnp.fft.ifft(v, axis=-1) * params.M
+    w = _polyphase_w(x, h, params)
+    return dft.analysis_dft(w, params.M)
 
 
 def analysis_half(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
     """`analysis` restricted to bins ``0..M/2`` (``[..., n_frames, M//2+1]``).
 
-    The polyphase FIR output ``v`` is real, so the full spectrum is hermitian
-    and ``M*ifft(v)[..M/2] == conj(rfft(v))`` exactly — half the FFT work and
-    half the HBM traffic of `analysis` for consumers (all beamformers) that
-    only read the lower half band (beamformer.cc:1142-1152).
+    The polyphase FIR output is real, so the spectrum is hermitian — half the
+    transform work and half the HBM traffic of `analysis` for consumers (all
+    beamformers) that only read the lower half band (beamformer.cc:1142-1152).
     """
-    v = _polyphase_v(x, h, params)
-    return jnp.conj(jnp.fft.rfft(v, axis=-1))
+    w = _polyphase_w(x, h, params)
+    return dft.analysis_dft_half(w, params.M)
 
 
-def _polyphase_v(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
-    """Polyphase FIR stage of the analysis bank: real ``v [..., n_frames, M]``."""
+def _polyphase_w(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Polyphase FIR stage of the analysis bank on the unreversed push
+    stream: real ``w [..., n_frames, M]`` with ``w[t, i] = v[t, M-1-i]``
+    (``v`` being the reference's reversed-window FIR output); the reversal
+    is absorbed by `ops.dft.analysis_dft(_half)`."""
     h = jnp.asarray(h)
     if h.shape != (params.N,):
         raise ValueError(
@@ -226,23 +229,23 @@ def _polyphase_v(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Ar
     xx = jnp.pad(x, cfg)
     blocks = xx.reshape(xx.shape[:-1] + (-1, D))  # [..., n_blocks', D]
 
-    # Reversed-window stream S[t', i] = xx[(t'+R) D - 1 - i]  (push semantics
-    # of RealBuffer_::nextSampleBlock, modulated.cc:363-373).
+    # Unreversed push stream U[t', i] = xx[t' D + i]; the reference's
+    # reversed ring-buffer window is S[t', i] = U[t', M-1-i]
+    # (RealBuffer_::nextSampleBlock push semantics, modulated.cc:363-373).
     n = blocks.shape[lead] - (R - 1)
-    segs = [
-        jax.lax.slice_in_dim(blocks, R - 1 - j, R - 1 - j + n, axis=lead)
-        for j in range(R)
-    ]
-    win = jnp.stack(segs[::-1], axis=lead + 1)
-    S = win.reshape(win.shape[:lead] + (n, M))[..., ::-1]
+    segs = [jax.lax.slice_in_dim(blocks, j, j + n, axis=lead) for j in range(R)]
+    win = jnp.stack(segs, axis=lead + 1)
+    U = win.reshape(win.shape[:lead] + (n, M))
 
     # v[t, mi] = sum_k h[mi + M k] * S[laN + t + (m-1-k) R, mi]
-    # (polyphase loop, modulated.cc:384-391).
+    # (polyphase loop, modulated.cc:384-391); on the unreversed stream this
+    # is w[t, i] = sum_k h_rev[k, i] * U[laN + t + (m-1-k) R, i] with
+    # h_rev[k, i] = h[(M-1-i) + M k] and w[t] = reverse(v[t]).
     hist = (m - 1) * R
-    slab = jax.lax.slice_in_dim(S, p.laN, p.laN + n_frames + hist, axis=lead)
-    h_folded = h.reshape(m, M)
+    slab = jax.lax.slice_in_dim(U, p.laN, p.laN + n_frames + hist, axis=lead)
+    h_rev = h.reshape(m, M)[:, ::-1]
     return sum(
-        h_folded[k]
+        h_rev[k]
         * jax.lax.slice_in_dim(
             slab, (m - 1 - k) * R, (m - 1 - k) * R + n_frames, axis=lead
         )
@@ -261,7 +264,7 @@ def synthesis(Y: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array
     modulated.cc:574-578, polyphase + overlap-add per modulated.cc:594-606).
     """
     # Forward unnormalized DFT, real part (modulated.cc:556-563).
-    c = jnp.real(jnp.fft.fft(Y, axis=-1))  # [..., T_in, M]
+    c = dft.synthesis_dft(Y, params.M)  # [..., T_in, M]
     return _synthesis_from_c(c, g, params)
 
 
@@ -275,8 +278,7 @@ def synthesis_half(Y_half: jax.Array, g: jax.Array, params: FilterbankParams) ->
     FFT work, and the mirrored full-M spectrum is never materialized.
     (`Re()` drops imaginary DC/Nyquist parts in both formulations.)
     """
-    M = params.M
-    c = jnp.fft.irfft(jnp.conj(Y_half), n=M, axis=-1) * M
+    c = dft.synthesis_dft_half(Y_half, params.M)
     return _synthesis_from_c(c, g, params)
 
 
