@@ -218,12 +218,15 @@ def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
         Z = ceinsum("fbc,fc->fb", BmH, Xt)
         Yc = ceinsum("fc,fc->f", wqH, Xt)
 
-        # Gain vector & precision matrix update.
+        # Gain vector & precision matrix update.  Pz is Hermitian by
+        # construction (Pz0 = I/delta; the update below is a Hermitian
+        # rank-1 correction, and the constraint reset is I/delta), so the
+        # reference's second matvec Z^H Pz (pybeamformer.py:838) equals
+        # conj(Pz Z) and is not recomputed.
         PzZ = ceinsum("fij,fj->fi", state.Pz, Z)
         ip = ceinsum("fi,fi->f", jnp.conj(Z), PzZ)
         gz = PzZ / (c.mu + ip)[:, None]
-        temp = ceinsum("fi,fij->fj", jnp.conj(Z), state.Pz)
-        PzK = (state.Pz - gz[:, :, None] * temp[:, None, :]) / c.mu
+        PzK = (state.Pz - gz[:, :, None] * jnp.conj(PzZ)[:, None, :]) / c.mu
 
         # Active weight update.
         ep = Yc - ceinsum("fb,fb->f", state.waH, Z)
@@ -301,9 +304,7 @@ def gsc_postfilter_fused(
     ``wq_manifold``: [F, C] conjugate manifold for the postfilter alignment.
     Returns ``Y_filtered [T, F]``.
     """
-    import numpy as np
-
-    from .postfilter import SPECTRAL_FLOOR, _pair_mask
+    from .postfilter import SPECTRAL_FLOOR
 
     F, B = BmH.shape[0], BmH.shape[1]
     C = X.shape[-1]
@@ -327,25 +328,36 @@ def gsc_postfilter_fused(
     else:
         raise ValueError(kind)
 
-    pair = jnp.asarray(_pair_mask(C))
     real_mode = bool(pf_type & 0x01)
+    pairs = [(i, j) for i in range(C) for j in range(C) if i < j]
 
+    # The Zelinski weight reads the smoothed CSD matrix phi [F, C, C] only
+    # through two linear functionals — sum over the i<j pairs and the trace
+    # (_pair_mask / diagonal in postfilter.zelinski_postfilter) — and the
+    # CSD smoothing is linear, so sums and EMA commute: carry just the two
+    # reduced quantities instead of the full C x C matrix.  Identical math,
+    # ~10x less postfilter scan state.
     def step(carry, inputs):
-        gstate, phi, t = carry
+        gstate, phi_pair, phi_diag, t = carry
         Xt, energy_t = inputs
         gstate, Y = gsc_step(gstate, (Xt, energy_t))
 
         aligned = jnp.conj(wq_manifold) * Xt  # [F, C]
-        P = aligned[:, :, None] * jnp.conj(aligned)[:, None, :]
-        phi = jnp.where(t > 0, pf_alpha * phi + (1.0 - pf_alpha) * P, P)
+        pair_sum = sum(aligned[:, i] * jnp.conj(aligned[:, j]) for i, j in pairs)
+        diag_sum = jnp.sum(jnp.abs(aligned) ** 2, axis=-1)
+        phi_pair = jnp.where(t > 0, pf_alpha * phi_pair + (1.0 - pf_alpha) * pair_sum, pair_sum)
+        phi_diag = jnp.where(t > 0, pf_alpha * phi_diag + (1.0 - pf_alpha) * diag_sum, diag_sum)
 
-        csd_sum = jnp.sum(jnp.where(pair, phi, 0), axis=(-2, -1))
-        num = jnp.maximum(jnp.real(csd_sum), 0.0) if real_mode else jnp.abs(csd_sum)
-        den = jnp.sum(jnp.real(jnp.diagonal(phi, axis1=-2, axis2=-1)), axis=-1)
-        W = jnp.clip((num / den) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
+        num = jnp.maximum(jnp.real(phi_pair), 0.0) if real_mode else jnp.abs(phi_pair)
+        W = jnp.clip((num / phi_diag) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
         out = jnp.where(t >= pf_min_frames, Y * W.astype(Y.dtype), Y)
-        return (gstate, phi, t + 1), out
+        return (gstate, phi_pair, phi_diag, t + 1), out
 
-    init = (gsc_state, jnp.zeros((F, C, C), X.dtype), jnp.asarray(0, jnp.int32))
-    (_, _, _), Y = jax.lax.scan(step, init, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)
+    init = (
+        gsc_state,
+        jnp.zeros((F,), X.dtype),
+        jnp.zeros((F,), jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    (_, _, _, _), Y = jax.lax.scan(step, init, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)
     return Y
