@@ -53,30 +53,36 @@ def _time_align(wq: jax.Array, X: jax.Array) -> jax.Array:
     return jnp.conj(wq) * X
 
 
-def _csd_scan(aligned: jax.Array, alpha: float):
-    """Recursive CSD matrices over frames.
-
-    ``aligned``: [T, F, C].  Returns ``Phi [T, F, C, C]`` where
-    ``Phi_t = alpha Phi_{t-1} + (1-alpha) y_t y_t^H`` with ``Phi_0 = y_0 y_0^H``
-    (frame-0 alpha=0 per postfilter.cc:869-872; calc_CSD_ postfilter.cc:8-21).
-    """
-    outer = jnp.einsum("tfc,tfd->tfcd", aligned, jnp.conj(aligned))
+def _ema_scan(seq: jax.Array, alpha: float):
+    """``s_t = alpha s_{t-1} + (1-alpha) x_t`` over axis 0 with
+    ``s_0 = x_0`` (frame-0 alpha=0 per postfilter.cc:869-872)."""
     if alpha <= 0.0:
-        return outer
+        return seq
     # Linear recurrence: O(log T)-depth associative scan where it compiles
     # well (CPU); the experimental axon TPU backend stalls compiling large
     # associative scans, so it keeps the sequential scan.
     if jax.default_backend() == "cpu":
         from ..ops.recursions import ema
 
-        return ema(outer, alpha, axis=0, first_direct=True)
+        return ema(seq, alpha, axis=0, first_direct=True)
 
     def step(phi, p):
         phi = alpha * phi + (1.0 - alpha) * p
         return phi, phi
 
-    _, rest = jax.lax.scan(step, outer[0], outer[1:])
-    return jnp.concatenate([outer[:1], rest], axis=0)
+    _, rest = jax.lax.scan(step, seq[0], seq[1:])
+    return jnp.concatenate([seq[:1], rest], axis=0)
+
+
+def _csd_scan(aligned: jax.Array, alpha: float):
+    """Recursive CSD matrices over frames.
+
+    ``aligned``: [T, F, C].  Returns ``Phi [T, F, C, C]`` where
+    ``Phi_t = alpha Phi_{t-1} + (1-alpha) y_t y_t^H`` with ``Phi_0 = y_0 y_0^H``
+    (calc_CSD_ postfilter.cc:8-21).
+    """
+    outer = jnp.einsum("tfc,tfd->tfcd", aligned, jnp.conj(aligned))
+    return _ema_scan(outer, alpha)
 
 
 def _pair_mask(C: int) -> np.ndarray:
@@ -105,14 +111,19 @@ def zelinski_postfilter(
     """
     C = X.shape[-1]
     aligned = _time_align(wq, X)
-    Phi = _csd_scan(aligned, alpha)  # [T, F, C, C]
-    pair = jnp.asarray(_pair_mask(C))
-    csd_sum = jnp.sum(jnp.where(pair, Phi, 0), axis=(-2, -1))  # [T, F]
+    # The weight reads Phi only through the i<j pair sum and the trace, both
+    # linear in Phi, so the reductions commute with the CSD smoothing: smooth
+    # the two reduced series instead of the [T, F, C, C] matrices (identical
+    # math, C^2/2 x less scan state).
+    pairs = [(i, j) for i in range(C) for j in range(C) if i < j]
+    pair_seq = sum(aligned[..., i] * jnp.conj(aligned[..., j]) for i, j in pairs)
+    diag_seq = jnp.sum(jnp.abs(aligned) ** 2, axis=-1)
+    csd_sum = _ema_scan(pair_seq, alpha)  # [T, F]
     if pf_type & PostFilterType.ZELINSKI1_REAL:
         num = jnp.maximum(jnp.real(csd_sum), 0.0)
     else:
         num = jnp.abs(csd_sum)
-    den = jnp.sum(jnp.real(jnp.diagonal(Phi, axis1=-2, axis2=-1)), axis=-1)
+    den = _ema_scan(diag_seq, alpha)
     W = jnp.clip((num / den) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
     t = jnp.arange(Y.shape[-2])
     W = jnp.where((t >= min_frames)[:, None], W, 1.0)
