@@ -187,8 +187,12 @@ def analysis(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
     ``[n_frames, N]`` window tensor and no lane-dimension reversal (a real
     shuffle on TPU); the reference's time reversal + unnormalized backward
     DFT (modulated.cc:384-397) is folded into the DFT matrix / twiddle of
-    `ops.dft.analysis_dft`.
+    `ops.dft.analysis_dft`.  In the matmul-DFT regime the FIR runs on the
+    ``R`` block-parity halves of ``U`` separately and each half feeds its
+    own slice of the DFT matrix, so ``U`` is never materialized at all.
     """
+    if params.M <= dft.MATMUL_MAX_M:
+        return _analysis_matmul(x, h, params, half=False)
     w = _polyphase_w(x, h, params)
     return dft.analysis_dft(w, params.M)
 
@@ -200,8 +204,62 @@ def analysis_half(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.A
     transform work and half the HBM traffic of `analysis` for consumers (all
     beamformers) that only read the lower half band (beamformer.cc:1142-1152).
     """
+    if params.M <= dft.MATMUL_MAX_M:
+        return _analysis_matmul(x, h, params, half=True)
     w = _polyphase_w(x, h, params)
     return dft.analysis_dft_half(w, params.M)
+
+
+def _analysis_matmul(x: jax.Array, h: jax.Array, params: FilterbankParams, half: bool) -> jax.Array:
+    """Analysis bank as block-parity FIRs + MXU DFT matmuls.
+
+    The push stream ``U [n_pushes, M]`` (see `_polyphase_w`) is the
+    concatenation of ``R`` consecutive D-blocks, so lane group ``j`` of the
+    FIR output depends only on blocks of parity offset ``j``:
+
+        w_j[t] = sum_k h_rev[k, jD:(j+1)D] * blocks[laN + t + (m-1-k)R + j]
+
+    and the DFT matmul splits as ``Y = sum_j w_j @ A[jD:(j+1)D]`` — the
+    ``[n_frames, M]`` FIR tensor is never concatenated in HBM.  Same math as
+    `_polyphase_w` + `ops.dft.analysis_dft(_half)` (modulated.cc:375-409).
+    """
+    h = jnp.asarray(h)
+    if h.shape != (params.N,):
+        raise ValueError(
+            f"analysis prototype must have length N=M*m={params.N}, got {h.shape}"
+        )
+    p = params
+    D, M, m, R = p.D, p.M, p.m, p.R
+    F = M // 2 + 1 if half else M
+    h_rev = h.astype(x.dtype).reshape(m, M)[:, ::-1]
+    A = jnp.asarray(dft._analysis_matrix(M, half=half))
+
+    x = _pad_to_blocks(x, D)
+    lead = x.ndim - 1
+    n_blocks = x.shape[-1] // D
+    n_frames = n_blocks - p.laN + p.analysis_delay
+    mR = m * R
+    front = mR - 1
+    tail = n_frames - 1 + p.laN + mR - (front + n_blocks)
+    cfg = [(0, 0)] * lead + [(front * D, max(tail, 0) * D)]
+    xx = jnp.pad(x, cfg)
+    blocks = xx.reshape(xx.shape[:-1] + (-1, D))  # [..., n_blocks', D]
+
+    Y = None
+    for j in range(R):
+        w_j = sum(
+            h_rev[k, j * D : (j + 1) * D]
+            * jax.lax.slice_in_dim(
+                blocks,
+                p.laN + (m - 1 - k) * R + j,
+                p.laN + (m - 1 - k) * R + j + n_frames,
+                axis=lead,
+            )
+            for k in range(m)
+        )
+        term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=jax.lax.Precision.HIGHEST)
+        Y = term if Y is None else Y + term
+    return jax.lax.complex(Y[..., :F], Y[..., F:])
 
 
 def _polyphase_w(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
