@@ -40,7 +40,7 @@ def main():
     fs = 16000
     secs = float(os.environ.get("BENCH_SECS", "10.0"))
     T = int(fs * secs)
-    per_dev_B = int(os.environ.get("BENCH_BATCH_PER_DEV", "16"))
+    per_dev_B = int(os.environ.get("BENCH_BATCH_PER_DEV", "384"))
 
     cfg = PipelineConfig(
         fb=FilterbankParams(M=M, m=m, r=r, delay_compensation_type=2),
