@@ -26,6 +26,7 @@ from ..ops.filterbank import (
     FilterbankParams,
     analysis,
     analysis_half,
+    analysis_snapshots_half,
     hermitian_mirror,
     synthesis,
     synthesis_half,
@@ -166,14 +167,14 @@ def build_pipeline(
         """x: [C, T] (+ optional far-end playback [T]) -> enhanced [T_out]."""
         # Every stage below reads bins 0..M/2 only; the conjugate mirror is
         # restored at synthesis (beamformer.cc:1142-1152).
-        if HALF_BAND:
-            subh = analysis_half(x, h, cfg.fb)  # [C, Tf, F]
-        else:
-            subh = analysis(x, h, cfg.fb)[..., : M // 2 + 1]
         if cfg.aec == "nlms" or cfg.wpe:
             from .aec import nlms_aec
             from .dereverberation import wpe_multichannel
 
+            if HALF_BAND:
+                subh = analysis_half(x, h, cfg.fb)  # [C, Tf, F]
+            else:
+                subh = analysis(x, h, cfg.fb)[..., : M // 2 + 1]
             if cfg.aec == "nlms":
                 # far-end reference through the same analysis bank
                 # (NLMSAcousticEchoCancellationFeature consumes subband
@@ -189,10 +190,16 @@ def build_pipeline(
             if cfg.wpe:
                 subh = wpe_multichannel(subh, cfg.wpe_lower, cfg.wpe_upper,
                                         cfg.wpe_iterations)
-        X = jnp.moveaxis(subh, 0, -1)  # [Tf, F, C]
+            X = jnp.moveaxis(subh, 0, -1)  # [Tf, F, C]
+        elif HALF_BAND:
+            # fused analysis + snapshot transpose (real-first: see
+            # ops.filterbank.analysis_snapshots_half compile note)
+            X = analysis_snapshots_half(x, h, cfg.fb)  # [Tf, F, C]
+        else:
+            X = jnp.moveaxis(analysis(x, h, cfg.fb)[..., : M // 2 + 1], 0, -1)
         if bin_sharding is not None:
             X = jax.lax.with_sharding_constraint(X, bin_sharding)
-        energy = bf.frame_energy_half(subh[0], M)  # [Tf]
+        energy = bf.frame_energy_half(X[..., 0], M)  # [Tf] (channel 0)
         if fused:
             # one scan instead of GSC scan + CSD scan (identical outputs,
             # half the sequential steps)

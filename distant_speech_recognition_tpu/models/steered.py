@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.filterbank import analysis, hermitian_mirror, synthesis
+from ..ops.filterbank import analysis_snapshots_half, synthesis_half
 from . import beamforming as bf
 from .localization import srp_phat, srp_phat_steering_table
 
@@ -67,11 +67,12 @@ def build_steered_pipeline(
     g = jnp.asarray(g, jnp.float32)
 
     def _one(x):
-        sub = analysis(x, h, cfg.fb)  # [C, Tf, M]
-        X = bf.snapshots(sub)  # [Tf, F, C]
+        # fused half-band analysis + snapshot transpose (real-first: see
+        # ops.filterbank.analysis_snapshots_half compile note)
+        X = analysis_snapshots_half(x, h, cfg.fb)  # [Tf, F, C]
         if bin_sharding is not None:
             X = jax.lax.with_sharding_constraint(X, bin_sharding)
-        energy = bf.frame_energy(sub[0])
+        energy = bf.frame_energy_half(X[..., 0], M)
 
         # --- in-graph SRP-PHAT DOA (whole-utterance vote) ---------------
         srp = srp_phat(X, steering, min_bin, max_bin)  # [Tf, G]
@@ -101,8 +102,7 @@ def build_steered_pipeline(
                 run = gsc_lms if kind == "lms" else gsc_rls
                 Y, _ = run(X, energy, wqH, BmH, gcfg)
 
-        Yfull = hermitian_mirror(Y, M)
-        return synthesis(Yfull, g, cfg.fb), doa
+        return synthesis_half(Y, g, cfg.fb), doa
 
     @jax.jit
     def enhance(x):

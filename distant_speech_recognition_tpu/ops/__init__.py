@@ -3,6 +3,7 @@ from .filterbank import (  # noqa: F401
     FilterbankParams,
     analysis,
     analysis_half,
+    analysis_snapshots_half,
     synthesis,
     synthesis_half,
     stft_analysis,

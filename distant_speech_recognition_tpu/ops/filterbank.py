@@ -48,6 +48,7 @@ __all__ = [
     "FilterbankParams",
     "analysis",
     "analysis_half",
+    "analysis_snapshots_half",
     "synthesis",
     "synthesis_half",
     "analysis_frames",
@@ -211,7 +212,33 @@ def analysis_half(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.A
 
 
 def _analysis_matmul(x: jax.Array, h: jax.Array, params: FilterbankParams, half: bool) -> jax.Array:
-    """Analysis bank as block-parity FIRs + MXU DFT matmuls.
+    Y = _analysis_matmul_real(x, h, params, half)
+    F = params.M // 2 + 1 if half else params.M
+    return jax.lax.complex(Y[..., :F], Y[..., F:])
+
+
+def analysis_snapshots_half(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Analysis bank + snapshot transpose: ``x [..., C, T]`` ->
+    ``X [..., n_frames, F, C]`` (``SnapShotArray::update``, beamformer.cc:62).
+
+    In the matmul-DFT regime the channel->last transpose runs on the REAL
+    [Re | Im] matmul output and the complex tensor is formed only at the very
+    end: transposing a complex tensor formed from matmul slices triggers a
+    pathological fusion in the experimental axon TPU compiler (~100x compile
+    time); the real-first ordering compiles in seconds and is bit-identical.
+    """
+    F = params.M // 2 + 1
+    if params.M <= dft.MATMUL_MAX_M:
+        Yr = _analysis_matmul_real(x, h, params, half=True)  # [..., C, Tf, 2F]
+        Yr = jnp.moveaxis(Yr, -3, -1)  # [..., Tf, 2F, C]
+        return jax.lax.complex(Yr[..., :F, :], Yr[..., F:, :])
+    sub = analysis_half(x, h, params)  # [..., C, Tf, F]
+    return jnp.moveaxis(sub, -3, -1)
+
+
+def _analysis_matmul_real(x: jax.Array, h: jax.Array, params: FilterbankParams, half: bool) -> jax.Array:
+    """Analysis bank as block-parity FIRs + MXU DFT matmuls, returning the
+    real pair ``[..., n_frames, 2F]`` = ``[Re | Im]``.
 
     The push stream ``U [n_pushes, M]`` (see `_polyphase_w`) is the
     concatenation of ``R`` consecutive D-blocks, so lane group ``j`` of the
@@ -230,7 +257,6 @@ def _analysis_matmul(x: jax.Array, h: jax.Array, params: FilterbankParams, half:
         )
     p = params
     D, M, m, R = p.D, p.M, p.m, p.R
-    F = M // 2 + 1 if half else M
     h_rev = h.astype(x.dtype).reshape(m, M)[:, ::-1]
     A = jnp.asarray(dft._analysis_matrix(M, half=half))
 
@@ -259,7 +285,7 @@ def _analysis_matmul(x: jax.Array, h: jax.Array, params: FilterbankParams, half:
         )
         term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=jax.lax.Precision.HIGHEST)
         Y = term if Y is None else Y + term
-    return jax.lax.complex(Y[..., :F], Y[..., F:])
+    return Y
 
 
 def _polyphase_w(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
