@@ -109,18 +109,20 @@ def gsc_lms(
 ):
     """Leaky power-normalized LMS GSC over an utterance.
 
-    ``X``: snapshots ``[T, F, C]``; ``energy``: ``[T]`` reference-channel
-    frame energies (`frame_energy`); ``wqH [F, C]``, ``BmH [F, B, C]`` from
-    `gsc_weights`.  Returns ``(Y [T, F], final_state)``.
+    ``X``: snapshots ``[T, F, C]`` (optional batch dims between T and F:
+    ``[T, ..., F, C]``); ``energy``: ``[T, ...]`` reference-channel frame
+    energies (`frame_energy`); ``wqH [F, C]``, ``BmH [F, B, C]`` from
+    `gsc_weights`.  Returns ``(Y [T, ..., F], final_state)``.
     Replicates pybeamformer.py:659-762 exactly.
     """
     c = config
     F, B = BmH.shape[0], BmH.shape[1]
+    batch = X.shape[1:-2]  # () in the per-utterance path
     if init_state is None:
         init_state = _LMSState(
-            waH=jnp.zeros((F, B), X.dtype),
-            subband_energy=jnp.full((F,), c.init_diagonal_load, jnp.float32),
-            energy=jnp.asarray(c.init_diagonal_load, jnp.float32),
+            waH=jnp.zeros(batch + (F, B), X.dtype),
+            subband_energy=jnp.full(batch + (F,), c.init_diagonal_load, jnp.float32),
+            energy=jnp.full(batch, c.init_diagonal_load, jnp.float32),
             gamma=jnp.asarray(c.gamma, jnp.float32),
             isamp=jnp.asarray(0, jnp.int32),
         )
@@ -130,16 +132,19 @@ def gsc_lms(
 
 
 def _lms_step_factory(c: GSCLMSConfig, wqH, BmH):
+    # Shape-generic over leading batch dims: ``Xt [..., F, C]``,
+    # ``energy_t [...]`` (scalar in the per-utterance path, ``[B]`` in the
+    # time-major batched path) — identical math either way.
     def step(state: _LMSState, inputs):
-        Xt, energy_t = inputs  # [F, C], scalar
+        Xt, energy_t = inputs  # [..., F, C], [...]
         # Step-size slowdown (pybeamformer.py:669-671).
         slow = (state.isamp > 0) & (state.isamp % c.slowdown_after == 0)
         gamma = jnp.where(slow, state.gamma / 2.0, state.gamma)
 
-        gate = energy_t > state.energy / c.sil_thresh
+        gate = energy_t > state.energy / c.sil_thresh  # [...]
 
-        Z = ceinsum("fbc,fc->fb", BmH, Xt)  # blocking-matrix outputs
-        Yc = ceinsum("fc,fc->f", wqH, Xt)  # upper branch
+        Z = ceinsum("fbc,...fc->...fb", BmH, Xt)  # blocking-matrix outputs
+        Yc = ceinsum("fc,...fc->...f", wqH, Xt)  # upper branch
 
         xpow = jnp.sum(jnp.abs(Xt) ** 2, axis=-1)  # per-bin cross-channel power
         se = jnp.where(
@@ -149,21 +154,21 @@ def _lms_step_factory(c: GSCLMSConfig, wqH, BmH):
         )
         se = jnp.maximum(se, c.energy_floor)
 
-        epa = Yc - ceinsum("fb,fb->f", state.waH, Z)
-        alpha = gamma / se  # [F]
-        watH = state.waH + epa[:, None] * jnp.conj(Z) * alpha[:, None]
+        epa = Yc - ceinsum("...fb,...fb->...f", state.waH, Z)
+        alpha = gamma / se  # [..., F]
+        watH = state.waH + epa[..., None] * jnp.conj(Z) * alpha[..., None]
         if c.regularization_param > 0:
-            watH = watH - alpha[:, None] * c.regularization_param * state.waH
+            watH = watH - alpha[..., None] * c.regularization_param * state.waH
         norm = jnp.abs(jnp.sum(watH * jnp.conj(watH), axis=-1))
         scale = jnp.where(norm > c.max_wa_l2norm, jnp.sqrt(c.max_wa_l2norm / norm), 1.0)
-        waH_new = watH * scale[:, None]
+        waH_new = watH * scale[..., None]
 
-        waH = jnp.where(gate, waH_new, state.waH)
-        subband_energy = jnp.where(gate, se, state.subband_energy)
+        waH = jnp.where(gate[..., None, None], waH_new, state.waH)
+        subband_energy = jnp.where(gate[..., None], se, state.subband_energy)
 
         Y = jnp.where(
             state.isamp >= c.min_frames,
-            Yc - ceinsum("fb,fb->f", waH, Z),
+            Yc - ceinsum("...fb,...fb->...f", waH, Z),
             Yc,
         )
         new_state = _LMSState(
@@ -195,13 +200,14 @@ def gsc_rls(
     """
     c = config
     F, B = BmH.shape[0], BmH.shape[1]
+    batch = X.shape[1:-2]  # () in the per-utterance path
     if init_state is None:
         init_state = _RLSState(
-            waH=jnp.zeros((F, B), X.dtype),
+            waH=jnp.zeros(batch + (F, B), X.dtype),
             Pz=jnp.broadcast_to(
-                jnp.eye(B, dtype=X.dtype) / c.init_diagonal_load, (F, B, B)
+                jnp.eye(B, dtype=X.dtype) / c.init_diagonal_load, batch + (F, B, B)
             ),
-            energy=jnp.asarray(c.init_diagonal_load, jnp.float32),
+            energy=jnp.full(batch, c.init_diagonal_load, jnp.float32),
             isamp=jnp.asarray(0, jnp.int32),
         )
 
@@ -213,37 +219,38 @@ def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
     B = BmH.shape[1]
     eyeB = jnp.eye(B, dtype=BmH.dtype)
 
+    # Shape-generic over leading batch dims (see `_lms_step_factory`).
     def step(state: _RLSState, inputs):
-        Xt, energy_t = inputs
-        gate = energy_t > state.energy / c.sil_thresh
+        Xt, energy_t = inputs  # [..., F, C], [...]
+        gate = energy_t > state.energy / c.sil_thresh  # [...]
 
-        Z = ceinsum("fbc,fc->fb", BmH, Xt)
-        Yc = ceinsum("fc,fc->f", wqH, Xt)
+        Z = ceinsum("fbc,...fc->...fb", BmH, Xt)
+        Yc = ceinsum("fc,...fc->...f", wqH, Xt)
 
         # Gain vector & precision matrix update.  Pz is Hermitian by
         # construction (Pz0 = I/delta; the update below is a Hermitian
         # rank-1 correction, and the constraint reset is I/delta), so the
         # reference's second matvec Z^H Pz (pybeamformer.py:838) equals
         # conj(Pz Z) and is not recomputed.
-        PzZ = ceinsum("fij,fj->fi", state.Pz, Z)
-        ip = ceinsum("fi,fi->f", jnp.conj(Z), PzZ)
-        gz = PzZ / (c.mu + ip)[:, None]
-        PzK = (state.Pz - gz[:, :, None] * jnp.conj(PzZ)[:, None, :]) / c.mu
+        PzZ = ceinsum("...fij,...fj->...fi", state.Pz, Z)
+        ip = ceinsum("...fi,...fi->...f", jnp.conj(Z), PzZ)
+        gz = PzZ / (c.mu + ip)[..., None]
+        PzK = (state.Pz - gz[..., :, None] * jnp.conj(PzZ)[..., None, :]) / c.mu
 
         # Active weight update.
-        ep = Yc - ceinsum("fb,fb->f", state.waH, Z)
-        waH = state.waH + c.gamma * jnp.conj(gz) * ep[:, None]
+        ep = Yc - ceinsum("...fb,...fb->...f", state.waH, Z)
+        waH = state.waH + c.gamma * jnp.conj(gz) * ep[..., None]
         if c.regularization_param > 0:
-            waH = waH - ceinsum("fij,fj->fi", jnp.conj(PzK), state.waH) * c.regularization_param
+            waH = waH - ceinsum("...fij,...fj->...fi", jnp.conj(PzK), state.waH) * c.regularization_param
         waK = jnp.conj(waH)
 
         if c.constraint_option > 0:
-            waK2 = jnp.abs(ceinsum("fb,fb->f", waH, waK))
+            waK2 = jnp.abs(ceinsum("...fb,...fb->...f", waH, waK))
             if c.constraint_option in (1, 3):
                 # Quadratic constraint (pybeamformer.py:849-861).
-                va = ceinsum("fij,fj->fi", PzK, waK)
-                a = jnp.abs(ceinsum("fi,fi->f", va, jnp.conj(va)))
-                b = -2.0 * jnp.real(ceinsum("fi,fi->f", jnp.conj(va), waK))
+                va = ceinsum("...fij,...fj->...fi", PzK, waK)
+                a = jnp.abs(ceinsum("...fi,...fi->...f", va, jnp.conj(va)))
+                b = -2.0 * jnp.real(ceinsum("...fi,...fi->...f", jnp.conj(va), waK))
                 cc = waK2 - c.alpha2
                 arg = b * b - 4.0 * a * cc
                 a_safe = jnp.where(a > 0, a, 1.0)
@@ -252,24 +259,24 @@ def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
                     -(b + jnp.sqrt(jnp.maximum(arg, 0.0))) / (2.0 * a_safe),
                     -b / (2.0 * a_safe),
                 )
-                waH_q = waH - betaK[:, None] * jnp.conj(va)
-                waH = jnp.where((waK2 > c.alpha2)[:, None], waH_q, waH)
+                waH_q = waH - betaK[..., None] * jnp.conj(va)
+                waH = jnp.where((waK2 > c.alpha2)[..., None], waH_q, waH)
             if c.constraint_option >= 2:
                 # Norm cap + precision reset (pybeamformer.py:862-865).
                 over = waK2 > c.max_wa_l2norm
                 waH = jnp.where(
-                    over[:, None], waH * jnp.sqrt(c.max_wa_l2norm / waK2)[:, None], waH
+                    over[..., None], waH * jnp.sqrt(c.max_wa_l2norm / waK2)[..., None], waH
                 )
                 PzK = jnp.where(
-                    over[:, None, None], eyeB / c.init_diagonal_load, PzK
+                    over[..., None, None], eyeB / c.init_diagonal_load, PzK
                 )
 
-        Pz_new = jnp.where(gate, PzK, state.Pz)
-        waH_new = jnp.where(gate, waH, state.waH)
+        Pz_new = jnp.where(gate[..., None, None, None], PzK, state.Pz)
+        waH_new = jnp.where(gate[..., None, None], waH, state.waH)
 
         Y = jnp.where(
             state.isamp >= c.min_frames,
-            Yc - ceinsum("fb,fb->f", waH_new, Z),
+            Yc - ceinsum("...fb,...fb->...f", waH_new, Z),
             Yc,
         )
         new_state = _RLSState(
@@ -283,7 +290,7 @@ def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
     return step
 
 
-@partial(jax.jit, static_argnums=(5, 6, 8, 9))
+@partial(jax.jit, static_argnums=(5, 6, 8, 9, 10))
 def gsc_postfilter_fused(
     X: jax.Array,
     energy: jax.Array,
@@ -295,6 +302,7 @@ def gsc_postfilter_fused(
     pf_alpha: float = 0.6,
     pf_type: int = 1,
     pf_min_frames: int = 0,
+    real_packed: bool = False,
 ):
     """Adaptive GSC + Zelinski postfilter in ONE scan over frames.
 
@@ -303,27 +311,41 @@ def gsc_postfilter_fused(
     snapshots, so the states fuse safely), but with half the sequential scan
     steps — the launch-bound cost on TPU.
 
+    ``X``: snapshots ``[T, ..., F, C]`` (optional leading batch dims after
+    time — the time-major batched layout of `pipeline.build_pipeline`), with
+    ``energy [T, ...]``.  With ``real_packed=True``, ``X`` is instead the raw
+    real analysis output ``[T, ..., C, 2F]`` (``[Re | Im]`` lanes, see
+    `ops.filterbank.analysis_half_real_tm`) and the complex snapshot is formed
+    per step inside VMEM — the big HBM snapshot transpose never happens.
+
     ``wq_manifold``: [F, C] conjugate manifold for the postfilter alignment.
-    Returns ``Y_filtered [T, F]``.
+    Returns ``Y_filtered [T, ..., F]``.
     """
     from .postfilter import SPECTRAL_FLOOR
 
     F, B = BmH.shape[0], BmH.shape[1]
-    C = X.shape[-1]
+    if real_packed:
+        C = X.shape[-2]
+        batch = X.shape[1:-2]
+        cdtype = jnp.complex64 if X.dtype == jnp.float32 else jnp.complex128
+    else:
+        C = X.shape[-1]
+        batch = X.shape[1:-2]
+        cdtype = X.dtype
     if kind == "lms":
         gsc_state = _LMSState(
-            waH=jnp.zeros((F, B), X.dtype),
-            subband_energy=jnp.full((F,), config.init_diagonal_load, jnp.float32),
-            energy=jnp.asarray(config.init_diagonal_load, jnp.float32),
+            waH=jnp.zeros(batch + (F, B), cdtype),
+            subband_energy=jnp.full(batch + (F,), config.init_diagonal_load, jnp.float32),
+            energy=jnp.full(batch, config.init_diagonal_load, jnp.float32),
             gamma=jnp.asarray(config.gamma, jnp.float32),
             isamp=jnp.asarray(0, jnp.int32),
         )
         gsc_step = _lms_step_factory(config, wqH, BmH)
     elif kind == "rls":
         gsc_state = _RLSState(
-            waH=jnp.zeros((F, B), X.dtype),
-            Pz=jnp.broadcast_to(jnp.eye(B, dtype=X.dtype) / config.init_diagonal_load, (F, B, B)),
-            energy=jnp.asarray(config.init_diagonal_load, jnp.float32),
+            waH=jnp.zeros(batch + (F, B), cdtype),
+            Pz=jnp.broadcast_to(jnp.eye(B, dtype=cdtype) / config.init_diagonal_load, batch + (F, B, B)),
+            energy=jnp.full(batch, config.init_diagonal_load, jnp.float32),
             isamp=jnp.asarray(0, jnp.int32),
         )
         gsc_step = _rls_step_factory(config, wqH, BmH)
@@ -342,10 +364,13 @@ def gsc_postfilter_fused(
     def step(carry, inputs):
         gstate, phi_pair, phi_diag, t = carry
         Xt, energy_t = inputs
+        if real_packed:
+            # [..., C, 2F] real -> [..., F, C] complex snapshot, in VMEM.
+            Xt = jnp.moveaxis(jax.lax.complex(Xt[..., :F], Xt[..., F:]), -2, -1)
         gstate, Y = gsc_step(gstate, (Xt, energy_t))
 
-        aligned = jnp.conj(wq_manifold) * Xt  # [F, C]
-        pair_sum = sum(aligned[:, i] * jnp.conj(aligned[:, j]) for i, j in pairs)
+        aligned = jnp.conj(wq_manifold) * Xt  # [..., F, C]
+        pair_sum = sum(aligned[..., i] * jnp.conj(aligned[..., j]) for i, j in pairs)
         diag_sum = jnp.sum(jnp.abs(aligned) ** 2, axis=-1)
         phi_pair = jnp.where(t > 0, pf_alpha * phi_pair + (1.0 - pf_alpha) * pair_sum, pair_sum)
         phi_diag = jnp.where(t > 0, pf_alpha * phi_diag + (1.0 - pf_alpha) * diag_sum, diag_sum)
@@ -357,8 +382,8 @@ def gsc_postfilter_fused(
 
     init = (
         gsc_state,
-        jnp.zeros((F,), X.dtype),
-        jnp.zeros((F,), jnp.float32),
+        jnp.zeros(batch + (F,), cdtype),
+        jnp.zeros(batch + (F,), jnp.float32),
         jnp.asarray(0, jnp.int32),
     )
     (_, _, _, _), Y = jax.lax.scan(step, init, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)

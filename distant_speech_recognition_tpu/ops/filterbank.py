@@ -48,9 +48,11 @@ __all__ = [
     "FilterbankParams",
     "analysis",
     "analysis_half",
+    "analysis_half_real_tm",
     "analysis_snapshots_half",
     "synthesis",
     "synthesis_half",
+    "synthesis_half_tm",
     "analysis_frames",
     "num_analysis_frames",
     "stft_analysis",
@@ -286,6 +288,95 @@ def _analysis_matmul_real(x: jax.Array, h: jax.Array, params: FilterbankParams, 
         term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=jax.lax.Precision.HIGHEST)
         Y = term if Y is None else Y + term
     return Y
+
+
+def analysis_half_real_tm(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Time-major half-band analysis, raw real output: ``x [..., T]`` ->
+    ``Yr [n_frames, ..., 2F]`` (``[Re | Im]`` lanes, bins 0..M/2).
+
+    Same math as `_analysis_matmul_real` (same operands, same accumulation
+    order), but the frame axis leads: the output feeds `lax.scan`-based
+    consumers directly, with no ``[.., T, ..]`` -> ``[T, ..]`` transpose in
+    HBM (the scan would otherwise materialize one) and no snapshot transpose
+    — the per-step complex snapshot is formed in VMEM by the consumer
+    (`models.adaptive_gsc.gsc_postfilter_fused(real_packed=True)`).
+    Requires the matmul-DFT regime (``M <= dft.MATMUL_MAX_M``).
+    """
+    h = jnp.asarray(h)
+    if h.shape != (params.N,):
+        raise ValueError(
+            f"analysis prototype must have length N=M*m={params.N}, got {h.shape}"
+        )
+    if params.M > dft.MATMUL_MAX_M:
+        raise ValueError("analysis_half_real_tm requires the DFT-matmul regime")
+    p = params
+    D, M, m, R = p.D, p.M, p.m, p.R
+    h_rev = h.astype(x.dtype).reshape(m, M)[:, ::-1]
+    A = jnp.asarray(dft._analysis_matrix(M, half=True))
+
+    x = _pad_to_blocks(x, D)
+    n_blocks = x.shape[-1] // D
+    n_frames = n_blocks - p.laN + p.analysis_delay
+    mR = m * R
+    front = mR - 1
+    tail = n_frames - 1 + p.laN + mR - (front + n_blocks)
+    cfg = [(0, 0)] * (x.ndim - 1) + [(front * D, max(tail, 0) * D)]
+    xx = jnp.pad(x, cfg)
+    blocks = xx.reshape(xx.shape[:-1] + (-1, D))  # [..., n_blocks', D]
+    blocks = jnp.moveaxis(blocks, -2, 0)  # [n_blocks', ..., D] time-major
+
+    Y = None
+    for j in range(R):
+        w_j = sum(
+            h_rev[k, j * D : (j + 1) * D]
+            * jax.lax.slice_in_dim(
+                blocks,
+                p.laN + (m - 1 - k) * R + j,
+                p.laN + (m - 1 - k) * R + j + n_frames,
+                axis=0,
+            )
+            for k in range(m)
+        )
+        term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=jax.lax.Precision.HIGHEST)
+        Y = term if Y is None else Y + term
+    return Y  # [n_frames, ..., 2F]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def synthesis_half_tm(Y_half: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array:
+    """Time-major `synthesis_half`: ``Y_half [T_in, ..., M//2+1]`` complex ->
+    samples ``[..., (T_in - synthesis_delay) * D]``.
+
+    Identical math to `synthesis_half` with the frame axis leading — pairs
+    with `analysis_half_real_tm` / scan outputs so the whole pipeline stays
+    time-major and no ``[T, ..]`` -> ``[.., T]`` transpose of the subband
+    tensor is needed (only the final small ``[T_out, ..., D]`` output moves).
+    """
+    c = dft.synthesis_dft_half(Y_half, params.M)  # [T_in, ..., M]
+    M, m, R, D = params.M, params.m, params.R, params.D
+    pd = params.synthesis_delay
+    T_in = c.shape[0]
+    T_out = T_in - pd
+    if T_out <= 0:
+        raise ValueError(f"need more than {pd} subband frames, got {T_in}")
+
+    gf = jnp.asarray(g, c.dtype).reshape(m, M)[:, ::-1]  # [m, M]
+    cfg = [((m - 1) * R, 0)] + [(0, 0)] * (c.ndim - 1)
+    cp = jnp.pad(c, cfg)
+    s = sum(
+        gf[k] * jax.lax.slice_in_dim(cp, pd + (m - 1 - k) * R, pd + (m - 1 - k) * R + T_out, axis=0)
+        for k in range(m)
+    )  # [T_out, ..., M]
+
+    cfg = [(R - 1, 0)] + [(0, 0)] * (s.ndim - 1)
+    sp = jnp.pad(s, cfg)
+    seg = sp.reshape(sp.shape[:-1] + (R, D))[..., ::-1]
+    out = sum(
+        jax.lax.slice_in_dim(seg, R - 1 - j, R - 1 - j + T_out, axis=0)[..., R - 1 - j, :]
+        for j in range(R)
+    )  # [T_out, ..., D]
+    out = jnp.moveaxis(out, 0, -2)  # [..., T_out, D]
+    return out.reshape(out.shape[:-2] + (T_out * D,))
 
 
 def _polyphase_w(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:

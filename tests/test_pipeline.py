@@ -300,3 +300,33 @@ def test_srp_steered_pipeline_sharded_batch():
         y_sh, doa_sh = enhance(xs)
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(doa_sh), np.asarray(doa_ref))
+
+
+def test_time_major_path_matches_vmap_path(protos, array_setup, rng):
+    """The time-major fused fast path (DSR_TIME_MAJOR, the default for
+    gsc_*+zelinski) matches the vmap-of-per-utterance path: the step
+    functions are the same code, only the layout differs.  (Measured
+    bit-identical on TPU; on CPU the BLAS accumulation order differs by
+    layout, so compare with a tight tolerance.)"""
+    import distant_speech_recognition_tpu.models.pipeline as pl
+
+    h, g = protos
+    mpos, delays = array_setup
+    x = (rng.standard_normal((3, C, 5000)) * 1500.0).astype(np.float32)
+    for beamformer in ("gsc_rls", "gsc_lms"):
+        cfg = PipelineConfig(
+            fb=FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=2),
+            beamformer=beamformer,
+            postfilter="zelinski",
+            pf_min_frames=2,
+        )
+        assert pl.TIME_MAJOR  # default on
+        y_tm = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(x))
+        pl.TIME_MAJOR = False
+        try:
+            y_vm = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(x))
+        finally:
+            pl.TIME_MAJOR = True
+        np.testing.assert_allclose(
+            y_tm, y_vm, rtol=5e-3, atol=1e-4 * np.abs(y_vm).max()
+        )
