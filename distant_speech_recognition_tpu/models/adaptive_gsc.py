@@ -34,9 +34,9 @@ __all__ = [
 # Unrolling the frame scan amortizes the XLA while-loop trip overhead — the
 # per-step tensors ([B, F, C]-sized) are far too small to keep the chip busy,
 # so the loop is launch-bound.  Semantics are unchanged (pure codegen knob).
-# Measured on v5e (bench.py workload): unroll=2 is ~10% faster end to end
-# than 1; unroll=4 regresses (vmem pressure) and compiles far slower.
-SCAN_UNROLL = max(1, int(os.environ.get("DSR_SCAN_UNROLL", "2")))
+# Measured on v5e (bench.py workload, time-major layout): 1 -> 38.7k,
+# 2 -> 42.7k, 6 -> 43.8k audio-s/s/chip; 8+ regress (vmem pressure).
+SCAN_UNROLL = max(1, int(os.environ.get("DSR_SCAN_UNROLL", "6")))
 
 
 def gsc_weights(fftlen: int, samplerate: float, delays, Nc: int = 1):
