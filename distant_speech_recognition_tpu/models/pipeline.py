@@ -228,15 +228,19 @@ def build_pipeline(
             return synthesis_half(Y, g, cfg.fb)
         return synthesis(hermitian_mirror(Y, M), g, cfg.fb)
 
-    time_major = (
+    tm_ok = (
         TIME_MAJOR
-        and fused
         and HALF_BAND
         and cfg.aec == "none"
         and not cfg.wpe
         and bin_sharding is None
         and M <= dft.MATMUL_MAX_M
     )
+    # Time-major only pays for the fused adaptive scans (it removes the
+    # [B,T]<->[T,B] transposes vmap-of-scan forces); for fixed-weight
+    # pipelines the vmap layout measured faster (ds 65.5k vs 64.2k,
+    # sd_mvdr+zelinski 46.3k vs 40.8k audio-s/s on v5e), so they keep it.
+    time_major = tm_ok and fused
 
     if cfg.aec == "nlms":
 

@@ -125,8 +125,10 @@ def zelinski_postfilter(
         num = jnp.abs(csd_sum)
     den = _ema_scan(diag_seq, alpha)
     W = jnp.clip((num / den) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
-    t = jnp.arange(Y.shape[-2])
-    W = jnp.where((t >= min_frames)[:, None], W, 1.0)
+    # Frame index runs along axis 0 (works for [T, F] and the time-major
+    # batched [T, B, F] layout alike).
+    t = jnp.arange(W.shape[0]).reshape((-1,) + (1,) * (W.ndim - 1))
+    W = jnp.where(t >= min_frames, W, 1.0)
     return Y * W.astype(Y.dtype)
 
 
