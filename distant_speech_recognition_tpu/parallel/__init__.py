@@ -5,4 +5,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
     snapshot_sharding,
 )
-from .runner import enhance_files, run_batch  # noqa: F401
+from .runner import enhance_files, enhance_files_pipelined, run_batch  # noqa: F401

@@ -1,6 +1,7 @@
 """End-to-end pipeline and sharding tests on the virtual 8-device CPU mesh."""
 
 import glob
+import os
 
 import jax
 import numpy as np
@@ -330,3 +331,50 @@ def test_time_major_path_matches_vmap_path(protos, array_setup, rng):
         np.testing.assert_allclose(
             y_tm, y_vm, rtol=5e-3, atol=1e-4 * np.abs(y_vm).max()
         )
+
+
+def test_pipelined_executor_matches_batch_runner(tmp_path):
+    """enhance_files_pipelined (load/compute/write software pipeline) writes
+    the same outputs as the one-shot enhance_files batch runner."""
+    import glob
+
+    from distant_speech_recognition_tpu.design.nyquist import design_nyquist_pair
+    from distant_speech_recognition_tpu.parallel import make_mesh
+    from distant_speech_recognition_tpu.parallel.runner import (
+        enhance_files,
+        enhance_files_pipelined,
+    )
+    from distant_speech_recognition_tpu.utils.wavio import read_wav, write_wav
+
+    files = sorted(
+        glob.glob(
+            "/root/reference/btk20_src/unit_test/data/CMU/R1/M1005/KINECT/RAW/segmented/U1001*_c?.wav"
+        )
+    )
+    mpos = np.c_[np.array([-113.0, 36.0, 76.0, 113.0]), np.zeros((4, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=1.2)
+    h, g = design_nyquist_pair(32, 4, 1)
+    cfg = PipelineConfig(fb=FilterbankParams(M=32, m=4, r=1), beamformer="gsc_rls",
+                         postfilter="zelinski", pf_min_frames=2)
+
+    x = np.stack([read_wav(f, normalize=False)[0][0] for f in files])
+    paths = []
+    for i in range(6):  # 6 utterances, equal length (static chunk shapes)
+        p = str(tmp_path / f"utt{i}.wav")
+        write_wav(p, x[:, :16000] * (0.5 + 0.1 * i), 16000, normalized=False)
+        paths.append(p)
+
+    mesh = make_mesh(devices=jax.devices()[:2], batch=2, freq=1)
+    outs_p = enhance_files_pipelined(
+        cfg, mpos, delays, h, g, paths, str(tmp_path / "out_p"),
+        chunk_size=2, mesh=mesh,
+    )
+    outs_b = enhance_files(cfg, mpos, delays, h, g, paths, str(tmp_path / "out_b"),
+                           mesh=mesh)
+    assert len(outs_p) == len(outs_b) == 6
+    got = {os.path.basename(o): o for o in outs_p}
+    for ob in outs_b:
+        op = got[os.path.basename(ob)]
+        yb, _ = read_wav(ob, normalize=False)
+        yp, _ = read_wav(op, normalize=False)
+        np.testing.assert_allclose(yp, yb, atol=2.0)  # int16 write quantization
