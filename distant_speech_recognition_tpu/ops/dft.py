@@ -113,18 +113,40 @@ def analysis_dft_half(w: jax.Array, M: int) -> jax.Array:
     return jnp.asarray(tw) * jnp.fft.rfft(w, axis=-1)
 
 
-def synthesis_dft_half(Y_half: jax.Array, M: int) -> jax.Array:
+@lru_cache(maxsize=None)
+def segment_reversal_perm(M: int, R: int) -> tuple:
+    """Column permutation folding the synthesis overlap-add's per-segment
+    sample reversal (``seg[..., ::-1]``, modulated.cc:603-606) into the DFT
+    matrix: index ``j*D + i -> j*D + (D-1-i)``.  A lane reversal is a real
+    shuffle on TPU; permuting the (build-time numpy) matrix columns makes it
+    free."""
+    D = M // R
+    perm = np.arange(M).reshape(R, D)[:, ::-1].reshape(-1)
+    return tuple(perm.tolist())
+
+
+def synthesis_dft_half(Y_half: jax.Array, M: int, perm=None) -> jax.Array:
     """``M * irfft(conj(Y_half), n=M)`` — the real synthesis pre-image c
-    (modulated.cc:556-563) from the half band."""
+    (modulated.cc:556-563) from the half band.  ``perm`` (matmul regime
+    only): optional column permutation baked into the matrix — see
+    `segment_reversal_perm`."""
     if M <= MATMUL_MAX_M:
-        S = jnp.asarray(_synthesis_half_matrix(M))
-        return jnp.matmul(_split_complex(Y_half), S, precision=_PREC)
+        S = _synthesis_half_matrix(M)
+        if perm is not None:
+            S = S[:, list(perm)]
+        return jnp.matmul(_split_complex(Y_half), jnp.asarray(S), precision=_PREC)
+    if perm is not None:
+        raise ValueError("perm requires the DFT-matmul regime")
     return jnp.fft.irfft(jnp.conj(Y_half), n=M, axis=-1) * M
 
 
-def synthesis_dft(Y: jax.Array, M: int) -> jax.Array:
+def synthesis_dft(Y: jax.Array, M: int, perm=None) -> jax.Array:
     """``Re(fft(Y))`` for full-band complex frames (modulated.cc:556-563)."""
     if M <= MATMUL_MAX_M:
-        S = jnp.asarray(_synthesis_full_matrix(M))
-        return jnp.matmul(_split_complex(Y), S, precision=_PREC)
+        S = _synthesis_full_matrix(M)
+        if perm is not None:
+            S = S[:, list(perm)]
+        return jnp.matmul(_split_complex(Y), jnp.asarray(S), precision=_PREC)
+    if perm is not None:
+        raise ValueError("perm requires the DFT-matmul regime")
     return jnp.real(jnp.fft.fft(Y, axis=-1))

@@ -352,8 +352,14 @@ def synthesis_half_tm(Y_half: jax.Array, g: jax.Array, params: FilterbankParams)
     time-major and no ``[T, ..]`` -> ``[.., T]`` transpose of the subband
     tensor is needed (only the final small ``[T_out, ..., D]`` output moves).
     """
-    c = dft.synthesis_dft_half(Y_half, params.M)  # [T_in, ..., M]
     M, m, R, D = params.M, params.m, params.R, params.D
+    pre_reversed = M <= dft.MATMUL_MAX_M
+    if pre_reversed:
+        # segment sample reversal baked into the matrix (no lane shuffle)
+        perm = dft.segment_reversal_perm(M, R)
+        c = dft.synthesis_dft_half(Y_half, M, perm=perm)  # [T_in, ..., M]
+    else:
+        c = dft.synthesis_dft_half(Y_half, M)
     pd = params.synthesis_delay
     T_in = c.shape[0]
     T_out = T_in - pd
@@ -361,6 +367,8 @@ def synthesis_half_tm(Y_half: jax.Array, g: jax.Array, params: FilterbankParams)
         raise ValueError(f"need more than {pd} subband frames, got {T_in}")
 
     gf = jnp.asarray(g, c.dtype).reshape(m, M)[:, ::-1]  # [m, M]
+    if pre_reversed:
+        gf = gf[:, np.asarray(dft.segment_reversal_perm(M, R))]
     cfg = [((m - 1) * R, 0)] + [(0, 0)] * (c.ndim - 1)
     cp = jnp.pad(c, cfg)
     s = sum(
@@ -370,7 +378,9 @@ def synthesis_half_tm(Y_half: jax.Array, g: jax.Array, params: FilterbankParams)
 
     cfg = [(R - 1, 0)] + [(0, 0)] * (s.ndim - 1)
     sp = jnp.pad(s, cfg)
-    seg = sp.reshape(sp.shape[:-1] + (R, D))[..., ::-1]
+    seg = sp.reshape(sp.shape[:-1] + (R, D))
+    if not pre_reversed:
+        seg = seg[..., ::-1]
     out = sum(
         jax.lax.slice_in_dim(seg, R - 1 - j, R - 1 - j + T_out, axis=0)[..., R - 1 - j, :]
         for j in range(R)
@@ -438,7 +448,13 @@ def synthesis(Y: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array
     the stream of ``OverSampledDFTSynthesisBank::next`` outputs (priming per
     modulated.cc:574-578, polyphase + overlap-add per modulated.cc:594-606).
     """
-    # Forward unnormalized DFT, real part (modulated.cc:556-563).
+    # Forward unnormalized DFT, real part (modulated.cc:556-563).  In the
+    # matmul regime the overlap-add's per-segment sample reversal is baked
+    # into the matrix columns (see `_synthesis_from_c`).
+    if params.M <= dft.MATMUL_MAX_M:
+        perm = dft.segment_reversal_perm(params.M, params.R)
+        c = dft.synthesis_dft(Y, params.M, perm=perm)
+        return _synthesis_from_c(c, g, params, pre_reversed=True)
     c = dft.synthesis_dft(Y, params.M)  # [..., T_in, M]
     return _synthesis_from_c(c, g, params)
 
@@ -453,12 +469,24 @@ def synthesis_half(Y_half: jax.Array, g: jax.Array, params: FilterbankParams) ->
     FFT work, and the mirrored full-M spectrum is never materialized.
     (`Re()` drops imaginary DC/Nyquist parts in both formulations.)
     """
+    if params.M <= dft.MATMUL_MAX_M:
+        perm = dft.segment_reversal_perm(params.M, params.R)
+        c = dft.synthesis_dft_half(Y_half, params.M, perm=perm)
+        return _synthesis_from_c(c, g, params, pre_reversed=True)
     c = dft.synthesis_dft_half(Y_half, params.M)
     return _synthesis_from_c(c, g, params)
 
 
-def _synthesis_from_c(c: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array:
-    """Polyphase + overlap-add stage of the synthesis bank (real ``c [..., T_in, M]``)."""
+def _synthesis_from_c(
+    c: jax.Array, g: jax.Array, params: FilterbankParams, pre_reversed: bool = False
+) -> jax.Array:
+    """Polyphase + overlap-add stage of the synthesis bank (real ``c [..., T_in, M]``).
+
+    With ``pre_reversed=True``, ``c`` arrives with each D-sample segment
+    already sample-reversed (`dft.segment_reversal_perm` baked into the DFT
+    matrix) so the overlap-add needs no lane reversal — a real shuffle on
+    TPU; the prototype columns are permuted to match.
+    """
     M, m, R, D = params.M, params.m, params.R, params.D
     pd = params.synthesis_delay
     T_in = c.shape[-2]
@@ -470,6 +498,8 @@ def _synthesis_from_c(c: jax.Array, g: jax.Array, params: FilterbankParams) -> j
     # Polyphase FIR over pushed frames: s_t[mi] = sum_k gf[k, mi] * c[t'-Rk, mi]
     # with gf[k, mi] = g[(M-1-mi) + M k]  (modulated.cc:594-598).
     gf = jnp.asarray(g, c.dtype).reshape(m, M)[:, ::-1]  # [m, M]
+    if pre_reversed:
+        gf = gf[:, np.asarray(dft.segment_reversal_perm(M, R))]
     # Zero history of (m-1)*R pushes (buffer_ starts zeroed).
     cfg = [(0, 0)] * lead + [((m - 1) * R, 0), (0, 0)]
     cp = jnp.pad(c, cfg)
@@ -484,7 +514,9 @@ def _synthesis_from_c(c: jax.Array, g: jax.Array, params: FilterbankParams) -> j
     # out_t[i] = sum_j s_{t-j}[(R-1-j)*D + (D-1-i)]
     cfg = [(0, 0)] * lead + [(R - 1, 0), (0, 0)]
     sp = jnp.pad(s, cfg)
-    seg = sp.reshape(sp.shape[:-1] + (R, D))[..., ::-1]  # [..., T_out+R-1, R, D(rev)]
+    seg = sp.reshape(sp.shape[:-1] + (R, D))  # [..., T_out+R-1, R, D]
+    if not pre_reversed:
+        seg = seg[..., ::-1]  # sample reversal within each segment
     out = sum(
         jax.lax.slice_in_dim(seg, R - 1 - j, R - 1 - j + T_out, axis=lead)[..., R - 1 - j, :]
         for j in range(R)
