@@ -314,12 +314,17 @@ def gsc_postfilter_fused(
     ``X``: snapshots ``[T, ..., F, C]`` (optional leading batch dims after
     time — the time-major batched layout of `pipeline.build_pipeline`), with
     ``energy [T, ...]``.  With ``real_packed=True``, ``X`` is instead the raw
-    real analysis output ``[T, ..., C, 2F]`` (``[Re | Im]`` lanes, see
-    `ops.filterbank.analysis_half_real_tm`) and the complex snapshot is formed
-    per step inside VMEM — the big HBM snapshot transpose never happens.
+    packed real analysis output ``[T, ..., C, M]``
+    (``[Re(0..M/2) | Im(1..M/2-1)]`` lanes — the structurally-zero
+    Im(DC)/Im(Nyquist) dropped, see `ops.filterbank.analysis_half_real_tm`
+    ``packed=True``); the complex snapshot is formed per step inside VMEM —
+    the big HBM snapshot transpose never happens — and the output is emitted
+    in the same packed layout ``[T, ..., M]``, ready for
+    `ops.filterbank.synthesis_half_real_tm`.
 
     ``wq_manifold``: [F, C] conjugate manifold for the postfilter alignment.
-    Returns ``Y_filtered [T, ..., F]``.
+    Returns ``Y_filtered [T, ..., F]`` complex (packed real when
+    ``real_packed``).
     """
     from .postfilter import SPECTRAL_FLOOR
 
@@ -328,6 +333,10 @@ def gsc_postfilter_fused(
         C = X.shape[-2]
         batch = X.shape[1:-2]
         cdtype = jnp.complex64 if X.dtype == jnp.float32 else jnp.complex128
+        if X.shape[-1] != 2 * (F - 1):
+            raise ValueError(
+                f"packed lane dim must be M={2 * (F - 1)}, got {X.shape[-1]}"
+            )
     else:
         C = X.shape[-1]
         batch = X.shape[1:-2]
@@ -365,8 +374,11 @@ def gsc_postfilter_fused(
         gstate, phi_pair, phi_diag, t = carry
         Xt, energy_t = inputs
         if real_packed:
-            # [..., C, 2F] real -> [..., F, C] complex snapshot, in VMEM.
-            Xt = jnp.moveaxis(jax.lax.complex(Xt[..., :F], Xt[..., F:]), -2, -1)
+            # [..., C, M] packed real -> [..., F, C] complex snapshot, in
+            # VMEM (Im of DC/Nyquist are structurally zero).
+            zero = jnp.zeros_like(Xt[..., :1])
+            im = jnp.concatenate([zero, Xt[..., F:], zero], axis=-1)
+            Xt = jnp.moveaxis(jax.lax.complex(Xt[..., :F], im), -2, -1)
         gstate, Y = gsc_step(gstate, (Xt, energy_t))
 
         aligned = jnp.conj(wq_manifold) * Xt  # [..., F, C]
@@ -378,6 +390,11 @@ def gsc_postfilter_fused(
         num = jnp.maximum(jnp.real(phi_pair), 0.0) if real_mode else jnp.abs(phi_pair)
         W = jnp.clip((num / phi_diag) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
         out = jnp.where(t >= pf_min_frames, Y * W.astype(Y.dtype), Y)
+        if real_packed:
+            # emit the packed real layout (synthesis ignores Im(DC)/Im(Nyq))
+            out = jnp.concatenate(
+                [jnp.real(out), jnp.imag(out)[..., 1 : F - 1]], axis=-1
+            )
         return (gstate, phi_pair, phi_diag, t + 1), out
 
     init = (

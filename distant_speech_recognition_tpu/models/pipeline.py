@@ -32,6 +32,7 @@ from ..ops.filterbank import (
     hermitian_mirror,
     synthesis,
     synthesis_half,
+    synthesis_half_real_tm,
     synthesis_half_tm,
 )
 
@@ -258,16 +259,25 @@ def build_pipeline(
 
         @jax.jit
         def enhance(x):
-            """x: [B, C, T] -> [B, T_out] (time-major fused fast path)."""
-            Yr = analysis_half_real_tm(x, h, cfg.fb)  # [Tf, B, C, 2F] real
-            X0 = jax.lax.complex(Yr[..., 0, :F], Yr[..., 0, F:])  # channel 0
+            """x: [B, C, T] -> [B, T_out] (time-major packed fast path).
+
+            Everything between the two square [M, M] DFT matmuls moves in
+            the packed real ``[Re(0..M/2) | Im(1..M/2-1)]`` lane layout —
+            no ragged 2F padding, no complex split/concat in HBM.
+            """
+            Yr = analysis_half_real_tm(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
+            zero = jnp.zeros_like(Yr[..., 0, :1])
+            X0 = jax.lax.complex(
+                Yr[..., 0, :F],
+                jnp.concatenate([zero, Yr[..., 0, F:], zero], axis=-1),
+            )  # channel 0 spectrum
             energy = bf.frame_energy_half(X0, M)  # [Tf, B]
-            Y = gsc_postfilter_fused(
+            Yp = gsc_postfilter_fused(
                 Yr, energy, jnp.asarray(wqH), jnp.asarray(BmH),
                 jnp.asarray(wq_manifold), kind, gcfg,
                 cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames, True,
-            )  # [Tf, B, F]  (True = real_packed, positional: jit static arg)
-            return synthesis_half_tm(Y, g, cfg.fb)
+            )  # [Tf, B, M] packed (True = real_packed, positional static arg)
+            return synthesis_half_real_tm(Yp, g, cfg.fb)
 
     else:
 

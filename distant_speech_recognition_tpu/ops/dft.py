@@ -114,6 +114,40 @@ def analysis_dft_half(w: jax.Array, M: int) -> jax.Array:
 
 
 @lru_cache(maxsize=None)
+def _analysis_matrix_packed(M: int) -> np.ndarray:
+    """[M, M] real matrix: `_analysis_matrix(half=True)` with the two
+    identically-zero imaginary columns removed.
+
+    ``Im`` of bins 0 and M/2 are structurally zero (``-sin(2 pi f (n+1)/M)``
+    vanishes for f=0 and f=M/2), so the half-band spectrum packs losslessly
+    into exactly M lanes ``[Re(0..M/2) | Im(1..M/2-1)]`` — a square matmul
+    with no ragged 2F=M+2 lane padding."""
+    F = M // 2 + 1
+    A = _analysis_matrix(M, half=True)  # [M, 2F]
+    return np.ascontiguousarray(np.delete(A, [F, F + M // 2], axis=1))
+
+
+@lru_cache(maxsize=None)
+def _synthesis_half_matrix_packed(M: int) -> np.ndarray:
+    """[M, M] real matrix: `_synthesis_half_matrix` with the two
+    identically-zero imaginary rows (Im of DC and Nyquist — the parts
+    ``Re(fft(mirror(Y)))`` discards) removed, matching the packed
+    ``[Re(0..M/2) | Im(1..M/2-1)]`` lane layout."""
+    F = M // 2 + 1
+    S = _synthesis_half_matrix(M)  # [2F, M]
+    return np.ascontiguousarray(np.delete(S, [F, F + M // 2], axis=0))
+
+
+def synthesis_dft_half_packed(Yp: jax.Array, M: int, perm=None) -> jax.Array:
+    """`synthesis_dft_half` consuming the packed real ``[..., M]`` spectrum
+    (``[Re(0..M/2) | Im(1..M/2-1)]``) directly — no complex split/concat."""
+    S = _synthesis_half_matrix_packed(M)
+    if perm is not None:
+        S = S[:, list(perm)]
+    return jnp.matmul(Yp, jnp.asarray(S), precision=_PREC)
+
+
+@lru_cache(maxsize=None)
 def segment_reversal_perm(M: int, R: int) -> tuple:
     """Column permutation folding the synthesis overlap-add's per-segment
     sample reversal (``seg[..., ::-1]``, modulated.cc:603-606) into the DFT

@@ -52,6 +52,7 @@ __all__ = [
     "analysis_snapshots_half",
     "synthesis",
     "synthesis_half",
+    "synthesis_half_real_tm",
     "synthesis_half_tm",
     "analysis_frames",
     "num_analysis_frames",
@@ -290,7 +291,9 @@ def _analysis_matmul_real(x: jax.Array, h: jax.Array, params: FilterbankParams, 
     return Y
 
 
-def analysis_half_real_tm(x: jax.Array, h: jax.Array, params: FilterbankParams) -> jax.Array:
+def analysis_half_real_tm(
+    x: jax.Array, h: jax.Array, params: FilterbankParams, packed: bool = False
+) -> jax.Array:
     """Time-major half-band analysis, raw real output: ``x [..., T]`` ->
     ``Yr [n_frames, ..., 2F]`` (``[Re | Im]`` lanes, bins 0..M/2).
 
@@ -301,6 +304,10 @@ def analysis_half_real_tm(x: jax.Array, h: jax.Array, params: FilterbankParams) 
     — the per-step complex snapshot is formed in VMEM by the consumer
     (`models.adaptive_gsc.gsc_postfilter_fused(real_packed=True)`).
     Requires the matmul-DFT regime (``M <= dft.MATMUL_MAX_M``).
+
+    ``packed=True`` drops the structurally-zero Im(DC)/Im(Nyquist) lanes
+    (see `ops.dft._analysis_matrix_packed`): output ``[n_frames, ..., M]``
+    — a square matmul, no ragged 2F lane padding.  Bit-identical values.
     """
     h = jnp.asarray(h)
     if h.shape != (params.N,):
@@ -312,7 +319,9 @@ def analysis_half_real_tm(x: jax.Array, h: jax.Array, params: FilterbankParams) 
     p = params
     D, M, m, R = p.D, p.M, p.m, p.R
     h_rev = h.astype(x.dtype).reshape(m, M)[:, ::-1]
-    A = jnp.asarray(dft._analysis_matrix(M, half=True))
+    A = jnp.asarray(
+        dft._analysis_matrix_packed(M) if packed else dft._analysis_matrix(M, half=True)
+    )
 
     x = _pad_to_blocks(x, D)
     n_blocks = x.shape[-1] // D
@@ -352,7 +361,7 @@ def synthesis_half_tm(Y_half: jax.Array, g: jax.Array, params: FilterbankParams)
     time-major and no ``[T, ..]`` -> ``[.., T]`` transpose of the subband
     tensor is needed (only the final small ``[T_out, ..., D]`` output moves).
     """
-    M, m, R, D = params.M, params.m, params.R, params.D
+    M, R = params.M, params.R
     pre_reversed = M <= dft.MATMUL_MAX_M
     if pre_reversed:
         # segment sample reversal baked into the matrix (no lane shuffle)
@@ -360,6 +369,35 @@ def synthesis_half_tm(Y_half: jax.Array, g: jax.Array, params: FilterbankParams)
         c = dft.synthesis_dft_half(Y_half, M, perm=perm)  # [T_in, ..., M]
     else:
         c = dft.synthesis_dft_half(Y_half, M)
+    return _synthesis_from_c_tm(c, g, params, pre_reversed)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def synthesis_half_real_tm(Yp: jax.Array, g: jax.Array, params: FilterbankParams) -> jax.Array:
+    """`synthesis_half_tm` consuming the packed real spectrum
+    ``[T_in, ..., M]`` (``[Re(0..M/2) | Im(1..M/2-1)]`` lanes, the layout
+    `analysis_half_real_tm(packed=True)` / the fused scans emit).
+
+    No complex split/concat and a square [M, M] matmul; the discarded
+    Im(DC)/Im(Nyquist) inputs are exactly the parts ``Re(fft(mirror(Y)))``
+    ignores (zero rows of the synthesis matrix) — bit-identical output.
+    Requires the matmul-DFT regime.
+    """
+    M, R = params.M, params.R
+    if M > dft.MATMUL_MAX_M:
+        raise ValueError("synthesis_half_real_tm requires the DFT-matmul regime")
+    perm = dft.segment_reversal_perm(M, R)
+    c = dft.synthesis_dft_half_packed(Yp, M, perm=perm)  # [T_in, ..., M]
+    return _synthesis_from_c_tm(c, g, params, pre_reversed=True)
+
+
+def _synthesis_from_c_tm(
+    c: jax.Array, g: jax.Array, params: FilterbankParams, pre_reversed: bool
+) -> jax.Array:
+    """Time-major polyphase + overlap-add tail shared by `synthesis_half_tm`
+    and `synthesis_half_real_tm` (see `_synthesis_from_c` for the batch
+    layout and the pre_reversed contract)."""
+    M, m, R, D = params.M, params.m, params.R, params.D
     pd = params.synthesis_delay
     T_in = c.shape[0]
     T_out = T_in - pd
