@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from ..ops.complex_ops import ceinsum
 
-from .beamforming import array_manifold, blocking_matrix
+from .beamforming import array_manifold, blocking_matrix, frame_energy_half
 
 __all__ = [
     "GSCLMSConfig",
@@ -370,15 +370,25 @@ def gsc_postfilter_fused(
     # CSD smoothing is linear, so sums and EMA commute: carry just the two
     # reduced quantities instead of the full C x C matrix.  Identical math,
     # ~10x less postfilter scan state.
+    M = 2 * (F - 1)
+
     def step(carry, inputs):
         gstate, phi_pair, phi_diag, t = carry
-        Xt, energy_t = inputs
+        if energy is None:
+            (Xt,) = inputs
+        else:
+            Xt, energy_t = inputs
         if real_packed:
             # [..., C, M] packed real -> [..., F, C] complex snapshot, in
             # VMEM (Im of DC/Nyquist are structurally zero).
             zero = jnp.zeros_like(Xt[..., :1])
             im = jnp.concatenate([zero, Xt[..., F:], zero], axis=-1)
             Xt = jnp.moveaxis(jax.lax.complex(Xt[..., :F], im), -2, -1)
+        if energy is None:
+            # reference-channel frame energy computed in VMEM — no separate
+            # dense pass over the spectrum (MultiChannelSource semantics,
+            # pybeamformer.py:263-276)
+            energy_t = frame_energy_half(Xt[..., 0], M)
         gstate, Y = gsc_step(gstate, (Xt, energy_t))
 
         aligned = jnp.conj(wq_manifold) * Xt  # [..., F, C]
@@ -403,5 +413,6 @@ def gsc_postfilter_fused(
         jnp.zeros(batch + (F,), jnp.float32),
         jnp.asarray(0, jnp.int32),
     )
-    (_, _, _, _), Y = jax.lax.scan(step, init, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)
+    xs = (X,) if energy is None else (X, energy.astype(jnp.float32))
+    (_, _, _, _), Y = jax.lax.scan(step, init, xs, unroll=SCAN_UNROLL)
     return Y

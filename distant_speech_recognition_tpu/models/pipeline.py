@@ -266,14 +266,10 @@ def build_pipeline(
             no ragged 2F padding, no complex split/concat in HBM.
             """
             Yr = analysis_half_real_tm(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
-            zero = jnp.zeros_like(Yr[..., 0, :1])
-            X0 = jax.lax.complex(
-                Yr[..., 0, :F],
-                jnp.concatenate([zero, Yr[..., 0, F:], zero], axis=-1),
-            )  # channel 0 spectrum
-            energy = bf.frame_energy_half(X0, M)  # [Tf, B]
+            # energy=None: the reference-channel frame energy is computed
+            # inside each scan step (no separate dense pass over Yr)
             Yp = gsc_postfilter_fused(
-                Yr, energy, jnp.asarray(wqH), jnp.asarray(BmH),
+                Yr, None, jnp.asarray(wqH), jnp.asarray(BmH),
                 jnp.asarray(wq_manifold), kind, gcfg,
                 cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames, True,
             )  # [Tf, B, M] packed (True = real_packed, positional static arg)
