@@ -30,9 +30,10 @@ def main():
     M, m, r = 256, 4, 1
     C = 4
     fs = 16000
-    # 384 is the single-chip sweet spot for 10 s utterances with the
-    # half-band matmul-DFT pipeline (~29k audio-s/s/chip on v5e).
-    B = int(os.environ.get("BENCH_BATCH", "384"))  # utterance batch
+    # 640 is the single-chip sweet spot for 10 s utterances with the packed
+    # time-major pipeline under fetch-synced timing (~39.6k audio-s/s/chip
+    # on v5e; 384 -> 37.9k, 768 -> flat).
+    B = int(os.environ.get("BENCH_BATCH", "640"))  # utterance batch
     secs = 10.0     # per utterance
     T = int(fs * secs)
 
@@ -54,14 +55,21 @@ def main():
     x = (rng.standard_normal((B, C, T)) * 1500.0).astype(np.float32)
     xd = jax.device_put(x)
 
-    # Warmup / compile.
-    fn(xd).block_until_ready()
+    # On the axon tunnel backend block_until_ready does NOT synchronize
+    # (measured: an 8k x 8k matmul "completes" in 0.1 ms); only a value
+    # fetch does.  Sync every iteration through a scalar reduction fetch.
+    import jax.numpy as jnp
+
+    reduce = jax.jit(lambda y: jnp.sum(jnp.abs(y)))
+
+    # Warmup / compile (fetch-synced).
+    float(reduce(fn(xd)))
 
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn(xd)
-    y.block_until_ready()
+    ys = [fn(xd) for _ in range(iters)]
+    for y in ys:
+        float(reduce(y))  # in-order execution: each fetch waits for its run
     dt = (time.perf_counter() - t0) / iters
 
     audio_seconds = B * secs

@@ -62,14 +62,19 @@ def main():
         B = per_dev_B * n
         rng = np.random.default_rng(0)
         x = (rng.standard_normal((B, C, T)) * 0.05).astype(np.float32)
+        import jax.numpy as jnp
+
+        # fetch-sync: block_until_ready does not synchronize on the axon
+        # tunnel backend (see bench.py); a scalar reduction fetch does.
+        reduce = jax.jit(lambda y: jnp.sum(jnp.abs(y)))
         with jax.set_mesh(mesh):
             xs = shard_batch(mesh, x)
-            fn(xs).block_until_ready()  # compile
+            float(reduce(fn(xs)))  # compile + sync
             iters = 3
             t0 = time.perf_counter()
-            for _ in range(iters):
-                y = fn(xs)
-            y.block_until_ready()
+            ys = [fn(xs) for _ in range(iters)]
+            for y in ys:
+                float(reduce(y))
             dt = (time.perf_counter() - t0) / iters
         thr = B * secs / dt
         per_chip = thr / n

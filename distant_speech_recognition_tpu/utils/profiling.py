@@ -24,7 +24,21 @@ __all__ = ["StageTimer", "device_trace", "timed"]
 
 
 def _sync(x):
+    """Force completion of outstanding device work feeding ``x``.
+
+    ``block_until_ready`` alone is NOT sufficient on the axon tunnel
+    backend (it returns before execution finishes); only a value fetch
+    synchronizes.  Reduce to a scalar on device and fetch it — in-order
+    execution then guarantees everything enqueued earlier has run.
+    """
     try:
+        leaf = x
+        if hasattr(leaf, "dtype") and hasattr(leaf, "ravel"):
+            import jax.numpy as jnp
+
+            s = jnp.sum(jnp.abs(leaf.ravel()[:1]))
+            float(jax.device_get(s))
+            return x
         return jax.block_until_ready(x)
     except Exception:
         return x
