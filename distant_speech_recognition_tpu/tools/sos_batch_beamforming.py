@@ -13,6 +13,26 @@ import pickle
 import numpy as np
 
 
+def _load_tfmask(path):
+    """Load a TF-mask file: a SEQUENCE of pickled per-frame band-activity
+    vectors until EOF (load_tfmasks, test_sos_batch_beamforming.py:53-74;
+    python2 pickles need latin1 — retry the whole stream on decode error)."""
+    for encoding in (None, "latin1"):
+        frames = []
+        kw = {} if encoding is None else {"encoding": encoding}
+        try:
+            with open(path, "rb") as fp:
+                while True:
+                    try:
+                        frames.append(pickle.load(fp, **kw))
+                    except EOFError:
+                        break
+            return np.array(frames)
+        except UnicodeDecodeError:
+            continue
+    raise IOError(f"cannot decode TF mask pickle stream {path}")
+
+
 def run(M, m, r, input_audio_paths, out_path, ap_conf, samplerate=16000):
     from ..models import beamforming as bf
     from ..ops.filterbank import FilterbankParams, analysis, hermitian_mirror, synthesis
@@ -32,16 +52,25 @@ def run(M, m, r, input_audio_paths, out_path, ap_conf, samplerate=16000):
     energy = np.asarray(bf.frame_energy(sub[0]))  # [T]
     T = X.shape[0]
 
+    def _fit_mask(mk):
+        """Trim/zero-pad a [frames, bands] mask to this run's [T, F] grid
+        (frames beyond the mask contribute no statistics)."""
+        mk = np.asarray(mk, np.float64)[:T, : M // 2 + 1]
+        if mk.shape[0] < T:
+            mk = np.pad(mk, ((0, T - mk.shape[0]), (0, 0)))
+        if mk.shape[1] < M // 2 + 1:
+            mk = np.pad(mk, ((0, 0), (0, M // 2 + 1 - mk.shape[1])))
+        return mk
+
     tgt = ap_conf.get("target", {})
     if "tfmask_path" in tgt:
-        with open(tgt["tfmask_path"], "rb") as fp:
-            try:
-                mask_t = pickle.load(fp)
-            except UnicodeDecodeError:
-                fp.seek(0)
-                mask_t = pickle.load(fp, encoding="latin1")
-        mask_t = np.asarray(mask_t)[:T, : M // 2 + 1]
-        mask_j = 1.0 - mask_t
+        mask_t = _fit_mask(_load_tfmask(tgt["tfmask_path"]))
+        noise_paths = [n["tfmask_path"] for n in ap_conf.get("noises", [])
+                       if "tfmask_path" in n]
+        if noise_paths:
+            mask_j = _fit_mask(_load_tfmask(noise_paths[0]))
+        else:
+            mask_j = 1.0 - mask_t
         egate = (energy > energy_threshold)[:, None]
         w_t = mask_t * egate
         w_j = mask_j * egate

@@ -129,7 +129,8 @@ def test_reference_json_configs_drive_tools(tmp_path):
         )
     )
     CONF = "/root/reference/btk20_src/unit_test/confs"
-    for conf in ["ds", "sd", "gsclms", "gscrls", "lcmv_and_zelinski", "ds_and_zelinski"]:
+    for conf in ["ds", "sd", "gsclms", "gscrls", "lcmv_and_zelinski",
+                 "ds_and_zelinski", "sd_and_mccowan", "sd_and_lefkimmiatis"]:
         with open(f"{CONF}/{conf}.json") as f:
             ap = json.load(f)
         energy, frames = ob.run(

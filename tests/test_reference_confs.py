@@ -34,6 +34,24 @@ def test_sos_batch_confs(name, tmp_path):
     assert np.isfinite(y).all() and float((y.astype(np.float64) ** 2).mean()) > 0
 
 
+@pytest.mark.parametrize("name", ["bmvdr_tfmask", "gev_tfmask"])
+def test_sos_batch_tfmask_confs(name, tmp_path):
+    """The TF-mask-gated SOS confs with the reference's shipped mask pickles
+    (python2 latin1 pickles, paths relative to unit_test/)."""
+    from distant_speech_recognition_tpu.tools import sos_batch_beamforming
+
+    conf = _conf(name)
+    base = "/root/reference/btk20_src/unit_test"
+    conf["target"]["tfmask_path"] = f"{base}/" + conf["target"]["tfmask_path"]
+    for n in conf.get("noises", []):
+        if "tfmask_path" in n:
+            n["tfmask_path"] = f"{base}/" + n["tfmask_path"]
+    out = str(tmp_path / f"{name}.wav")
+    result = sos_batch_beamforming.run(32, 4, 1, CMU, out, conf)
+    y = np.asarray(result)
+    assert np.isfinite(y).all() and float((y.astype(np.float64) ** 2).mean()) > 0
+
+
 def test_wpe_conf(tmp_path):
     from distant_speech_recognition_tpu.tools import subband_dereverberator
 
