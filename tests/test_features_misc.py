@@ -203,3 +203,27 @@ def test_itakura_saito_frames_and_quality_cli(tmp_path, rng):
     # identical files: IS distance ~0, huge SNR
     snr_same, is_same = quality_assessment.run(f1, f1, M=64, r=1)
     assert is_same < 1e-6 and snr_same > 80
+
+
+def test_log_power_extractor_tool(tmp_path):
+    """tools/log_power_extractor mirrors unit_test/log_power_extractor.py:
+    whole-block framing, Hamming, FFT power, log, pickled frame sequence."""
+    import pickle
+
+    from distant_speech_recognition_tpu.tools import log_power_extractor
+
+    out = str(tmp_path / "lp.pickle")
+    logp = log_power_extractor.run(
+        "/root/reference/btk20_src/unit_test/data/speech_at_20sec.wav", out,
+        D=160, fft_len=256,
+    )
+    assert logp.shape[1] == 129 and np.isfinite(logp).all()
+    frames = []
+    with open(out, "rb") as fp:
+        while True:
+            try:
+                frames.append(pickle.load(fp))
+            except EOFError:
+                break
+    assert len(frames) == logp.shape[0]
+    np.testing.assert_allclose(np.asarray(frames), logp, rtol=1e-6)
