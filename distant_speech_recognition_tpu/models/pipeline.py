@@ -41,11 +41,12 @@ from ..ops.filterbank import (
 # the default.  Set DSR_HALF_BAND=0 to run full-M complex transforms end to
 # end (only useful for debugging the hermitian-mirror algebra).
 HALF_BAND = os.environ.get("DSR_HALF_BAND", "1") == "1"
-# Time-major fused path: the analysis output stays [T, B, C, 2F] real, the
-# fused adaptive scan runs batch-natively over the leading frame axis, and
-# synthesis consumes the time-major scan output.  Skips the HBM snapshot
-# transpose AND the internal [B, T, ..] -> [T, B, ..] transposes that
-# vmap-of-scan forces; ~15% end-to-end on v5e.  Same math, same operands.
+# Time-major fused path: the analysis output stays packed real
+# [T, B, C, M] (see ops.dft._analysis_matrix_packed), the fused adaptive
+# scan runs batch-natively over the leading frame axis, and synthesis
+# consumes the packed scan output.  Skips the HBM snapshot transpose AND
+# the internal [B, T, ..] -> [T, B, ..] transposes that vmap-of-scan
+# forces; ~10% end-to-end on v5e (fetch-synced).  Same math, same operands.
 TIME_MAJOR = os.environ.get("DSR_TIME_MAJOR", "1") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
@@ -239,8 +240,9 @@ def build_pipeline(
     )
     # Time-major only pays for the fused adaptive scans (it removes the
     # [B,T]<->[T,B] transposes vmap-of-scan forces); for fixed-weight
-    # pipelines the vmap layout measured faster (ds 65.5k vs 64.2k,
-    # sd_mvdr+zelinski 46.3k vs 40.8k audio-s/s on v5e), so they keep it.
+    # pipelines the vmap layout measured faster under fetch-synced timing
+    # (ds 60.8k vs 55.7k, sd_mvdr+zelinski 44.8k vs 40.8k audio-s/s on
+    # v5e), so they keep it.
     time_major = tm_ok and fused
 
     if cfg.aec == "nlms":
