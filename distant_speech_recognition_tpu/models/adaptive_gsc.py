@@ -34,9 +34,10 @@ __all__ = [
 # Unrolling the frame scan amortizes the XLA while-loop trip overhead — the
 # per-step tensors ([B, F, C]-sized) are far too small to keep the chip busy,
 # so the loop is launch-bound.  Semantics are unchanged (pure codegen knob).
-# Measured on v5e (bench.py workload, time-major layout): 1 -> 38.7k,
-# 2 -> 42.7k, 6 -> 43.8k audio-s/s/chip; 8+ regress (vmem pressure).
-SCAN_UNROLL = max(1, int(os.environ.get("DSR_SCAN_UNROLL", "6")))
+# Measured on v5e (bench.py workload, time-major layout, fetch-synced):
+# B=640: 1 -> 36.6k, 2 -> 40.3k, 3 -> 40.4k, 6 -> 39.7k, 8 -> 35.7k
+# audio-s/s/chip; 3 is also within noise of the best at B=384.
+SCAN_UNROLL = max(1, int(os.environ.get("DSR_SCAN_UNROLL", "3")))
 
 
 def gsc_weights(fftlen: int, samplerate: float, delays, Nc: int = 1):
