@@ -25,6 +25,8 @@ __all__ = [
     "pair_tdoa_jacobian",
     "srp_phat_steering_table",
     "srp_phat",
+    "linear_srp_steering_table",
+    "linear_srp_doa",
     "mic_pairs",
 ]
 
@@ -165,6 +167,85 @@ def srp_phat(
     hi = F if max_bin is None else max_bin
     mask = (jnp.arange(F) >= lo) & (jnp.arange(F) < hi)
     return jnp.sum(jnp.where(mask, p, 0.0), axis=-1)
+
+
+def linear_srp_steering_table(
+    mpos_x,
+    fftlen: int,
+    samplerate: float,
+    base_mic: int = -1,
+    sspeed: float = 343740.0,
+    min_doa: float = -np.pi / 2,
+    max_doa: float = np.pi / 2,
+):
+    """Steering table over a sin(theta) grid for a linear array along x
+    (LinearArraySRPDOAEstimator.setXPositionsOfMicrophones +
+    calcSteeringMatrix, lib/pylocalizer.py:33-80).
+
+    The grid step is the reference's spatial-aliasing-limited
+    ``deltaSin = 0.99 * c / (maxDist * fs)``; phases are taken relative to
+    ``base_mic`` (default: the middle element, matching ``baseMicX < 0``)
+    and weights are 1/chanN so the steered output is a delay-and-sum.
+
+    Two deliberate fixes of that legacy (python2, never-installed) script:
+    its steering phase omits the 1/c conversion of element offsets to
+    seconds (pylocalizer.py:64-71 multiplies raw positions by 2 pi fs / N),
+    and its grid runs sin(theta) over [-pi/2, pi/2] instead of [-1, 1] —
+    here the phase is physical (d / c) and the grid covers sin in [-1, 1]
+    with the same step.
+
+    Returns ``(wqH [G, F, C], sin_thetas [G])``.
+    """
+    xpos = np.asarray(mpos_x, np.float64).reshape(-1)
+    C = xpos.shape[0]
+    max_dist = np.abs(xpos[0] - xpos).max()
+    delta_sin = 0.99 * sspeed / (max_dist * samplerate)
+    lo, hi = np.sin(min_doa), np.sin(max_doa)
+    sin_thetas = np.arange(lo, hi + 1e-12, min(delta_sin, hi - lo))
+    if base_mic < 0:
+        base_mic = C // 2
+    F = fftlen // 2 + 1
+    # steering[f, g, c] = exp(-j 2 pi fs / fftlen * f * d_c * s_g) / C
+    d = (xpos - xpos[base_mic]) / sspeed  # extra path length per unit sin
+    d[base_mic] = 0.0
+    phase = (
+        -2j
+        * np.pi
+        * (samplerate / float(fftlen))
+        * np.arange(F)[:, None, None]
+        * d[None, None, :]
+        * sin_thetas[None, :, None]
+    )
+    table = np.exp(phase) / C
+    return (
+        jnp.asarray(np.moveaxis(table, 0, 1).astype(np.complex64)),
+        jnp.asarray(sin_thetas, jnp.float32),
+    )
+
+
+def linear_srp_doa(
+    X: jax.Array,
+    steering: jax.Array,
+    sin_thetas: jax.Array,
+    min_bin: int = 1,
+    max_bin: int | None = None,
+):
+    """DOA of a linear array by steered-response-power maximization
+    (LinearArraySRPDOAEstimator.calcSRP, lib/pylocalizer.py:82-120):
+    ``Y2[g] = sum_f |w_g(f)^H X(f)|^2`` over ``[min_bin, max_bin)``
+    (defaults 1..fftlen/2+1 like the reference), maximized over the grid.
+
+    ``X``: snapshots ``[..., F, C]`` (no PHAT normalization — the reference
+    steers the raw spectra).  Returns ``(doa_radians [...], srp [..., G])``.
+    """
+    Y = ceinsum("gfc,...fc->...gf", jnp.conj(steering), X)
+    p = jnp.abs(Y) ** 2
+    F = X.shape[-2]
+    hi = F if max_bin is None else max_bin
+    mask = (jnp.arange(F) >= min_bin) & (jnp.arange(F) < hi)
+    srp = jnp.sum(jnp.where(mask, p, 0.0), axis=-1)
+    doa = jnp.arcsin(jnp.clip(sin_thetas[jnp.argmax(srp, axis=-1)], -1.0, 1.0))
+    return doa, srp
 
 
 # ---------------------------------------------------------------------------

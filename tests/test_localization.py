@@ -189,3 +189,28 @@ def test_mcc_localizer_finds_azimuth(rng):
     est = az[int(np.asarray(best)[0])]
     assert abs(est - true_az) < 0.15, (est, true_az)
     assert np.asarray(mccc).max() > 0.9
+
+
+def test_linear_srp_doa_recovers_plane_wave(rng):
+    """Plane wave on a linear array: the sin-grid SRP argmax lands on the
+    wave's propagation direction (LinearArraySRPDOAEstimator analogue)."""
+    C, M = 8, 64
+    xpos = np.arange(C) * 40.0  # mm
+    azimuth = 2.0  # radians from the +x array axis
+    from distant_speech_recognition_tpu.utils.geometry import calc_la_delays
+
+    delays = calc_la_delays(xpos.reshape(-1, 1), azimuth)
+    vs = np.asarray(bf.array_manifold(M, FS, delays))  # [F, C], exp(-j2pi f d)/C
+    T = 6
+    s = rng.standard_normal((T, M // 2 + 1)) + 1j * rng.standard_normal((T, M // 2 + 1))
+    X = (vs[None] * C * s[:, :, None]).astype(np.complex64)  # [T, F, C]
+
+    steering, sin_grid = loc.linear_srp_steering_table(xpos, M, FS)
+    assert steering.shape[1:] == (M // 2 + 1, C)
+    doa, srp = loc.linear_srp_doa(X, steering, sin_grid)
+    doa = np.asarray(doa)
+    # manifold delays are -x cos(az)/c relative to the middle mic, so the
+    # matched grid point satisfies sin(theta) = -cos(azimuth)
+    want = np.arcsin(np.clip(-np.cos(azimuth), -1, 1))
+    step = float(sin_grid[1] - sin_grid[0])
+    assert np.all(np.abs(np.sin(doa) - np.sin(want)) <= step), (doa, want)
