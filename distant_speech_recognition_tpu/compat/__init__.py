@@ -1,0 +1,46 @@
+"""BTK 2.0 compatibility layer: the reference's pull-stream API on TPU kernels.
+
+The reference toolkit (kkumatani/distant_speech_recognition) exposes a
+pull-based dataflow graph: every node is a ``FeatureStream`` producing one
+frame per ``next()`` call (stream/stream.h:16-88), graphs are built in Python
+from SWIG shadow classes named ``*Ptr``, and execution is a pull from the
+sink (``for frame_no, buf in enumerate(sfb)``).
+
+This package recreates that API surface 1:1 on top of this framework's
+streaming kernels (models/streaming.py), so reference driver scripts port
+with an import swap.  Module layout mirrors the reference's ``btk20.*``
+SWIG packages:
+
+    compat.stream        <-  btk20.stream    (FeatureStream pull model)
+    compat.feature       <-  btk20.feature   (SampleFeature, plumbing nodes)
+    compat.modulated     <-  btk20.modulated (oversampled DFT filterbanks)
+    compat.pybeamformer  <-  lib/pybeamformer.py (subband beamformers)
+    compat.postfilter    <-  btk20.postfilter (Zelinski/McCowan postfilters)
+
+Every class is also exported under its SWIG shadow name with the ``Ptr``
+suffix (``SampleFeaturePtr`` etc.), matching how the reference drivers
+instantiate nodes (unit_test/test_online_beamforming.py:82-88).
+
+Throughput note: the pull model dispatches one jitted step per frame and is
+inherently host-loop bound; it exists for API familiarity and incremental
+migration.  For production use the batched pipelines (models/pipeline.py,
+~1000x faster) or the chunked ``StreamingEnhancer`` (models/streaming.py).
+"""
+
+from . import feature, modulated, postfilter, pybeamformer, stream  # noqa: F401
+
+from .stream import FeatureStream, PyVectorComplexFeatureStream, PyVectorComplexFeatureStreamPtr  # noqa: F401
+from .feature import SampleFeature, SampleFeaturePtr  # noqa: F401
+from .modulated import (  # noqa: F401
+    OverSampledDFTAnalysisBank,
+    OverSampledDFTAnalysisBankPtr,
+    OverSampledDFTSynthesisBank,
+    OverSampledDFTSynthesisBankPtr,
+)
+from .pybeamformer import (  # noqa: F401
+    SubbandGSCBeamformer,
+    SubbandGSCLMSBeamformer,
+    SubbandGSCRLSBeamformer,
+    SubbandMVDRBeamformer,
+)
+from .postfilter import ZelinskiPostFilter, ZelinskiPostFilterPtr  # noqa: F401

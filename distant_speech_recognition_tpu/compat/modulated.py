@@ -1,0 +1,143 @@
+"""``btk20.modulated`` compatibility: oversampled DFT filterbanks as streams.
+
+Thin pull-model adapters over the chunked streaming kernels
+(models/streaming.streaming_analysis/streaming_synthesis), reproducing the
+reference's frame protocol exactly:
+
+- analysis (modulated.cc:375-409): one subband frame per upstream D-block;
+  the first ``laN`` pushes are skipped (delay compensation type 2 look-ahead)
+  and ``analysis_delay`` zero blocks are substituted after upstream EOF
+  (the zero-padding tail of modulated.cc:418-469), so the frame count equals
+  ``ops.filterbank.num_analysis_frames``.
+- synthesis (modulated.cc:569-612): ``synthesis_delay`` priming frames are
+  consumed before the first D-sample block is emitted (modulated.cc:574-578);
+  ``input_source_vector()`` direct feeding is supported like the reference.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.streaming import (
+    analysis_init,
+    streaming_analysis,
+    streaming_synthesis,
+    synthesis_init,
+)
+from ..ops.filterbank import FilterbankParams
+from .stream import FeatureStream
+
+__all__ = [
+    "OverSampledDFTAnalysisBank",
+    "OverSampledDFTAnalysisBankPtr",
+    "OverSampledDFTSynthesisBank",
+    "OverSampledDFTSynthesisBankPtr",
+]
+
+
+class OverSampledDFTAnalysisBank(FeatureStream):
+    def __init__(self, samp, prototype, M: int, m: int, r: int,
+                 delay_compensation_type: int = 0, name: str = "OverSampledDFTAnalysisBank"):
+        super().__init__(M, name)
+        self.samp = samp
+        self.p = FilterbankParams(M=M, m=m, r=r,
+                                  delay_compensation_type=delay_compensation_type)
+        self._h = jnp.asarray(np.asarray(prototype, np.float32).ravel())
+        if self._h.shape != (self.p.N,):
+            raise ValueError(f"prototype must have N=M*m={self.p.N} taps")
+        self._reset()
+
+    def polyphase(self, mi: int, n: int) -> float:
+        """Prototype tap ``h[mi + M*n]`` (OverSampledDFTFilterBank::polyphase,
+        modulated.cc:232-279)."""
+        return float(self._h[mi + self.p.M * n])
+
+    def frame_shift_len(self) -> int:
+        return self.p.D
+
+    def _pull_block(self) -> np.ndarray:
+        try:
+            blk = np.asarray(self.samp.next(self._src_frame + 1), np.float32)
+            self._src_frame += 1
+        except StopIteration:
+            if self._eof_pads_left <= 0:
+                raise
+            self._eof_pads_left -= 1
+            blk = np.zeros(self.p.D, np.float32)
+        if blk.shape != (self.p.D,):
+            raise ValueError(f"upstream block must be D={self.p.D} samples")
+        return blk
+
+    def _produce(self) -> np.ndarray:
+        while True:
+            blk = self._pull_block()
+            self._st, fr = streaming_analysis(self._st, jnp.asarray(blk), self._h, self.p)
+            if self._skip_left:
+                self._skip_left -= 1
+                continue
+            return np.asarray(fr[0])
+
+    def _reset(self):
+        self._st = analysis_init(self.p)
+        self._skip_left = self.p.laN
+        self._eof_pads_left = self.p.analysis_delay
+        self._src_frame = -1
+        if hasattr(self.samp, "reset"):
+            self.samp.reset()
+
+
+OverSampledDFTAnalysisBankPtr = OverSampledDFTAnalysisBank
+
+
+class OverSampledDFTSynthesisBank(FeatureStream):
+    def __init__(self, samp=None, prototype=None, M: int = 256, m: int = 4, r: int = 1,
+                 delay_compensation_type: int = 0, gain_factor: float = 1.0,
+                 name: str = "OverSampledDFTSynthesisBank"):
+        self.p = FilterbankParams(M=M, m=m, r=r,
+                                  delay_compensation_type=delay_compensation_type)
+        super().__init__(self.p.D, name)
+        self.samp = samp
+        self._g = jnp.asarray(np.asarray(prototype, np.float32).ravel())
+        if self._g.shape != (self.p.N,):
+            raise ValueError(f"prototype must have N=M*m={self.p.N} taps")
+        self._gain = float(gain_factor)
+        self._reset()
+
+    def input_source_vector(self, Y) -> None:
+        """Feed one full-M subband frame directly, bypassing the stream graph
+        (modulated.h:312-349 `input_source_vector`)."""
+        self._feed.append(np.asarray(Y, np.complex64))
+
+    def _pull_frame(self) -> np.ndarray:
+        if self.samp is not None:
+            Y = np.asarray(self.samp.next(self._src_frame + 1), np.complex64)
+            self._src_frame += 1
+            return Y
+        if not self._feed:
+            raise StopIteration
+        return self._feed.popleft()
+
+    def _synth_one(self, Y: np.ndarray) -> np.ndarray:
+        self._st, y = streaming_synthesis(self._st, jnp.asarray(Y)[None, :], self._g, self.p)
+        return np.asarray(y)
+
+    def _produce(self) -> np.ndarray:
+        while self._prime_left:
+            self._synth_one(self._pull_frame())
+            self._prime_left -= 1
+        out = self._synth_one(self._pull_frame())
+        return out * self._gain if self._gain != 1.0 else out
+
+    def _reset(self):
+        self._st = synthesis_init(self.p)
+        self._prime_left = self.p.synthesis_delay
+        self._feed = deque()
+        self._src_frame = -1
+        if self.samp is not None and hasattr(self.samp, "reset"):
+            self.samp.reset()
+
+
+OverSampledDFTSynthesisBankPtr = OverSampledDFTSynthesisBank

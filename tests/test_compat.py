@@ -1,0 +1,164 @@
+"""BTK 2.0 compat layer: pull-stream graphs reproduce the batch pipeline.
+
+Builds the reference's canonical graph shapes (test_online_beamforming.py:
+82-159) from compat nodes and checks frame-exact agreement with the dense
+batched implementations they wrap.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from distant_speech_recognition_tpu import compat
+from distant_speech_recognition_tpu.models.pipeline import PipelineConfig, build_pipeline
+from distant_speech_recognition_tpu.models.postfilter import PostFilterType
+from distant_speech_recognition_tpu.ops.filterbank import (
+    FilterbankParams,
+    analysis,
+    hermitian_mirror,
+    num_analysis_frames,
+    synthesis,
+)
+from distant_speech_recognition_tpu.utils import geometry
+from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+M, m, r = 32, 2, 1
+DC = 2
+P = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=DC)
+FS = 16000.0
+
+
+def _protos():
+    return load_pair(M, m, r)
+
+
+def _signal(C=3, T=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) / FS
+    clean = np.sin(2 * np.pi * 440 * t) * 2000.0
+    x = np.stack(
+        [np.roll(clean, k) + 150.0 * rng.standard_normal(T) for k in range(C)]
+    ).astype(np.float32)
+    return x
+
+
+def _sample_feat(x1d):
+    sf = compat.SampleFeature(block_len=P.D, shift_len=P.D, pad_zeros=True)
+    sf.set_samples(x1d, int(FS))
+    return sf
+
+
+def test_sample_feature_framing():
+    x = np.arange(50, dtype=np.float32)
+    sf = compat.SampleFeature(block_len=16, shift_len=16, pad_zeros=True)
+    sf.set_samples(x, 16000)
+    blocks = list(sf)
+    assert len(blocks) == 4  # ceil(50/16)
+    np.testing.assert_array_equal(np.concatenate(blocks)[:50], x)
+    assert np.all(np.concatenate(blocks)[50:] == 0)
+    assert sf.is_end()
+    # cache guard: re-asking for the produced frame returns it unchanged
+    sf.reset()
+    b0 = sf.next(0)
+    np.testing.assert_array_equal(sf.next(0), b0)
+    with pytest.raises(ValueError):
+        sf.next(5)
+
+
+@pytest.mark.parametrize("dc", [0, 2])
+def test_analysis_stream_matches_batch(dc):
+    h, g = _protos()
+    p = FilterbankParams(M=M, m=m, r=r, delay_compensation_type=dc)
+    x = _signal(C=1)[0]
+    batch = np.asarray(analysis(jnp.asarray(x), jnp.asarray(h), p))
+
+    sf = compat.SampleFeature(block_len=p.D, shift_len=p.D, pad_zeros=True)
+    sf.set_samples(x, int(FS))
+    afb = compat.OverSampledDFTAnalysisBank(sf, h, M, m, r, delay_compensation_type=dc)
+    frames = np.stack(list(afb))
+    assert frames.shape[0] == num_analysis_frames(p, len(x)) == batch.shape[0]
+    np.testing.assert_allclose(frames, batch, atol=1e-3)
+
+
+def test_synthesis_stream_matches_batch():
+    h, g = _protos()
+    rng = np.random.default_rng(3)
+    T = 40
+    half = rng.standard_normal((T, M // 2 + 1)) + 1j * rng.standard_normal((T, M // 2 + 1))
+    Y = np.asarray(hermitian_mirror(jnp.asarray(half.astype(np.complex64)), M))
+    batch = np.asarray(synthesis(jnp.asarray(Y), jnp.asarray(g), P))
+
+    sfb = compat.OverSampledDFTSynthesisBank(None, g, M, m, r, delay_compensation_type=DC)
+    for t in range(T):
+        sfb.input_source_vector(Y[t])
+    blocks = list(sfb)
+    assert len(blocks) == T - P.synthesis_delay
+    np.testing.assert_allclose(np.concatenate(blocks), batch, atol=1e-3)
+
+
+def _compat_chain(x, h, g, beamformer, postfilter, mpos, delays):
+    C = x.shape[0]
+    sfs = [_sample_feat(x[c]) for c in range(C)]
+    afbs = [
+        compat.OverSampledDFTAnalysisBank(sf, h, M, m, r, delay_compensation_type=DC)
+        for sf in sfs
+    ]
+    if beamformer == "ds":
+        bf = compat.SubbandGSCBeamformer(afbs, Nc=1)
+        bf.calc_beamformer_weights(FS, delays)
+    elif beamformer == "sd_mvdr":
+        bf = compat.SubbandMVDRBeamformer(afbs)
+        bf.calc_sd_beamformer_weights(FS, delays, mpos, mu=0.01)
+    elif beamformer == "gsc_rls":
+        bf = compat.SubbandGSCRLSBeamformer(afbs, sil_thresh=1.0e8, min_frames=8)
+        bf.calc_beamformer_weights(FS, delays)
+    elif beamformer == "gsc_lms":
+        bf = compat.SubbandGSCLMSBeamformer(afbs, min_frames=8)
+        bf.calc_beamformer_weights(FS, delays)
+    else:
+        raise ValueError(beamformer)
+
+    node = compat.PyVectorComplexFeatureStream(bf)  # reference driver shape
+    if postfilter == "zelinski":
+        pf = compat.ZelinskiPostFilter(node, M, alpha=0.6,
+                                       type=PostFilterType.ZELINSKI1_REAL)
+        pf.set_beamformer(bf)
+        node = pf
+    sfb = compat.OverSampledDFTSynthesisBank(node, g, M, m, r,
+                                             delay_compensation_type=DC)
+    return np.concatenate([np.asarray(b) for b in sfb])
+
+
+@pytest.mark.parametrize(
+    "beamformer,postfilter",
+    [("ds", "zelinski"), ("sd_mvdr", "none"), ("gsc_lms", "none"), ("gsc_rls", "zelinski")],
+)
+def test_full_chain_matches_batch_pipeline(beamformer, postfilter):
+    h, g = _protos()
+    C = 3
+    x = _signal(C=C)
+    mpos = np.c_[np.arange(C) * 40.0, np.zeros((C, 2))]
+    delays = np.asarray(geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 4))
+
+    cfg = PipelineConfig(
+        fb=P,
+        samplerate=FS,
+        beamformer=beamformer,
+        postfilter=postfilter,
+        pf_min_frames=0,
+        rls=__import__(
+            "distant_speech_recognition_tpu.models.adaptive_gsc",
+            fromlist=["GSCRLSConfig"],
+        ).GSCRLSConfig(sil_thresh=1.0e8, min_frames=8),
+        lms=__import__(
+            "distant_speech_recognition_tpu.models.adaptive_gsc",
+            fromlist=["GSCLMSConfig"],
+        ).GSCLMSConfig(min_frames=8),
+    )
+    fn = build_pipeline(cfg, mpos, delays, h, g)
+    y_batch = np.asarray(fn(jnp.asarray(x[None])))[0]
+
+    y_compat = _compat_chain(x, h, g, beamformer, postfilter, mpos, delays)
+    assert y_compat.shape == y_batch.shape
+    scale = max(1.0, np.max(np.abs(y_batch)))
+    np.testing.assert_allclose(y_compat / scale, y_batch / scale, atol=5e-4)
