@@ -27,7 +27,7 @@ migration.  For production use the batched pipelines (models/pipeline.py,
 ~1000x faster) or the chunked ``StreamingEnhancer`` (models/streaming.py).
 """
 
-from . import feature, modulated, postfilter, pybeamformer, stream  # noqa: F401
+from . import aec, dereverberation, feature, modulated, postfilter, pybeamformer, stream  # noqa: F401
 
 from .stream import FeatureStream, PyVectorComplexFeatureStream, PyVectorComplexFeatureStreamPtr  # noqa: F401
 from .feature import SampleFeature, SampleFeaturePtr  # noqa: F401
@@ -43,4 +43,33 @@ from .pybeamformer import (  # noqa: F401
     SubbandGSCRLSBeamformer,
     SubbandMVDRBeamformer,
 )
-from .postfilter import ZelinskiPostFilter, ZelinskiPostFilterPtr  # noqa: F401
+from .postfilter import (  # noqa: F401
+    LefkimmiatisPostFilter,
+    LefkimmiatisPostFilterPtr,
+    McCowanPostFilter,
+    McCowanPostFilterPtr,
+    ZelinskiPostFilter,
+    ZelinskiPostFilterPtr,
+)
+from .dereverberation import (  # noqa: F401
+    MultiChannelWPEDereverberation,
+    MultiChannelWPEDereverberationFeature,
+    MultiChannelWPEDereverberationFeaturePtr,
+    MultiChannelWPEDereverberationPtr,
+    SingleChannelWPEDereverberationFeature,
+    SingleChannelWPEDereverberationFeaturePtr,
+)
+from .aec import (  # noqa: F401
+    BlockKalmanFilterEchoCancellationFeature,
+    BlockKalmanFilterEchoCancellationFeaturePtr,
+    DTDBlockKalmanFilterEchoCancellationFeature,
+    DTDBlockKalmanFilterEchoCancellationFeaturePtr,
+    InformationFilterEchoCancellationFeature,
+    InformationFilterEchoCancellationFeaturePtr,
+    KalmanFilterEchoCancellationFeature,
+    KalmanFilterEchoCancellationFeaturePtr,
+    NLMSAcousticEchoCancellationFeature,
+    NLMSAcousticEchoCancellationFeaturePtr,
+    SquareRootInformationFilterEchoCancellationFeature,
+    SquareRootInformationFilterEchoCancellationFeaturePtr,
+)

@@ -162,3 +162,106 @@ def test_full_chain_matches_batch_pipeline(beamformer, postfilter):
     assert y_compat.shape == y_batch.shape
     scale = max(1.0, np.max(np.abs(y_batch)))
     np.testing.assert_allclose(y_compat / scale, y_batch / scale, atol=5e-4)
+
+
+def test_wpe_single_channel_compat():
+    h, g = _protos()
+    x = _signal(C=1, T=4000, seed=7)[0]
+    from distant_speech_recognition_tpu.models.dereverberation import wpe
+    from distant_speech_recognition_tpu.ops.filterbank import analysis
+
+    batch_Y = analysis(jnp.asarray(x), jnp.asarray(h), P)  # [T, M]
+    F = M // 2 + 1
+    exp = np.asarray(
+        hermitian_mirror(wpe(batch_Y[:, :F], 1, 4, iterations=2), M)
+    )
+
+    sf = _sample_feat(x)
+    afb = compat.OverSampledDFTAnalysisBank(sf, h, M, m, r, delay_compensation_type=DC)
+    dr = compat.SingleChannelWPEDereverberationFeature(
+        afb, lower_num=1, upper_num=4, iterations_num=2)
+    n = dr.estimate_filter()
+    rows = np.stack(list(dr))
+    assert rows.shape[0] == n == exp.shape[0]
+    scale = np.abs(exp).max()
+    np.testing.assert_allclose(rows / scale, exp / scale, atol=1e-4)
+
+
+def test_wpe_multi_channel_compat():
+    h, g = _protos()
+    x = _signal(C=2, T=3000, seed=8)
+    from distant_speech_recognition_tpu.models.dereverberation import wpe_multichannel
+    from distant_speech_recognition_tpu.ops.filterbank import analysis
+    import jax
+
+    F = M // 2 + 1
+    batch_Y = jax.vmap(lambda s: analysis(s, jnp.asarray(h), P))(jnp.asarray(x))
+    exp = np.asarray(
+        hermitian_mirror(wpe_multichannel(batch_Y[..., :F], 1, 3, iterations=1), M)
+    )
+
+    pre = compat.MultiChannelWPEDereverberation(
+        subbands_num=M, channels_num=2, lower_num=1, upper_num=3, iterations_num=1)
+    feats = []
+    for c in range(2):
+        sf = _sample_feat(x[c])
+        afb = compat.OverSampledDFTAnalysisBank(sf, h, M, m, r, delay_compensation_type=DC)
+        pre.set_input(afb)
+        feats.append(compat.MultiChannelWPEDereverberationFeature(pre, channel_no=c))
+    n = pre.estimate_filter()
+    scale = np.abs(exp).max()
+    for c in range(2):
+        rows = np.stack(list(feats[c]))
+        assert rows.shape[0] == n
+        np.testing.assert_allclose(rows / scale, exp[c] / scale, atol=1e-4)
+
+
+def test_nlms_aec_compat():
+    h, g = _protos()
+    rng = np.random.default_rng(9)
+    T = 3000
+    far = (1000.0 * rng.standard_normal(T)).astype(np.float32)
+    near = 0.5 * np.roll(far, 3) + (20.0 * rng.standard_normal(T)).astype(np.float32)
+    from distant_speech_recognition_tpu.models.aec import nlms_aec
+    from distant_speech_recognition_tpu.ops.filterbank import analysis
+
+    F = M // 2 + 1
+    V = analysis(jnp.asarray(far), jnp.asarray(h), P)
+    A = analysis(jnp.asarray(near), jnp.asarray(h), P)
+    exp = np.asarray(hermitian_mirror(nlms_aec(V[:, :F], A[:, :F])[0], M))
+
+    pafb = compat.OverSampledDFTAnalysisBank(_sample_feat(far), h, M, m, r,
+                                             delay_compensation_type=DC)
+    rafb = compat.OverSampledDFTAnalysisBank(_sample_feat(near), h, M, m, r,
+                                             delay_compensation_type=DC)
+    aec = compat.NLMSAcousticEchoCancellationFeature(pafb, rafb)
+    rows = np.stack(list(aec))
+    scale = np.abs(exp).max()
+    np.testing.assert_allclose(rows / scale, exp / scale, atol=1e-4)
+
+
+def test_mccowan_compat_matches_batch_pipeline():
+    h, g = _protos()
+    C = 3
+    x = _signal(C=C)
+    mpos = np.c_[np.arange(C) * 40.0, np.zeros((C, 2))]
+    delays = np.asarray(geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 4))
+
+    cfg = PipelineConfig(fb=P, samplerate=FS, beamformer="ds", postfilter="mccowan")
+    fn = build_pipeline(cfg, mpos, delays, h, g)
+    y_batch = np.asarray(fn(jnp.asarray(x[None])))[0]
+
+    sfs = [_sample_feat(x[c]) for c in range(C)]
+    afbs = [compat.OverSampledDFTAnalysisBank(sf, h, M, m, r, delay_compensation_type=DC)
+            for sf in sfs]
+    bf = compat.SubbandGSCBeamformer(afbs, Nc=1)
+    bf.calc_beamformer_weights(FS, delays)
+    pf = compat.McCowanPostFilter(bf, M, alpha=0.6, type=PostFilterType.ZELINSKI1_REAL)
+    pf.set_beamformer(bf)
+    pf.set_diffuse_noise_model(mpos, FS)
+    sfb = compat.OverSampledDFTSynthesisBank(pf, g, M, m, r, delay_compensation_type=DC)
+    y_compat = np.concatenate([np.asarray(b) for b in sfb])
+
+    assert y_compat.shape == y_batch.shape
+    scale = max(1.0, np.max(np.abs(y_batch)))
+    np.testing.assert_allclose(y_compat / scale, y_batch / scale, atol=5e-4)
