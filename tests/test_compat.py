@@ -265,3 +265,35 @@ def test_mccowan_compat_matches_batch_pipeline():
     assert y_compat.shape == y_batch.shape
     scale = max(1.0, np.max(np.abs(y_batch)))
     np.testing.assert_allclose(y_compat / scale, y_batch / scale, atol=5e-4)
+
+
+def test_mfcc_chain_compat():
+    from distant_speech_recognition_tpu.models import features as feat
+
+    x = _signal(C=1, T=4000, seed=11)[0]
+    block, shift, fft_len, pow_n, nmel, ncep = 320, 160, 512, 257, 30, 13
+
+    sf = compat.SampleFeature(block_len=block, shift_len=shift, pad_zeros=True)
+    sf.set_samples(x, 16000)
+    chain = compat.feature.PreemphasisFeature(sf, mu=0.95)
+    chain = compat.feature.HammingFeature(chain)
+    chain = compat.feature.FFTFeature(chain, fft_len=fft_len)
+    chain = compat.feature.SpectralPowerFeature(chain, pow_num=pow_n)
+    chain = compat.feature.MelFeature(chain, pow_num=pow_n, filter_num=nmel, rate=16000)
+    chain = compat.feature.LogFeature(chain)
+    chain = compat.feature.CepstralFeature(chain, ncep=ncep)
+    store = compat.feature.StorageFeature(chain)
+    got = np.stack(list(store))
+    np.testing.assert_array_equal(store.frames(), got)
+
+    frames = feat.frame_signal(jnp.asarray(x), block, shift)
+    p = feat.preemphasis(frames, 0.95)
+    wd = feat.hamming_window(p)
+    sp = feat.fft_feature(wd, fft_len)
+    pw = feat.spectral_power(sp, pow_n)
+    ml = feat.mel_feature(pw, feat.mel_matrix(pow_n, 16000.0, 100.0, 6800.0, nmel))
+    lg = feat.log_feature(ml)
+    exp = np.asarray(feat.cepstral_feature(lg, ncep, 1))
+
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, rtol=2e-4, atol=2e-4)
