@@ -10,6 +10,7 @@
 // Exposed as a plain C ABI for ctypes binding (no pybind11 in this image).
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -309,6 +310,86 @@ void stream_close(void* handle) {
     fclose(r->f);
     delete r;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Sample-rate conversion (SamplerateConversionFeature, feature/feature.h:
+// 775-809 — the reference wraps libsamplerate's SRC_SINC converters).
+// Windowed-sinc interpolation with a Blackman-Harris window; the cutoff is
+// scaled below 1 for downsampling so the kernel doubles as the anti-alias
+// filter.  Multi-threaded over output ranges.
+// ---------------------------------------------------------------------------
+
+static double bh_window(double u) {  // u in [-1, 1]
+  const double a0 = 0.35875, a1 = 0.48829, a2 = 0.14128, a3 = 0.01168;
+  const double pi = 3.14159265358979323846;
+  double t = 0.5 * (u + 1.0);  // [0, 1]
+  return a0 - a1 * cos(2.0 * pi * t) + a2 * cos(4.0 * pi * t) -
+         a3 * cos(6.0 * pi * t);
+}
+
+static double sinc_pi(double x) {
+  const double pi = 3.14159265358979323846;
+  if (x > -1e-12 && x < 1e-12) return 1.0;
+  return sin(pi * x) / (pi * x);
+}
+
+// Resample a mono float signal from src_rate to dst_rate.  half_taps is the
+// one-sided kernel width at the *output* Nyquist (e.g. 32); out must hold
+// floor(n_in * dst / src) samples.  Returns the output length, or negative
+// on error.  num_threads <= 0 selects hardware concurrency.
+int64_t resample_sinc_f32(const float* in, int64_t n_in, int32_t src_rate,
+                          int32_t dst_rate, float* out, int64_t out_capacity,
+                          int32_t half_taps, int32_t num_threads) {
+  if (n_in <= 0 || src_rate <= 0 || dst_rate <= 0 || half_taps <= 0) return -1;
+  const int64_t n_out = n_in * (int64_t)dst_rate / src_rate;
+  if (out_capacity < n_out) return -2;
+  const double ratio = (double)src_rate / (double)dst_rate;  // input step
+  const double cutoff = ratio > 1.0 ? 1.0 / ratio : 1.0;     // anti-alias
+  const double width = (double)half_taps / cutoff;           // input samples
+
+  int nt = num_threads > 0 ? num_threads
+                           : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  const int64_t min_chunk = 4096;
+  if (nt > (int)((n_out + min_chunk - 1) / min_chunk))
+    nt = (int)((n_out + min_chunk - 1) / min_chunk);
+  if (nt < 1) nt = 1;
+
+  auto worker = [&](int64_t t0, int64_t t1) {
+    for (int64_t t = t0; t < t1; ++t) {
+      const double p = (double)t * ratio;  // position in input samples
+      int64_t k0 = (int64_t)ceil(p - width);
+      int64_t k1 = (int64_t)floor(p + width);
+      if (k0 < 0) k0 = 0;
+      if (k1 > n_in - 1) k1 = n_in - 1;
+      double acc = 0.0, wsum = 0.0;
+      for (int64_t k = k0; k <= k1; ++k) {
+        const double d = p - (double)k;
+        const double w = sinc_pi(cutoff * d) * bh_window(d / width);
+        acc += w * (double)in[k];
+        wsum += w;
+      }
+      // normalize by the weight sum: unity DC gain regardless of the
+      // fractional phase or edge truncation of the kernel
+      out[t] = wsum > 1e-12 ? (float)(acc / wsum) : 0.0f;
+    }
+  };
+  if (nt == 1) {
+    worker(0, n_out);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)nt);
+    const int64_t per = (n_out + nt - 1) / nt;
+    for (int i = 0; i < nt; ++i) {
+      int64_t t0 = (int64_t)i * per;
+      int64_t t1 = t0 + per < n_out ? t0 + per : n_out;
+      if (t0 >= t1) break;
+      pool.emplace_back(worker, t0, t1);
+    }
+    for (auto& t : pool) t.join();
+  }
+  return n_out;
 }
 
 }  // extern "C"

@@ -94,6 +94,17 @@ def _load():
         lib.stream_read_block.restype = ctypes.c_int64
         lib.stream_close.argtypes = [ctypes.c_void_p]
         lib.stream_close.restype = None
+        lib.resample_sinc_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.resample_sinc_f32.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -222,3 +233,39 @@ class NativeStreamReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def resample_native(x: np.ndarray, src_rate: int, dst_rate: int,
+                    half_taps: int = 32, num_threads: int = 0) -> np.ndarray:
+    """Windowed-sinc sample-rate conversion on the host
+    (SamplerateConversionFeature, feature/feature.h:775-809 — the reference
+    wraps libsamplerate; this is the native TPU-host equivalent).
+
+    ``x``: float32 ``[..., T]``; returns ``[..., floor(T*dst/src)]``.  The
+    Blackman-Harris-windowed sinc doubles as the anti-alias filter on
+    downsampling; rows of a 2-D input are converted through the same
+    thread pool.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    x = np.ascontiguousarray(np.asarray(x, np.float32))
+    lead = x.shape[:-1]
+    T = x.shape[-1]
+    n_out = T * int(dst_rate) // int(src_rate)
+    flat = x.reshape(-1, T)
+    out = np.empty((flat.shape[0], n_out), np.float32)
+    for i in range(flat.shape[0]):
+        got = lib.resample_sinc_f32(
+            flat[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            T,
+            int(src_rate),
+            int(dst_rate),
+            out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n_out,
+            int(half_taps),
+            int(num_threads),
+        )
+        if got < 0:
+            raise RuntimeError(f"resample_sinc_f32 failed: {got}")
+    return out.reshape(lead + (n_out,))

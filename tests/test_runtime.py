@@ -102,3 +102,42 @@ def test_native_batch_loader(tmp_path):
     # header probe
     c, r, n = native_io.wav_info_native(paths[0])
     assert (c, r, n) == (2, 16000, 1000)
+
+
+def test_native_resampler():
+    from distant_speech_recognition_tpu.runtime import native_io
+
+    if not native_io.native_available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(5)
+    fs_in, fs_out = 48000, 16000
+    T = 48000
+    t = np.arange(T) / fs_in
+    # in-band tone passes through with the right frequency and amplitude
+    tone = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    y = native_io.resample_native(tone, fs_in, fs_out)
+    assert y.shape == (T * fs_out // fs_in,)
+    t2 = np.arange(len(y)) / fs_out
+    ref = np.sin(2 * np.pi * 1000.0 * t2)
+    seg = slice(200, len(y) - 200)  # skip filter edge transients
+    err = y[seg] - ref[seg]
+    snr = 10 * np.log10((ref[seg] ** 2).mean() / (err ** 2).mean())
+    assert snr > 60.0, snr
+    # out-of-band tone (19 kHz > new Nyquist) is rejected, not aliased
+    alias = np.sin(2 * np.pi * 19000.0 * t).astype(np.float32)
+    ya = native_io.resample_native(alias, fs_in, fs_out)
+    assert np.sqrt((ya[seg] ** 2).mean()) < 0.02
+    # upsampling round-trip is near-identity
+    up = native_io.resample_native(tone, fs_in, 2 * fs_in)
+    back = native_io.resample_native(up, 2 * fs_in, fs_in)
+    n = min(len(back), T)
+    seg2 = slice(200, n - 200)
+    err2 = back[seg2] - tone[:n][seg2]
+    snr2 = 10 * np.log10((tone[:n][seg2] ** 2).mean() / (err2 ** 2).mean())
+    assert snr2 > 60.0, snr2
+    # 2-D leading-dim handling
+    two = np.stack([tone, tone * 0.5])
+    y2 = native_io.resample_native(two, fs_in, fs_out)
+    np.testing.assert_allclose(y2[0], y, atol=1e-7)
