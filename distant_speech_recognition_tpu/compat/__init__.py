@@ -16,6 +16,9 @@ SWIG packages:
     compat.modulated     <-  btk20.modulated (oversampled DFT filterbanks)
     compat.pybeamformer  <-  lib/pybeamformer.py (subband beamformers)
     compat.postfilter    <-  btk20.postfilter (Zelinski/McCowan postfilters)
+    compat.pytdoa        <-  lib/pytdoa.py    (GCC-PHAT TDOA front ends)
+    compat.pykalman      <-  lib/pykalman.py  (KF/EKF/IEKF trackers)
+    compat.dereverberation / compat.aec  <-  btk20.{dereverberation,aec}
 
 Every class is also exported under its SWIG shadow name with the ``Ptr``
 suffix (``SampleFeaturePtr`` etc.), matching how the reference drivers
@@ -27,7 +30,7 @@ migration.  For production use the batched pipelines (models/pipeline.py,
 ~1000x faster) or the chunked ``StreamingEnhancer`` (models/streaming.py).
 """
 
-from . import aec, dereverberation, feature, modulated, postfilter, pybeamformer, stream  # noqa: F401
+from . import aec, dereverberation, feature, modulated, postfilter, pybeamformer, pykalman, pytdoa, stream  # noqa: F401
 
 from .stream import FeatureStream, PyVectorComplexFeatureStream, PyVectorComplexFeatureStreamPtr  # noqa: F401
 from .feature import SampleFeature, SampleFeaturePtr  # noqa: F401

@@ -46,7 +46,14 @@ __all__ = [
 # forces the fft path everywhere (e.g. for very long prototypes on CPU).
 MATMUL_MAX_M = 0 if os.environ.get("DSR_DFT_MATMUL", "1") == "0" else 2048
 
-_PREC = lax.Precision.HIGHEST  # full-f32 passes on the MXU
+# DFT-matmul MXU precision.  HIGHEST = 6-pass bf16 (full f32, ~3e-7 rel err);
+# HIGH = 3-pass bf16 (~1e-6 rel err) at roughly half the MXU time.  Override
+# with DSR_DFT_PRECISION={default,high,highest} to trade accuracy for speed.
+_PREC = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}[os.environ.get("DSR_DFT_PRECISION", "highest").lower()]
 
 
 @lru_cache(maxsize=None)
