@@ -30,7 +30,7 @@ migration.  For production use the batched pipelines (models/pipeline.py,
 ~1000x faster) or the chunked ``StreamingEnhancer`` (models/streaming.py).
 """
 
-from . import aec, dereverberation, feature, modulated, postfilter, pybeamformer, pykalman, pytdoa, stream  # noqa: F401
+from . import aec, beamformer, dereverberation, feature, modulated, postfilter, pybeamformer, pykalman, pytdoa, stream  # noqa: F401
 
 from .stream import FeatureStream, PyVectorComplexFeatureStream, PyVectorComplexFeatureStreamPtr  # noqa: F401
 from .feature import SampleFeature, SampleFeaturePtr  # noqa: F401
