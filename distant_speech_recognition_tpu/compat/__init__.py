@@ -14,11 +14,22 @@ SWIG packages:
     compat.stream        <-  btk20.stream    (FeatureStream pull model)
     compat.feature       <-  btk20.feature   (SampleFeature, plumbing nodes)
     compat.modulated     <-  btk20.modulated (oversampled DFT filterbanks)
+    compat.beamformer    <-  btk20.beamformer (SubbandDS/GSC/GSCRLS/MVDR/...)
     compat.pybeamformer  <-  lib/pybeamformer.py (subband beamformers)
     compat.postfilter    <-  btk20.postfilter (Zelinski/McCowan postfilters)
     compat.pytdoa        <-  lib/pytdoa.py    (GCC-PHAT TDOA front ends)
     compat.pykalman      <-  lib/pykalman.py  (KF/EKF/IEKF trackers)
     compat.dereverberation / compat.aec  <-  btk20.{dereverberation,aec}
+    compat.convolution   <-  btk20.convolution (OverlapAdd/OverlapSave)
+    compat.lms           <-  btk20.lms        (FastBlockLMSFeature)
+    compat.sad           <-  btk20.sad        (VAD streams, EnergyVADFeature)
+    compat.tde           <-  btk20.tde        (CCTDE)
+    compat.localization  <-  btk20.localization (GCC family, noise spectra)
+    compat.objective_measure <- btk20.objective_measure (SNR/IS measures)
+
+(btk20.{common,matrix,square_root,utils} have no Python-visible DSP
+surface to mirror — smart pointers, GSL matrices and Cholesky/Givens
+kernels are subsumed by numpy/jax; see PARITY.md section 2.1/2.12.)
 
 Every class is also exported under its SWIG shadow name with the ``Ptr``
 suffix (``SampleFeaturePtr`` etc.), matching how the reference drivers
@@ -30,7 +41,24 @@ migration.  For production use the batched pipelines (models/pipeline.py,
 ~1000x faster) or the chunked ``StreamingEnhancer`` (models/streaming.py).
 """
 
-from . import aec, beamformer, dereverberation, feature, modulated, postfilter, pybeamformer, pykalman, pytdoa, stream  # noqa: F401
+from . import (  # noqa: F401
+    aec,
+    beamformer,
+    convolution,
+    dereverberation,
+    feature,
+    lms,
+    localization,
+    modulated,
+    objective_measure,
+    postfilter,
+    pybeamformer,
+    pykalman,
+    pytdoa,
+    sad,
+    stream,
+    tde,
+)
 
 from .stream import FeatureStream, PyVectorComplexFeatureStream, PyVectorComplexFeatureStreamPtr  # noqa: F401
 from .feature import SampleFeature, SampleFeaturePtr  # noqa: F401
