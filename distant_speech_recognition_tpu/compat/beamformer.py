@@ -702,6 +702,8 @@ class SubbandMVDRGSC(SubbandMVDR):
 
     def __init__(self, fftLen: int = 512, halfBandShift: bool = False,
                  nm: str = "SubbandMVDR"):
+        # [sic] the default name really is "SubbandMVDR" in the reference
+        # (beamformer.h:406)
         super().__init__(fftLen, halfBandShift, nm)
         self._normalize_weight = False
 

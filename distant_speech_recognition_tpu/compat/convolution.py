@@ -131,7 +131,12 @@ class OverlapSave(FeatureStream):
 
     def _produce(self) -> np.ndarray:
         block = np.asarray(self.samp.next(self._frame_no + 1), np.float64)
-        sect = np.real(np.fft.ifft(np.fft.fft(block, n=self._L) * self._H))
+        # halfcomplex multiply: only bins 0..L/2 of the response are used,
+        # with hermitian extension (convolution.cc:210-219) — a
+        # non-hermitian update() therefore acts through its lower half only
+        sect = np.fft.irfft(
+            np.fft.rfft(block, n=self._L) * self._H[: self._L // 2 + 1], n=self._L
+        )
         return sect[self._P : self._L].astype(np.float32)
 
     def _reset(self):

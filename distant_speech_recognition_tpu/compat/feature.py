@@ -53,6 +53,9 @@ class SampleFeature(FeatureStream):
     def samplerate(self) -> int:
         return self._rate
 
+    def getSampleRate(self) -> int:  # legacy alias (feature.h ENABLE_LEGACY_BTK_API)
+        return self._rate
+
     def cut(self, start: int, end: int):
         self._x = self._x[start:end]
         self.reset()

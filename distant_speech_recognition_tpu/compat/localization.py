@@ -45,10 +45,22 @@ __all__ = [
 ]
 
 
+def _half_len_view(x: np.ndarray, state) -> np.ndarray:
+    """Truncate a full spectrum to the reference's stored length, bins
+    0..fftLen/2 (localization.cc:1151-1161,1186-1196).  A full radix-2
+    spectrum has even length; an odd-length input is already half-band
+    (fftLen/2+1 bins) and passes through.  Once initialized, match the
+    stored state's length."""
+    if state is not None:
+        return x[: state.shape[0]]
+    n = x.shape[0]
+    return x[: n // 2 + 1] if (n % 2) == 0 else x
+
+
 class NoisePowerSpectrum:
     """Recursive per-bin noise power estimate (localization.cc:1136-1163).
-    The first ``add`` initializes with ``(1-alpha) |X|^2``; repeated calls
-    with the same timestamp are ignored."""
+    The first ``add`` initializes with ``(1-alpha) |X|^2`` over bins
+    0..fftLen/2; repeated calls with the same timestamp are ignored."""
 
     def __init__(self, alpha: float = 0.95):
         self._alpha = float(alpha)
@@ -68,7 +80,7 @@ class NoisePowerSpectrum:
     def add(self, noise_spectrum, timestamp: float) -> None:
         if self._timestamp == timestamp:
             return
-        p = np.abs(np.asarray(noise_spectrum)) ** 2
+        p = np.abs(_half_len_view(np.asarray(noise_spectrum), self._ps)) ** 2
         a, a1 = self._alpha, 1.0 - self._alpha
         self._ps = a1 * p if self._ps is None else a * self._ps + a1 * p
         self._timestamp = timestamp
@@ -99,6 +111,8 @@ class NoiseCrossSpectrum:
         n2 = np.asarray(noise_spectrum2)
         if n1.shape != n2.shape:
             raise ValueError("FFT length of noiseSpectra does not match")
+        n1 = _half_len_view(n1, self._cs)
+        n2 = _half_len_view(n2, self._cs)
         v = n1 * np.conj(n2)
         a, a1 = self._alpha, 1.0 - self._alpha
         self._cs = a1 * v if self._cs is None else a * self._cs + a1 * v
@@ -125,7 +139,8 @@ class GCC:
         self._pairs = int(pairs)
         self._beta = float(beta)
         self._q = float(q)
-        self._q1, self._q2 = 1.0 - self._q, self._q
+        # q1 = 1 - q, q2 = 2*q (GCC::GCC, localization.cc:1220-1221)
+        self._q1, self._q2 = 1.0 - self._q, 2.0 * self._q
         self._interpolate = bool(interpolate)
         self._noisereduction = bool(noisereduction)
         self._noise_ps = [NoisePowerSpectrum(alpha) for _ in range(self._nChan)]
@@ -140,17 +155,26 @@ class GCC:
     def _cross_spectrum_value(self, x1, x2, Gn1n2, N1, N2):
         raise NotImplementedError("Not implemented!!!")
 
+    def _to_half(self, x: np.ndarray) -> np.ndarray:
+        """Accept the reference's full-fftLen spectra (it requires
+        size == fftLen and then reads bins 0..len-1 only,
+        localization.cc:1246-1263) as well as half-band input."""
+        if x.shape[0] == self._fftLen:
+            return x[: self._len]
+        if x.shape[0] == self._len:
+            return x
+        raise ValueError(
+            f"spectra must have fftLen = {self._fftLen} or fftLen/2+1 = "
+            f"{self._len} bins, got {x.shape[0]}"
+        )
+
     # -- reference API ----------------------------------------------------------
     def calculate(self, spectralSample1, chan1: int, spectralSample2, chan2: int,
                   pair: int, timestamp: float, sad: bool = False,
                   smooth: bool = True) -> None:
-        x1 = np.asarray(spectralSample1, np.complex128)
-        x2 = np.asarray(spectralSample2, np.complex128)
+        x1 = self._to_half(np.asarray(spectralSample1, np.complex128))
+        x2 = self._to_half(np.asarray(spectralSample2, np.complex128))
         if sad:
-            if x1.shape[0] != self._len or x2.shape[0] != self._len:
-                raise ValueError(
-                    f"half spectra must have fftLen/2+1 = {self._len} bins"
-                )
             Gn1n2 = self._noise_cs[pair].get()
             N1 = self._noise_ps[chan1].get()
             N2 = self._noise_ps[chan2].get()

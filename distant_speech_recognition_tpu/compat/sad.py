@@ -86,6 +86,10 @@ class SimpleEnergyVAD(VAD):
     def _decide(self, samp) -> bool:
         e = float(np.sum(np.abs(samp) ** 2))
         self._spectral_energy = self._gamma * self._spectral_energy + (1.0 - self._gamma) * e
+        if self._spectral_energy == 0.0:
+            # all-zero stream so far: the reference computes 0/0 = NaN and
+            # NaN > threshold is false (sad.cc:171-173) — return non-speech
+            return False
         return (e / self._spectral_energy) > self._threshold
 
     def next_speaker(self):
@@ -121,10 +125,15 @@ class SimpleLikelihoodRatioVAD(VAD):
         self._prev_Ak = None
 
     def set_variance(self, variance) -> None:
-        """Noise variance per bin; also initializes the previous amplitude
-        estimate to the noise floor (sad.cc:210-223)."""
+        """Noise variance per bin.  The previous-amplitude state is
+        initialized to the noise floor only the FIRST time (sad.cc:213-218);
+        later calls update the variance but preserve the adaptive prev_Ak,
+        so periodic noise re-estimation doesn't reset the decision-directed
+        SNR recursion."""
+        first = self._variance is None
         self._variance = np.asarray(variance, np.float64)
-        self._prev_Ak = np.sqrt(self._variance)
+        if first:
+            self._prev_Ak = np.sqrt(self._variance)
 
     def _decide(self, samp) -> bool:
         if self._variance is None:
@@ -241,8 +250,11 @@ EnergyVADFeaturePtr = EnergyVADFeature
 class NeuralNetVAD:
     """MLP speech/non-speech on context-stacked cepstra
     (NeuralNetVAD, sad.h:32-61; the MLP forward pass is
-    sad/neural_spnsp_det.c:34-72).  Wraps models/sad.MLPVad per frame; the
-    context window is filled causally with edge padding at the start."""
+    sad/neural_spnsp_det.c:34-72).  Per-frame twin of models/sad.MLPVad:
+    the decision for frame ``t`` sees the center-aligned window
+    ``[t-context .. t+context]`` (the node pulls ``context`` frames ahead),
+    edge-padded at both stream ends exactly as the reference's priming and
+    ``framesPadded_`` protocol do (sad.cc:77-124)."""
 
     def __init__(self, cep, context: int = 4, hiddenUnitsN: int = 1000,
                  outputUnitsN: int = 2, threshold: float = 0.1,
@@ -257,6 +269,7 @@ class NeuralNetVAD:
         self._frame_no = -1
         self._is_speech = False
         self._window: list[np.ndarray] = []
+        self._padded = 0
         if neuralNetFile:
             self.read(neuralNetFile)
 
@@ -275,18 +288,40 @@ class NeuralNetVAD:
             threshold=self._threshold, context=self._context,
         )
 
+    def _pull_or_pad(self):
+        """Pull the next cepstral frame; at end of stream repeat the last
+        frame up to ``context`` times, then signal EOF
+        (NeuralNetVAD::update_buffer_, sad.cc:77-108)."""
+        if self._padded == 0:
+            try:
+                return np.asarray(self.cep.next(), np.float32)
+            except StopIteration:
+                self._padded = 1
+                return self._window[-1]
+        if self._padded < self._context:
+            self._padded += 1
+            return self._window[-1]
+        raise StopIteration
+
     def next(self, frame_no: int = -5) -> bool:
         if self._mlp is None:
             raise RuntimeError("load MLP weights first (read() or set_weights())")
         if frame_no >= 0 and frame_no == self._frame_no:
             return self._is_speech
         c = self._context
-        frame = np.asarray(self.cep.next(self._frame_no + 1), np.float32)
         if not self._window:
-            self._window = [frame] * (2 * c + 1)
-        else:
+            # prime: c copies of frame 0 (left edge padding) + frames 0..c-1
+            # (NeuralNetVAD::next priming loops, sad.cc:119-124 — the repeated
+            # next(0) calls hit the upstream frame cache, so frame 0 is
+            # produced once)
+            f0 = np.asarray(self.cep.next(), np.float32)
+            self._window = [f0] * (c + 1)
+            for _ in range(c - 1):
+                self._window.append(self._pull_or_pad())
+        # decision t sees the center-aligned window [t-c .. t+c]: pull t+c
+        self._window.append(self._pull_or_pad())
+        if len(self._window) > 2 * c + 1:
             self._window.pop(0)
-            self._window.append(frame)
         x = np.concatenate(self._window)
         hdn = 1.0 / (1.0 + np.exp(-(x @ np.asarray(self._mlp.W1) + self._mlp.b1)))
         logits = hdn @ np.asarray(self._mlp.W2) + self._mlp.b2
@@ -299,6 +334,7 @@ class NeuralNetVAD:
     def reset(self):
         self._frame_no = -1
         self._window = []
+        self._padded = 0
         if hasattr(self.cep, "reset"):
             self.cep.reset()
 

@@ -31,12 +31,19 @@ class CCTDE(FeatureStream):
                  freqLowerLimit: int = -1, freqUpperLimit: int = -1,
                  nm: str = "CCTDE"):
         super().__init__(int(nHeldMaxCC), nm)
-        if hasattr(samp1, "getSampleRate") and hasattr(samp2, "getSampleRate"):
-            if samp1.getSampleRate() != samp2.getSampleRate():
-                raise ValueError("the sampling rates must be the same")
-            self._samplerate = int(samp1.getSampleRate())
-        else:
-            self._samplerate = 16000
+        rates = []
+        for s in (samp1, samp2):
+            for attr in ("getSampleRate", "samplerate"):
+                if hasattr(s, attr):
+                    rates.append(int(getattr(s, attr)()))
+                    break
+            else:
+                rates.append(16000)
+        if rates[0] != rates[1]:
+            raise ValueError(
+                f"the sampling rates must be the same but {rates[0]} != {rates[1]}"
+            )
+        self._samplerate = rates[0]
         if samp1.size() != samp2.size():
             raise ValueError("block sizes must be the same")
         # the reference derives the FFT length from the block size
@@ -86,10 +93,14 @@ class CCTDE(FeatureStream):
         X1, X2 = specs
         phase = np.angle(X2) - np.angle(X1)
         cs = np.cos(phase) + 1j * np.sin(phase)
-        # band limiting (tde.cc:168-188)
+        # Band limiting.  NOTE: the reference's discard block is dead code —
+        # tde.cc:166 forces freq_upper_limit_ positive and tde.cc:168 then
+        # requires it <= 0, so btk20 never actually band-limits.  The evident
+        # intent is implemented here: active whenever a lower limit >= 0 is
+        # set, with the upper limit defaulting to Nyquist (tde.cc:168-188).
         lo = self._freq_lo
         hi = self._freq_hi if self._freq_hi > 0 else self._samplerate // 2
-        if lo >= 0 and self._freq_hi > 0:
+        if lo >= 0:
             s1 = int(lo * N / float(self._samplerate))
             e1 = int(hi * N / float(self._samplerate))
             for i in range(1, s1 + 1):

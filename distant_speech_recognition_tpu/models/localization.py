@@ -309,7 +309,8 @@ def gcc_weighted(
         mag = jnp.abs(num)
         G = num / jnp.where(mag > 0, mag, 1.0)
     elif mode in ("mlr_raw", "mlr_gnn_sub"):
-        q1, q2 = 1.0 - q, q
+        # q1 = 1 - q, q2 = 2*q (GCC::GCC, localization.cc:1220-1221)
+        q1, q2 = 1.0 - q, 2.0 * q
         X12 = jnp.abs(X1) ** 2
         X22 = jnp.abs(X2) ** 2
         if N1 is not None and N2 is not None:

@@ -286,7 +286,7 @@ def _analysis_matmul_real(x: jax.Array, h: jax.Array, params: FilterbankParams, 
             )
             for k in range(m)
         )
-        term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=jax.lax.Precision.HIGHEST)
+        term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=dft._PREC)
         Y = term if Y is None else Y + term
     return Y
 
@@ -346,7 +346,7 @@ def analysis_half_real_tm(
             )
             for k in range(m)
         )
-        term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=jax.lax.Precision.HIGHEST)
+        term = jnp.matmul(w_j, A[j * D : (j + 1) * D], precision=dft._PREC)
         Y = term if Y is None else Y + term
     return Y  # [n_frames, ..., 2F]
 

@@ -232,7 +232,7 @@ def test_gcc_mlr_weighting():
     X2 = rng.standard_normal(F) + 1j * rng.standard_normal(F)
     node = cloc.GCCMLRRawPtr(sampleRate=16000.0, fftLen=N, nChan=2, pairs=1, q=0.3)
     node.calculate(X1, 0, X2, 1, 0, timestamp=0.0, sad=True, smooth=False)
-    q1, q2 = 0.7, 0.3
+    q1, q2 = 0.7, 0.6  # q1 = 1-q, q2 = 2q (localization.cc:1220-1221)
     X12, X22 = np.abs(X1) ** 2, np.abs(X2) ** 2
     expected = np.fft.irfft(
         X1 * np.conj(X2) * np.sqrt(X12 * X22) / (q2 * X12 * X22), n=N
@@ -272,3 +272,96 @@ def test_objective_measure_classes(tmp_path):
     d_same = ism.getDistance(f1, f1)
     d_diff = ism.getDistance(f1, f2)
     assert d_same < 1e-9 and d_diff > d_same
+
+
+def test_simple_energy_vad_zero_stream_is_nonspeech():
+    # reference computes 0/0 = NaN -> non-speech (sad.cc:171-173); must not crash
+    X = np.zeros((5, 16), np.complex64)
+    node = csad.SimpleEnergyVAD(_Blocks(X), threshold=1.0)
+    assert [node.next(t) for t in range(5)] == [False] * 5
+
+
+def test_likelihood_ratio_vad_second_set_variance_preserves_state():
+    X = _spectra(seed=20)
+    var = np.mean(np.abs(X) ** 2, axis=0) * 0.5
+    node = csad.SimpleLikelihoodRatioVAD(_Blocks(X), threshold=0.9)
+    node.set_variance(var)
+    node.next(0)
+    adapted = node._prev_Ak.copy()
+    node.set_variance(var * 2.0)  # re-estimate: must NOT reset prev_Ak
+    np.testing.assert_array_equal(node._prev_Ak, adapted)
+
+
+def test_neural_net_vad_matches_batched_mlpvad():
+    from distant_speech_recognition_tpu.models.sad import MLPVad
+
+    rng = np.random.default_rng(21)
+    D, c, H, T = 5, 2, 8, 12
+    cep = rng.standard_normal((T, D)).astype(np.float32)
+    W1 = rng.standard_normal(((2 * c + 1) * D, H)).astype(np.float32)
+    b1 = rng.standard_normal(H).astype(np.float32)
+    W2 = rng.standard_normal((H, 2)).astype(np.float32)
+    b2 = rng.standard_normal(2).astype(np.float32)
+
+    node = csad.NeuralNetVAD(_Blocks(cep), context=c, threshold=0.05)
+    node.set_weights(W1, b1, W2, b2)
+    stream = [node.next(t) for t in range(T)]
+
+    mlp = MLPVad(W1=W1, b1=b1, W2=W2, b2=b2, threshold=0.05, context=c)
+    batched = np.asarray(mlp(jnp.asarray(cep)))
+    np.testing.assert_array_equal(np.array(stream), batched)
+
+
+def test_gcc_accepts_full_length_spectra():
+    rng = np.random.default_rng(22)
+    N = 32
+    # full-fftLen spectra, as the reference requires (localization.cc:1246)
+    x1 = np.fft.fft(rng.standard_normal(N))
+    x2 = np.fft.fft(rng.standard_normal(N))
+    node = cloc.GCCPhat(sampleRate=16000.0, fftLen=N, nChan=2, pairs=1,
+                        interpolate=False)
+    node.calculate(x1, 0, x2, 1, 0, timestamp=0.0, sad=True, smooth=False)
+    expected = np.asarray(
+        mloc.gcc_weighted(
+            jnp.asarray(x1[: N // 2 + 1])[None], jnp.asarray(x2[: N // 2 + 1])[None],
+            N, mode="phat",
+        )
+    )[0]
+    np.testing.assert_allclose(node.getCrossCorrelation(), expected, atol=1e-6)
+    # noise statistics also accept (and truncate) full spectra
+    node.calculate(x1, 0, x2, 1, 0, timestamp=1.0, sad=False)
+    assert node.getNoisePowerSpectrum(0).shape[0] == N // 2 + 1
+    assert node.getNoiseCrossSpectrum(0).shape[0] == N // 2 + 1
+
+
+def test_cctde_rate_mismatch_raises():
+    class _Rated(_Blocks):
+        def __init__(self, x, L, rate):
+            super().__init__(x, L)
+            self._r = rate
+
+        def getSampleRate(self):
+            return self._r
+
+        def samplerate(self):
+            return self._r
+
+    x = np.zeros(1024, np.float32)
+    with pytest.raises(ValueError):
+        ctde.CCTDE(_Rated(x, 512, 16000), _Rated(x, 512, 44100))
+    node = ctde.CCTDE(_Rated(x, 512, 44100), _Rated(x, 512, 44100))
+    assert node._samplerate == 44100
+
+
+def test_overlap_save_nonhermitian_update_uses_lower_half():
+    rng = np.random.default_rng(23)
+    L = 64
+    x = rng.standard_normal(2 * L).astype(np.float32)
+    node = cconv.OverlapSave(_Blocks(x, L), np.zeros(4))
+    delta = (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+    node.update(delta)  # non-hermitian: only bins 0..L/2 act
+    out = np.asarray(node.next(0))
+    expected = np.fft.irfft(
+        np.fft.rfft(x[:L]) * delta[: L // 2 + 1], n=L
+    )[4:]
+    np.testing.assert_allclose(out, expected, atol=1e-5)
