@@ -399,7 +399,8 @@ def gsc_postfilter_fused(
         phi_diag = jnp.where(t > 0, pf_alpha * phi_diag + (1.0 - pf_alpha) * diag_sum, diag_sum)
 
         num = jnp.maximum(jnp.real(phi_pair), 0.0) if real_mode else jnp.abs(phi_pair)
-        W = jnp.clip((num / phi_diag) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
+        ratio = jnp.where(phi_diag > 0, num / jnp.where(phi_diag > 0, phi_diag, 1.0), 0.0)
+        W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
         out = jnp.where(t >= pf_min_frames, Y * W.astype(Y.dtype), Y)
         if real_packed:
             # emit the packed real layout (synthesis ignores Im(DC)/Im(Nyq))

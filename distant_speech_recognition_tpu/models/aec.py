@@ -339,6 +339,8 @@ def information_filter_aec(
         Vk, Ak = inputs
         Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
         absEk = jnp.abs(Ek)
+        # [sic] residuals below the floor are normalized to UNIT magnitude,
+        # not to floor_val — the reference's literal code (aec.cc:455-457)
         Ek = jnp.where(absEk < floor_val, Ek / jnp.where(absEk > 0, absEk, 1.0), Ek)
 
         # per-bin SNR stats (update_band_, aec.cc:371-399)
@@ -446,6 +448,8 @@ def sqrt_information_filter_aec(
         Vk, Ak = inputs
         Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
         absEk = jnp.abs(Ek)
+        # [sic] residuals below the floor are normalized to UNIT magnitude,
+        # not to floor_val — the reference's literal code (aec.cc:455-457)
         Ek = jnp.where(absEk < floor_val, Ek / jnp.where(absEk > 0, absEk, 1.0), Ek)
 
         smth = jnp.where(s.frame < 100, 1.0 - s.frame * (1.0 - smooth) / 100.0, smooth)

@@ -28,6 +28,10 @@ def calc_itd(XL: jax.Array, XR: jax.Array) -> jax.Array:
     """Per-bin interaural time difference in samples
     (calcITDf, binauralprocessing.cc:17-37): wrapped phase difference over
     bin frequency.  Inputs [..., T, F] half band; bin 0 is unused (returns 0).
+
+    [sic] the ITD is UNSIGNED: the reference takes fabs of every wrap
+    candidate (binauralprocessing.cc:22-34), so left/right sign is lost
+    there too and the Kim masks compare magnitudes only.
     """
     F = XL.shape[-1]
     fftlen = 2 * (F - 1)

@@ -300,11 +300,17 @@ def gcc_weighted(
     if mode == "raw":
         G = cross
     elif mode == "gnn_sub":
+        if Gn1n2 is None:
+            # the reference would dereference NULL here (GCCGnnSub,
+            # localization.cc:1328-1332) — fail with a clear message instead
+            raise ValueError("mode 'gnn_sub' requires the noise cross spectrum Gn1n2")
         G = cross - Gn1n2
     elif mode == "phat":
         mag = jnp.abs(cross)
         G = cross / jnp.where(mag > 0, mag, 1.0)
     elif mode == "gnn_sub_phat":
+        # NULL noise stats fall back to plain PHAT, as in the reference
+        # (GCCGnnSubPhat, localization.cc:1346-1355)
         num = cross - (0 if Gn1n2 is None else Gn1n2)
         mag = jnp.abs(num)
         G = num / jnp.where(mag > 0, mag, 1.0)

@@ -124,7 +124,11 @@ def zelinski_postfilter(
     else:
         num = jnp.abs(csd_sum)
     den = _ema_scan(diag_seq, alpha)
-    W = jnp.clip((num / den) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
+    # All-zero (digitally silent) frames give den = 0; the reference's 0/0
+    # NaN survives its clamps (postfilter.cc:118-121) — floor instead so
+    # silence stays silent rather than going NaN.
+    ratio = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+    W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
     # Frame index runs along axis 0 (works for [T, F] and the time-major
     # batched [T, B, F] layout alike).
     t = jnp.arange(W.shape[0]).reshape((-1,) + (1,) * (W.ndim - 1))
@@ -267,7 +271,12 @@ def apab_postfilter(
     else:
         ref = jnp.conj(wq[:, channel]) * X[..., channel]
     phi_xx = jnp.abs(ref) ** 2
-    W = jnp.clip(phi_yy / phi_xx, -1.0, 1.0)
+    # zero reference power -> pass through (the reference NaNs on 0/0)
+    W = jnp.clip(
+        jnp.where(phi_xx > 0, phi_yy / jnp.where(phi_xx > 0, phi_xx, 1.0), 1.0),
+        -1.0,
+        1.0,
+    )
     nyq = jnp.arange(Y.shape[-1]) == Y.shape[-1] - 1
     W = jnp.where(nyq, 1.0, W)
     return Y * W.astype(Y.dtype)

@@ -96,6 +96,12 @@ def energy_hangover_machine(above: jax.Array, head_n: int = 4, tail_n: int = 10)
 
     ``above``: bool [T] raw threshold decisions.  Returns the metric value
     per frame (1.0 above / 0.0 below, as the reference's return value).
+
+    [sic] the emitted value is the RAW per-frame decision: the reference's
+    ``next`` returns 1.0/0.0 from the threshold test alone in both branches
+    (sad.cc:562-586); the recognizing/head/tail state only latches
+    internally and never alters the returned metric.  The state machine is
+    carried here so the recursion stays faithful, not to gate the output.
     """
 
     def step(carry, a):
@@ -119,7 +125,12 @@ def energy_hangover_machine(above: jax.Array, head_n: int = 4, tail_n: int = 10)
 
 def _band_power(spec: jax.Array, fftlen: int, low_x: int, high_x: int):
     """Power over [low_x, high_x] with the reference's doubling of interior
-    bins (PowerSpectrumVADMetric::next, sad.cc:694-739).  spec: [..., F]."""
+    bins (PowerSpectrumVADMetric::next, sad.cc:694-739).  spec: [..., F].
+
+    [sic] the single-weight index is ``fftLen/2 + 1`` exactly as in the
+    reference (``fbinX == fftLen2_ + 1`` with fftLen2_ = fftLen/2,
+    sad.cc:715) — unreachable for a half spectrum, so the Nyquist bin is
+    hermitian-doubled like an interior bin there too."""
     F = spec.shape[-1]
     idx = jnp.arange(F)
     inband = (idx >= low_x) & (idx <= high_x)

@@ -168,7 +168,8 @@ def _zelinski_step_factory(wq_manifold, pf_alpha, pf_type, pf_min_frames):
         csd_sum = jnp.sum(jnp.where(pair, phi, 0), axis=(-2, -1))
         num = jnp.maximum(jnp.real(csd_sum), 0.0) if real_mode else jnp.abs(csd_sum)
         den = jnp.sum(jnp.real(jnp.diagonal(phi, axis1=-2, axis2=-1)), axis=-1)
-        W = jnp.clip((num / den) * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
+        ratio = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+        W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
         out = jnp.where(state.t >= pf_min_frames, Y * W.astype(Y.dtype), Y)
         return _CSDState(phi=phi, t=state.t + 1), out
 

@@ -140,6 +140,20 @@ def _make_tracker(cfg: TrackerConfig, F_mat, U, linearize_fn):
     return step
 
 
+# `_run` marks linearize_fn static, so its jit cache is keyed on the
+# FUNCTION OBJECT's identity: a fresh closure per call would force a full
+# retrace+compile every invocation.  Memoize the linearizers on their data.
+_LIN_CACHE: dict = {}
+
+
+def _cached_lin(key, builder):
+    fn = _LIN_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _LIN_CACHE[key] = fn
+    return fn
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def _run(cfg, F_mat, U, initialX, inputs, linearize_fn):
     D = np.shape(F_mat)[0]
@@ -160,11 +174,17 @@ def kalman_track(cfg: TrackerConfig, F_mat, U, H, initialX, yk, mask, frame_vali
     ``yk``: [T, P]; ``mask``: [T, P]; ``frame_valid``: [T].
     Returns the state track [T, D].
     """
-    H = jnp.asarray(H, jnp.float32)
+    H_np = np.asarray(H, np.float32)
 
-    def lin(xk_predict, obs):
-        return H, obs
+    def build():
+        Hj = jnp.asarray(H_np)
 
+        def lin(xk_predict, obs):
+            return Hj, obs
+
+        return lin
+
+    lin = _cached_lin(("kf", H_np.tobytes(), H_np.shape), build)
     return _run(cfg, F_mat, U, initialX, (jnp.asarray(yk, jnp.float32), mask, frame_valid), lin)
 
 
@@ -175,14 +195,18 @@ def ekf_track(cfg: TrackerConfig, F_mat, U, initialX, mpos, pairs, delays, mask,
     position per frame: ``y_lin = y - (tdoa(x_pred) - H x_pred)``.
     """
     mpos = np.asarray(mpos, dtype=np.float64)
-    pairs = tuple(pairs)
+    pairs = tuple(tuple(p) for p in pairs)
 
-    def lin(xk_predict, obs):
-        H = pair_tdoa_jacobian(xk_predict, mpos, pairs)
-        pred = pair_tdoa_model(xk_predict, mpos, pairs)
-        y_lin = obs - (pred - H @ xk_predict)
-        return H, y_lin
+    def build():
+        def lin(xk_predict, obs):
+            H = pair_tdoa_jacobian(xk_predict, mpos, pairs)
+            pred = pair_tdoa_model(xk_predict, mpos, pairs)
+            y_lin = obs - (pred - H @ xk_predict)
+            return H, y_lin
 
+        return lin
+
+    lin = _cached_lin(("ekf", mpos.tobytes(), mpos.shape, pairs), build)
     return _run(cfg, F_mat, U, initialX, (jnp.asarray(delays, jnp.float32), mask, frame_valid), lin)
 
 
@@ -204,16 +228,22 @@ def fflinear_ekf_track(cfg: TrackerConfig, F_mat, U, initial_azimuth, mpos, pair
     """
     mpos = np.asarray(mpos, dtype=np.float64)
     d0 = np.linalg.norm(mpos - mpos[0], axis=-1)
-    pairs = tuple(pairs)
-    dists = jnp.asarray([d0[j] - d0[i] for (i, j) in pairs], jnp.float32)
+    pairs = tuple(tuple(p) for p in pairs)
+    dists_np = np.asarray([d0[j] - d0[i] for (i, j) in pairs], np.float32)
 
-    def lin(xk_predict, obs):
-        az = xk_predict[0]
-        pred = dists * jnp.cos(az) / c
-        H = (-dists * jnp.sin(az) / c)[:, None]
-        y_lin = obs - (pred - H[:, 0] * az)
-        return H, y_lin
+    def build():
+        dists = jnp.asarray(dists_np)
 
+        def lin(xk_predict, obs):
+            az = xk_predict[0]
+            pred = dists * jnp.cos(az) / c
+            H = (-dists * jnp.sin(az) / c)[:, None]
+            y_lin = obs - (pred - H[:, 0] * az)
+            return H, y_lin
+
+        return lin
+
+    lin = _cached_lin(("fflin", dists_np.tobytes(), float(c)), build)
     return _run(
         cfg,
         jnp.asarray(F_mat, jnp.float32).reshape(1, 1),

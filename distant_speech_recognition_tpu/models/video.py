@@ -345,6 +345,12 @@ def linear_interpolation(
     ``factor*(x_{n+1} - x_n)`` exactly as shipped (videofeature.cc:1166-1172
     omits the ``x_n +`` base term); ``add_base=True`` yields the standard
     linear interpolation ``x_n + factor*(x_{n+1} - x_n)``.
+
+    [sic] the source clock advances at most ONE frame per output frame (an
+    ``if``, not a ``while`` — videofeature.cc:1158-1163), so for
+    ``fps_dest < fps_src`` the source index falls progressively behind and
+    the interpolation factor grows without bound in the reference as well;
+    this walk is replicated, so only upsampling is meaningful.
     """
     T = frames.shape[0]
     dts, dtd = 1.0 / fps_src, 1.0 / fps_dest

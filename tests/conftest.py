@@ -18,6 +18,9 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test draws from a fresh, identical stream, so a
+    # test's data cannot depend on which tests ran before it (a
+    # session-scoped generator made assertions order-dependent)
     return np.random.default_rng(12345)

@@ -253,3 +253,63 @@ def test_fir_export_and_weight_io(tmp_path, rng):
     bf.save_weights(p, wqH=wqH, fir=fir)
     back = bf.load_weights(p)
     np.testing.assert_allclose(back["wqH"], wqH)
+
+
+def _binary_masking_golden(Yt, Yi, Ycmp, avg_factor, fwidth):
+    """Numpy transliteration of SubbandMMI::binary_masking_ +
+    getMeanOfSubbandC + set_averaged_output_ (beamformer.cc:2160-2278),
+    non-halfBandShift branch, bins 1..F-1 of the half spectrum."""
+    T, F = Yt.shape
+    out = Yt.copy()
+    avg = np.zeros(F, np.complex128)
+
+    def mean_of(fb):
+        if fwidth <= 1:
+            return avg[fb]
+        # the reference passes fftLen/2 (= F-1) as the length, so the window
+        # clamps to bins 1..F-2 (beamformer.cc:2178-2184,2257)
+        s = max(fb - fwidth // 2, 1)
+        e = min(fb + fwidth // 2, F - 2)
+        return avg[s : e + 1].mean()
+
+    for t in range(T):
+        for f in range(1, F):
+            tgt_pow = abs(Ycmp[t, f]) ** 2
+            max_pow = np.max(np.abs(Yi[t, f]) ** 2)
+            new_val = avg_factor * mean_of(f) if avg_factor >= 0 else 0.0
+            if tgt_pow < max_pow:
+                out[t, f] = new_val
+                if avg_factor >= 0:
+                    avg[f] = new_val
+            else:
+                if avg_factor >= 0:
+                    avg[f] = avg_factor * avg[f] + (1 - avg_factor) * out[t, f]
+    return out
+
+
+@pytest.mark.parametrize("upper_branch", [False, True])
+@pytest.mark.parametrize("avg_factor,fwidth", [(-1.0, 1), (0.4, 1), (0.4, 5)])
+def test_mmi_binary_masking_matches_cpp_golden(rng, upper_branch, avg_factor, fwidth):
+    from distant_speech_recognition_tpu.models import mmi
+
+    T, F, C, S = 12, 9, 4, 2
+    M = 2 * (F - 1)
+    X = (rng.standard_normal((T, F, C)) + 1j * rng.standard_normal((T, F, C))).astype(np.complex64)
+    wqH = np.asarray(
+        [bf.array_manifold(M, 16000.0, rng.uniform(-1e-4, 1e-4, C)) for _ in range(S)]
+    ).conj().astype(np.complex64)
+
+    out = np.asarray(
+        mmi.subband_mmi(
+            X, wqH, target=0,
+            avg_factor=avg_factor, fwidth=fwidth,
+            mask_with_upper_branch=upper_branch,
+        )
+    )
+
+    Y_all = np.einsum("sfc,tfc->tfs", np.asarray(wqH), X)  # wl = None
+    Yt = Y_all[..., 0].astype(np.complex128)
+    Yi = Y_all[..., 1:]
+    Ycmp = Yt  # with wl=None the upper branch IS the full output
+    golden = _binary_masking_golden(Yt.copy(), Yi, Ycmp, avg_factor, fwidth)
+    np.testing.assert_allclose(out, golden, atol=2e-5)
