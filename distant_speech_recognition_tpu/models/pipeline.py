@@ -48,6 +48,13 @@ HALF_BAND = os.environ.get("DSR_HALF_BAND", "1") == "1"
 # the internal [B, T, ..] -> [T, B, ..] transposes that vmap-of-scan
 # forces; ~10% end-to-end on v5e (fetch-synced).  Same math, same operands.
 TIME_MAJOR = os.environ.get("DSR_TIME_MAJOR", "1") == "1"
+# Fused Pallas filterbank kernels (ops/pallas_kernels.analysis_tm_fused /
+# synthesis_tm_fused): FIR + DFT matmul (+ overlap-add) in one kernel, no
+# intermediate HBM tensors.  Bit-compatible with the XLA stages (same
+# matrices, same accumulation order); measured ~1.4x analysis / ~1.9x
+# synthesis stage speedups on v5e.  Requires a TPU backend and lane-aligned
+# blocks (D % 128 == 0); falls back to the XLA stages otherwise.
+PALLAS_FB = os.environ.get("DSR_PALLAS_FB", "1") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
@@ -258,6 +265,13 @@ def build_pipeline(
         kind = "lms" if cfg.beamformer == "gsc_lms" else "rls"
         gcfg = cfg.lms if kind == "lms" else cfg.rls
         F = M // 2 + 1
+        pallas_fb = (
+            PALLAS_FB
+            and cfg.fb.D % 128 == 0
+            and jax.default_backend() not in ("cpu",)
+        )
+        if pallas_fb:
+            from ..ops.pallas_kernels import analysis_tm_fused, synthesis_tm_fused
 
         @jax.jit
         def enhance(x):
@@ -267,7 +281,10 @@ def build_pipeline(
             the packed real ``[Re(0..M/2) | Im(1..M/2-1)]`` lane layout —
             no ragged 2F padding, no complex split/concat in HBM.
             """
-            Yr = analysis_half_real_tm(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
+            if pallas_fb:
+                Yr = analysis_tm_fused(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
+            else:
+                Yr = analysis_half_real_tm(x, h, cfg.fb, packed=True)
             # energy=None: the reference-channel frame energy is computed
             # inside each scan step (no separate dense pass over Yr)
             Yp = gsc_postfilter_fused(
@@ -275,6 +292,8 @@ def build_pipeline(
                 jnp.asarray(wq_manifold), kind, gcfg,
                 cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames, True,
             )  # [Tf, B, M] packed (True = real_packed, positional static arg)
+            if pallas_fb:
+                return synthesis_tm_fused(Yp, g, cfg.fb)
             return synthesis_half_real_tm(Yp, g, cfg.fb)
 
     else:

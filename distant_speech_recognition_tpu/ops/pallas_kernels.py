@@ -1,21 +1,30 @@
 """Pallas TPU kernels for the filterbank hot path.
 
-The analysis bank's polyphase stage is, per output frame, an m-tap FIR over
-pushed (reversed) sample windows with stride R (modulated.cc:384-391):
+Two generations live here:
+
+1. `analysis_tm_fused` / `synthesis_tm_fused` — the production kernels used
+   by the flagship time-major pipeline (models/pipeline.py).  Each fuses the
+   whole filterbank stage into one kernel: polyphase FIR accumulating in
+   VMEM registers + packed DFT matmul on the MXU (+ overlap-add for
+   synthesis), so the intermediate FIR/DFT tensors of the XLA path never
+   touch HBM.  Halo frame windows are expressed with Element-indexed
+   BlockSpecs (all dims Element, physically padded in one XLA pass).
+   Measured on v5e (axon): analysis ~1.6x the XLA stage, synthesis ~2x.
+   DMA note: the batch tile must be large (>=128 rows) so each DMA run is
+   a contiguous 128-256KB row — small batch tiles scatter 512B runs and
+   lose 3x.
+
+2. `polyphase_fir` + `reversed_window_stream` — the earlier FIR-only kernel
+   (kept for reference/tests); XLA's fused slice-sum matched it, so it is
+   opt-in via `analysis_pallas`.
+
+The analysis polyphase stage is, per output frame, an m-tap FIR over pushed
+(reversed) sample windows with stride R (modulated.cc:384-391):
 
     v[t, mi] = sum_k h[mi + M k] * S[t + (m-1-k) R, mi]
 
-The kernel receives the m tap-aligned views of the reversed-window stream
-(shifted in XLA — cheap slices of the same buffer) and accumulates all taps
-in VMEM registers, writing each [T_tile, M] output block once.  Tiling obeys
-the TPU (8, 128) block constraints: T_tile is a multiple of 8 and M must be
-a multiple of 128 (fall back to the XLA path otherwise).
-
-Exact float32 math; validated in interpreter mode against the XLA path.
-NOTE: the experimental axon TPU backend in this image rejects ALL custom
-Mosaic kernels at runtime (UNIMPLEMENTED) — on standard TPU runtimes the
-kernel compiles and runs; here it remains available via interpret=True and
-the flag stays off.
+Exact float32 math; every kernel is validated in interpreter mode against
+the XLA path (tests/test_pallas_fused.py) and on-chip at bench shapes.
 """
 
 from __future__ import annotations
@@ -24,10 +33,330 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PALLAS_ANALYSIS = False  # opt-in for analysis_pallas default usage
 
-__all__ = ["polyphase_fir", "reversed_window_stream", "PALLAS_ANALYSIS"]
+__all__ = [
+    "polyphase_fir",
+    "reversed_window_stream",
+    "analysis_tm_fused",
+    "synthesis_tm_fused",
+    "PALLAS_ANALYSIS",
+]
+
+
+def _make_analysis_tm_kernel(m: int, R: int, Tt: int, D: int, prec):
+    """Fused polyphase-FIR + DFT-matmul kernel body.
+
+    Refs: blocks [Tt + m*R - 1, Bb, D] (halo window of D-sample blocks,
+    time-major), hw [m*R, D] (per-parity prototype rows), A [M, Mout]
+    (packed analysis DFT matrix), out [Tt, Bb, Mout].
+
+    Per block-parity j (modulated.cc:384-391 algebra, see
+    `ops.filterbank._analysis_matmul_real`): the m taps accumulate in VMEM
+    registers — the ``w_j`` FIR tensor never exists in HBM — and feed the
+    MXU against rows ``j*D:(j+1)*D`` of the DFT matrix.
+    """
+
+    def kernel(blocks_ref, hw_ref, A_ref, out_ref):
+        Bb = out_ref.shape[1]
+        Mout = out_ref.shape[2]
+        acc = None
+        for j in range(R):
+            w = None
+            for k in range(m):
+                off = (m - 1 - k) * R + j
+                t = hw_ref[j * m + k, :][None, None, :] * blocks_ref[off : off + Tt]
+                w = t if w is None else w + t
+            term = jax.lax.dot_general(
+                w.reshape(Tt * Bb, D),
+                A_ref[j * D : (j + 1) * D, :],
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            acc = term if acc is None else acc + term
+        out_ref[:] = acc.reshape(Tt, Bb, Mout)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _analysis_tm_fused_call(
+    blocks_tm: jax.Array,
+    hw: jax.Array,
+    A: jax.Array,
+    laN: int,
+    n_frames: int,
+    Tt: int,
+    Bb: int,
+    interpret: bool,
+) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from . import dft
+
+    n_blocks, BC, D = blocks_tm.shape
+    mR_m1 = hw.shape[0] - 1  # m*R - 1 halo
+    m_times_R = hw.shape[0]
+    # infer (m, R) from hw layout [R groups of m rows] via D and A
+    Mout = A.shape[1]
+    M = A.shape[0]
+    R = M // D
+    m = m_times_R // R
+    n_t = -(-n_frames // Tt)
+    n_b = -(-BC // Bb)
+    # Mosaic requires every dim of an Element-indexed spec to be Element, so
+    # all starts must be physically in bounds: pad the halo tail on the time
+    # axis and the batch axis up to a whole number of tiles (no-ops at the
+    # benchmark shapes).
+    need_t = laN + n_t * Tt + m * R - 1
+    need_b = n_b * Bb
+    if need_t > n_blocks or need_b > BC:
+        blocks_tm = jnp.pad(
+            blocks_tm,
+            ((0, max(need_t - n_blocks, 0)), (0, max(need_b - BC, 0)), (0, 0)),
+        )
+
+    kernel = _make_analysis_tm_kernel(m, R, Tt, D, dft._PREC)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_b, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(Tt + m * R - 1), pl.Element(Bb), pl.Element(D)),
+                lambda b, t: (laN + t * Tt, b * Bb, 0),
+            ),
+            pl.BlockSpec((m * R, D), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, Mout), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, Bb, Mout), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_frames, BC, Mout), jnp.float32),
+        interpret=interpret,
+    )(blocks_tm, hw, A)
+
+
+def analysis_tm_fused(
+    x: jax.Array,
+    h: jax.Array,
+    params,
+    packed: bool = True,
+    frame_tile: int = 8,
+    batch_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused Pallas analysis bank, time-major: ``x [..., T]`` ->
+    ``Yr [n_frames, ..., Mout]`` — bit-compatible with
+    `ops.filterbank.analysis_half_real_tm` (same operands, same
+    accumulation order j-outer/k-inner, same DFT matrices).
+
+    One kernel reads each D-sample block of the signal once per frame tile
+    (halo factor ``(Tt+mR-1)/Tt``), runs the m-tap polyphase FIR in VMEM
+    registers, and feeds the packed DFT matmul on the MXU — the ``w_j`` FIR
+    tensors of the XLA path never touch HBM.  Requires the matmul-DFT
+    regime and D % 128 == 0 (lane-aligned blocks).
+    """
+    from . import dft
+    from .filterbank import _pad_to_blocks
+
+    p = params
+    D, M, m, R = p.D, p.M, p.m, p.R
+    h = jnp.asarray(h, jnp.float32)
+    if h.shape != (p.N,):
+        raise ValueError(f"analysis prototype must have length N={p.N}, got {h.shape}")
+    if M > dft.MATMUL_MAX_M:
+        raise ValueError("analysis_tm_fused requires the DFT-matmul regime")
+    if D % 128 != 0 and not interpret:
+        raise ValueError("analysis_tm_fused requires D % 128 == 0")
+
+    h_rev = h.reshape(m, M)[:, ::-1]
+    # hw[j*m + k] = h_rev[k, j*D:(j+1)*D]
+    hw = jnp.stack([h_rev[k, j * D : (j + 1) * D] for j in range(R) for k in range(m)])
+    A = jnp.asarray(
+        dft._analysis_matrix_packed(M) if packed else dft._analysis_matrix(M, half=True)
+    )
+
+    x = _pad_to_blocks(x.astype(jnp.float32), D)
+    lead = x.shape[:-1]
+    n_blocks = x.shape[-1] // D
+    n_frames = n_blocks - p.laN + p.analysis_delay
+    mR = m * R
+    front = mR - 1
+
+    BC = int(np.prod(lead)) if lead else 1
+    Tt = max(8, min(frame_tile, -(-n_frames // 8) * 8))
+    Bb = max(8, min(batch_tile, -(-BC // 8) * 8))
+    n_t = -(-n_frames // Tt)
+    n_b = -(-BC // Bb)
+    # One pad pass covers everything the Element-indexed kernel touches:
+    # front history, the zero-padding tail, the halo of the last frame tile,
+    # and whole batch tiles (all-Element specs have no partial-block masking).
+    tail = p.laN + n_t * Tt + mR - 1 - (front + n_blocks)
+    x2 = x.reshape(BC, x.shape[-1])
+    if max(tail, 0) or front or n_b * Bb > BC:
+        x2 = jnp.pad(x2, ((0, n_b * Bb - BC), (front * D, max(tail, 0) * D)))
+    blocks = x2.reshape(x2.shape[0], -1, D)  # [BC', n_blocks', D]
+    blocks_tm = jnp.transpose(blocks, (1, 0, 2))  # [n_blocks', BC', D]
+
+    Yr = _analysis_tm_fused_call(blocks_tm, hw, A, p.laN, n_frames, Tt, Bb, interpret)
+    Yr = Yr[:, :BC] if n_b * Bb > BC else Yr
+    return Yr.reshape((n_frames,) + lead + (Yr.shape[-1],))
+
+
+def _make_synthesis_tm_kernel(m: int, R: int, Tt: int, D: int, prec):
+    """Fused synthesis kernel body: packed DFT matmul + polyphase FIR +
+    overlap-add (modulated.cc:551-606 algebra, see
+    `ops.filterbank.synthesis_half_real_tm` / `_synthesis_from_c_tm`).
+
+    Refs: yp [Tt + m*R - 1, Bb, M] (packed spectrum halo, Element-indexed at
+    ``t*Tt`` on the PRE-padded stream — see `synthesis_tm_fused`), S [M, M]
+    (packed synthesis DFT matrix, segment reversal baked in), gf [m*R? no —
+    m, M] permuted prototype rows, out [Tt, Bb, D].
+
+    Local index algebra (halo width m*R-1, ``u`` = s-row within tile):
+      c_local[l]  = yp_local[l] @ S                    (l = 0 .. Tt+mR-2)
+      s_local[u]  = sum_k gf[k] * c_local[u + (m-1-k)R]  (u = 0 .. Tt+R-2)
+                    == s[t0 + u - (R-1)]  globally; rows with negative
+                    global index are zeroed (the OLA history is empty)
+      out[v]      = sum_j s_local[v + R-1-j][(R-1-j)D : (R-j)D]
+    """
+
+    from jax.experimental import pallas as pl
+
+    def kernel(yp_ref, S_ref, gf_ref, out_ref):
+        Bb = out_ref.shape[1]
+        W = Tt + m * R - 1
+        M = S_ref.shape[0]
+        c = jax.lax.dot_general(
+            yp_ref[:].reshape(W * Bb, M),
+            S_ref[:],
+            (((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        ).reshape(W, Bb, M)
+        nS = Tt + R - 1
+        s = None
+        for k in range(m):
+            term = gf_ref[k, :][None, None, :] * c[(m - 1 - k) * R : (m - 1 - k) * R + nS]
+            s = term if s is None else s + term
+        # Zero the rows whose global s index t0 + u - (R-1) is negative
+        # (only the first tile has any).
+        t0 = pl.program_id(1) * Tt
+        u = jax.lax.broadcasted_iota(jnp.int32, (nS, 1, 1), 0)
+        s = jnp.where(t0 + u - (R - 1) < 0, 0.0, s)
+        out = None
+        for j in range(R):
+            seg = s[R - 1 - j : R - 1 - j + Tt, :, (R - 1 - j) * D : (R - j) * D]
+            out = seg if out is None else out + seg
+        out_ref[:] = out
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _synthesis_tm_fused_call(
+    ypp: jax.Array,
+    S: jax.Array,
+    gf: jax.Array,
+    R: int,
+    T_out: int,
+    Tt: int,
+    Bb: int,
+    interpret: bool,
+) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from . import dft
+
+    n_in, B, M = ypp.shape
+    m = gf.shape[0]
+    D = M // R
+    n_t = -(-T_out // Tt)
+    n_b = -(-B // Bb)
+    need_t = n_t * Tt + m * R - 1
+    need_b = n_b * Bb
+    if need_t > n_in or need_b > B:
+        ypp = jnp.pad(
+            ypp, ((0, max(need_t - n_in, 0)), (0, max(need_b - B, 0)), (0, 0))
+        )
+
+    kernel = _make_synthesis_tm_kernel(m, R, Tt, D, dft._PREC)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_b, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(Tt + m * R - 1), pl.Element(Bb), pl.Element(M)),
+                lambda b, t: (t * Tt, b * Bb, 0),
+            ),
+            pl.BlockSpec((M, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((m, M), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, Bb, D), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_out, B, D), jnp.float32),
+        interpret=interpret,
+    )(ypp, S, gf)
+
+
+def synthesis_tm_fused(
+    Yp: jax.Array,
+    g: jax.Array,
+    params,
+    frame_tile: int = 8,
+    batch_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused Pallas synthesis bank consuming the packed time-major spectrum:
+    ``Yp [T_in, ..., M]`` (``[Re(0..M/2) | Im(1..M/2-1)]`` lanes) -> samples
+    ``[..., (T_in - synthesis_delay) * D]`` — bit-compatible with
+    `ops.filterbank.synthesis_half_real_tm` (same packed DFT matrix with the
+    segment reversal baked in, same tap order).
+
+    One kernel runs the [M, M] DFT matmul on a frame-tile halo, the m-tap
+    polyphase FIR in VMEM registers, and the R-segment overlap-add — the
+    ``c`` and ``s`` tensors of the XLA path never touch HBM.  The DFT matmul
+    is recomputed on the halo (factor ``(Tt+mR-1)/Tt``).
+    """
+    from . import dft
+
+    p = params
+    D, M, m, R = p.D, p.M, p.m, p.R
+    if M > dft.MATMUL_MAX_M:
+        raise ValueError("synthesis_tm_fused requires the DFT-matmul regime")
+    if D % 128 != 0 and not interpret:
+        raise ValueError("synthesis_tm_fused requires D % 128 == 0")
+    pd = p.synthesis_delay
+    T_in = Yp.shape[0]
+    T_out = T_in - pd
+    if T_out <= 0:
+        raise ValueError(f"need more than {pd} subband frames, got {T_in}")
+
+    perm = list(dft.segment_reversal_perm(M, R))
+    S = jnp.asarray(np.asarray(dft._synthesis_half_matrix_packed(M))[:, perm])
+    gf = np.asarray(g, np.float32).reshape(m, M)[:, ::-1][:, perm]
+    gf = jnp.asarray(gf)
+
+    lead = Yp.shape[1:-1]
+    ypp = Yp.astype(jnp.float32).reshape(T_in, -1, M)
+    B = ypp.shape[1]
+    Tt = max(8, min(frame_tile, -(-T_out // 8) * 8))
+    Bb = max(8, min(batch_tile, -(-B // 8) * 8))
+    n_t = -(-T_out // Tt)
+    n_b = -(-B // Bb)
+    # The kernel's local algebra puts c frame ``t0 + l + pd - (mR - 1)`` at
+    # local slot l; prepend ``mR - 1 - pd`` zero frames (clip if pd is
+    # larger) and pad the halo tail / whole batch tiles in the same pass so
+    # every Element start is in bounds.
+    pre = m * R - 1 - pd
+    if pre < 0:
+        ypp = ypp[-pre:]
+        pre = 0
+    post = n_t * Tt + m * R - 1 - (pre + ypp.shape[0])
+    if pre or max(post, 0) or n_b * Bb > B:
+        ypp = jnp.pad(ypp, ((pre, max(post, 0)), (0, n_b * Bb - B), (0, 0)))
+    out = _synthesis_tm_fused_call(ypp, S, gf, R, T_out, Tt, Bb, interpret)
+    out = out[:, :B] if n_b * Bb > B else out
+    out = jnp.moveaxis(out, 0, -2)  # [..., T_out, D]
+    return out.reshape(lead + (T_out * D,))
 
 
 def _make_kernel(m: int, T_tile: int):
