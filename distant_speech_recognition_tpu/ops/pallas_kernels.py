@@ -12,7 +12,11 @@ Two generations live here:
    Measured on v5e (axon): analysis ~1.6x the XLA stage, synthesis ~2x.
    DMA note: the batch tile must be large (>=128 rows) so each DMA run is
    a contiguous 128-256KB row — small batch tiles scatter 512B runs and
-   lose 3x.
+   lose 3x.  A batch-major-input variant (which would skip the XLA
+   transpose pass) was tried and abandoned: per-frame-row dots / middle-dim
+   slicing sends the Mosaic compiler into a >5-minute pathological compile
+   on this toolchain, and an in-kernel relayout would pay back most of the
+   transpose it saves.
 
 2. `polyphase_fir` + `reversed_window_stream` — the earlier FIR-only kernel
    (kept for reference/tests); XLA's fused slice-sum matched it, so it is
@@ -196,8 +200,8 @@ def analysis_tm_fused(
     if max(tail, 0) or front or n_b * Bb > BC:
         x2 = jnp.pad(x2, ((0, n_b * Bb - BC), (front * D, max(tail, 0) * D)))
     blocks = x2.reshape(x2.shape[0], -1, D)  # [BC', n_blocks', D]
-    blocks_tm = jnp.transpose(blocks, (1, 0, 2))  # [n_blocks', BC', D]
 
+    blocks_tm = jnp.transpose(blocks, (1, 0, 2))  # [n_blocks', BC', D]
     Yr = _analysis_tm_fused_call(blocks_tm, hw, A, p.laN, n_frames, Tt, Bb, interpret)
     Yr = Yr[:, :BC] if n_b * Bb > BC else Yr
     return Yr.reshape((n_frames,) + lead + (Yr.shape[-1],))
