@@ -19,6 +19,12 @@ import numpy as np
 def main():
     import jax
 
+    # NOTE: cold compile of this pipeline over the axon tunnel takes
+    # 5-10 min (remote compile helper, no cross-process cache; the jax
+    # persistent compilation cache does not engage because the axon PJRT
+    # client does not serialize executables).  Subsequent compiles in the
+    # same process are cached.
+
     from distant_speech_recognition_tpu.models.pipeline import (
         PipelineConfig,
         build_pipeline,

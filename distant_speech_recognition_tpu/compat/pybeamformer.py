@@ -26,7 +26,7 @@ from ..models.adaptive_gsc import (
     GSCRLSConfig,
     _LMSState,
     _lms_step_factory,
-    _RLSState,
+    rls_init_state,
     _rls_step_factory,
     gsc_weights,
 )
@@ -228,11 +228,4 @@ class SubbandGSCRLSBeamformer(_AdaptiveGSCBase):
 
     @staticmethod
     def _make_state(cfg, F, B):
-        return _RLSState(
-            waH=jnp.zeros((F, B), jnp.complex64),
-            Pz=jnp.broadcast_to(
-                jnp.eye(B, dtype=jnp.complex64) / cfg.init_diagonal_load, (F, B, B)
-            ),
-            energy=jnp.asarray(cfg.init_diagonal_load, jnp.float32),
-            isamp=jnp.asarray(0, jnp.int32),
-        )
+        return rls_init_state((), F, B, cfg.init_diagonal_load)

@@ -93,10 +93,34 @@ class _LMSState(NamedTuple):
 
 
 class _RLSState(NamedTuple):
+    """RLS carry.  ``Pz`` (the [B, B] per-bin precision matrix,
+    pybeamformer.py:838-845) is Hermitian throughout — Pz0 = I/delta, every
+    update is a Hermitian rank-1 correction, and the constraint reset is
+    I/delta — so only the real diagonal and the upper triangle are carried:
+    half the scan-state HBM traffic of the full matrix, identical values.
+    Triangle order: ``(i, j)`` for i<j, row-major (`_pz_pairs`)."""
+
     waH: jax.Array  # [F, B]
-    Pz: jax.Array  # [F, B, B] precision matrices
+    pz_diag: jax.Array  # [F, B] real diagonal of Pz
+    pz_off: jax.Array  # [F, B*(B-1)//2] upper triangle of Pz
     energy: jax.Array  # scalar
     isamp: jax.Array  # scalar
+
+
+def _pz_pairs(B: int):
+    return [(i, j) for i in range(B) for j in range(B) if i < j]
+
+
+def rls_init_state(batch: tuple, F: int, B: int, init_diagonal_load: float,
+                   cdtype=jnp.complex64) -> _RLSState:
+    """Fresh RLS state: wa = 0, Pz = I / delta (pybeamformer.py:795-807)."""
+    return _RLSState(
+        waH=jnp.zeros(batch + (F, B), cdtype),
+        pz_diag=jnp.full(batch + (F, B), 1.0 / init_diagonal_load, jnp.float32),
+        pz_off=jnp.zeros(batch + (F, B * (B - 1) // 2), cdtype),
+        energy=jnp.full(batch, init_diagonal_load, jnp.float32),
+        isamp=jnp.asarray(0, jnp.int32),
+    )
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -203,14 +227,7 @@ def gsc_rls(
     F, B = BmH.shape[0], BmH.shape[1]
     batch = X.shape[1:-2]  # () in the per-utterance path
     if init_state is None:
-        init_state = _RLSState(
-            waH=jnp.zeros(batch + (F, B), X.dtype),
-            Pz=jnp.broadcast_to(
-                jnp.eye(B, dtype=X.dtype) / c.init_diagonal_load, batch + (F, B, B)
-            ),
-            energy=jnp.full(batch, c.init_diagonal_load, jnp.float32),
-            isamp=jnp.asarray(0, jnp.int32),
-        )
+        init_state = rls_init_state(batch, F, B, c.init_diagonal_load, X.dtype)
 
     final, Y = jax.lax.scan(_rls_step_factory(c, wqH, BmH), init_state, (X, energy.astype(jnp.float32)), unroll=SCAN_UNROLL)
     return Y, final
@@ -218,7 +235,19 @@ def gsc_rls(
 
 def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
     B = BmH.shape[1]
-    eyeB = jnp.eye(B, dtype=BmH.dtype)
+    pairs = _pz_pairs(B)
+    pidx = {p: n for n, p in enumerate(pairs)}
+
+    # Pz is carried compressed (see `_RLSState`); the B x B matvecs unroll
+    # over components with the lower triangle reconstructed as conj(upper):
+    #   (Pz v)_i = d_i v_i + sum_{j>i} off_ij v_j + sum_{j<i} conj(off_ji) v_j
+    def _pz_matvec(d, off, v):
+        return [
+            d[i] * v[i]
+            + sum(off[pidx[(i, j)]] * v[j] for j in range(i + 1, B))
+            + sum(jnp.conj(off[pidx[(j, i)]]) * v[j] for j in range(i))
+            for i in range(B)
+        ]
 
     # Shape-generic over leading batch dims (see `_lms_step_factory`).
     def step(state: _RLSState, inputs):
@@ -227,31 +256,43 @@ def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
 
         Z = ceinsum("fbc,...fc->...fb", BmH, Xt)
         Yc = ceinsum("fc,...fc->...f", wqH, Xt)
+        Zl = [Z[..., i] for i in range(B)]
+        d = [state.pz_diag[..., i] for i in range(B)]
+        off = [state.pz_off[..., n] for n in range(len(pairs))]
+        waH_l = [state.waH[..., i] for i in range(B)]
 
-        # Gain vector & precision matrix update.  Pz is Hermitian by
-        # construction (Pz0 = I/delta; the update below is a Hermitian
-        # rank-1 correction, and the constraint reset is I/delta), so the
-        # reference's second matvec Z^H Pz (pybeamformer.py:838) equals
-        # conj(Pz Z) and is not recomputed.
-        PzZ = ceinsum("...fij,...fj->...fi", state.Pz, Z)
-        ip = ceinsum("...fi,...fi->...f", jnp.conj(Z), PzZ)
-        gz = PzZ / (c.mu + ip)[..., None]
-        PzK = (state.Pz - gz[..., :, None] * jnp.conj(PzZ)[..., None, :]) / c.mu
+        # Gain vector & precision matrix update.  The reference's second
+        # matvec Z^H Pz (pybeamformer.py:838) equals conj(Pz Z) by
+        # hermitianity and is not recomputed.
+        PzZ = _pz_matvec(d, off, Zl)
+        ip = sum(jnp.conj(Zl[i]) * PzZ[i] for i in range(B))
+        den = c.mu + ip
+        gz = [PzZ[i] / den for i in range(B)]
+        dK = [(d[i] - jnp.real(gz[i] * jnp.conj(PzZ[i]))) / c.mu for i in range(B)]
+        offK = [(off[n] - gz[i] * jnp.conj(PzZ[j])) / c.mu for n, (i, j) in enumerate(pairs)]
 
         # Active weight update.
-        ep = Yc - ceinsum("...fb,...fb->...f", state.waH, Z)
-        waH = state.waH + c.gamma * jnp.conj(gz) * ep[..., None]
+        ep = Yc - sum(waH_l[i] * Zl[i] for i in range(B))
+        waH = [waH_l[i] + c.gamma * jnp.conj(gz[i]) * ep for i in range(B)]
         if c.regularization_param > 0:
-            waH = waH - ceinsum("...fij,...fj->...fi", jnp.conj(PzK), state.waH) * c.regularization_param
-        waK = jnp.conj(waH)
+            # conj(PzK) matvec on the OLD weights: conj(PzK)_ij = conj(offK_ij)
+            # above the diagonal, offK_ji below it.
+            reg = [
+                dK[i] * waH_l[i]
+                + sum(jnp.conj(offK[pidx[(i, j)]]) * waH_l[j] for j in range(i + 1, B))
+                + sum(offK[pidx[(j, i)]] * waH_l[j] for j in range(i))
+                for i in range(B)
+            ]
+            waH = [waH[i] - reg[i] * c.regularization_param for i in range(B)]
 
         if c.constraint_option > 0:
-            waK2 = jnp.abs(ceinsum("...fb,...fb->...f", waH, waK))
+            waK2 = sum(jnp.abs(waH[i]) ** 2 for i in range(B))
             if c.constraint_option in (1, 3):
                 # Quadratic constraint (pybeamformer.py:849-861).
-                va = ceinsum("...fij,...fj->...fi", PzK, waK)
-                a = jnp.abs(ceinsum("...fi,...fi->...f", va, jnp.conj(va)))
-                b = -2.0 * jnp.real(ceinsum("...fi,...fi->...f", jnp.conj(va), waK))
+                waK = [jnp.conj(waH[i]) for i in range(B)]
+                va = _pz_matvec(dK, offK, waK)
+                a = sum(jnp.abs(va[i]) ** 2 for i in range(B))
+                b = -2.0 * sum(jnp.real(jnp.conj(va[i]) * waK[i]) for i in range(B))
                 cc = waK2 - c.alpha2
                 arg = b * b - 4.0 * a * cc
                 a_safe = jnp.where(a > 0, a, 1.0)
@@ -260,29 +301,39 @@ def _rls_step_factory(c: GSCRLSConfig, wqH, BmH):
                     -(b + jnp.sqrt(jnp.maximum(arg, 0.0))) / (2.0 * a_safe),
                     -b / (2.0 * a_safe),
                 )
-                waH_q = waH - betaK[..., None] * jnp.conj(va)
-                waH = jnp.where((waK2 > c.alpha2)[..., None], waH_q, waH)
+                hit = waK2 > c.alpha2
+                waH = [
+                    jnp.where(hit, waH[i] - betaK * jnp.conj(va[i]), waH[i])
+                    for i in range(B)
+                ]
+                # the norm cap below reuses the pre-constraint waK2, like the
+                # reference (it computes waK2 once, pybeamformer.py:849)
             if c.constraint_option >= 2:
                 # Norm cap + precision reset (pybeamformer.py:862-865).
                 over = waK2 > c.max_wa_l2norm
-                waH = jnp.where(
-                    over[..., None], waH * jnp.sqrt(c.max_wa_l2norm / waK2)[..., None], waH
-                )
-                PzK = jnp.where(
-                    over[..., None, None], eyeB / c.init_diagonal_load, PzK
-                )
+                scale = jnp.sqrt(c.max_wa_l2norm / waK2)
+                waH = [jnp.where(over, waH[i] * scale, waH[i]) for i in range(B)]
+                dK = [jnp.where(over, 1.0 / c.init_diagonal_load, dK[i]) for i in range(B)]
+                offK = [jnp.where(over, 0.0, offK[n]) for n in range(len(pairs))]
 
-        Pz_new = jnp.where(gate[..., None, None, None], PzK, state.Pz)
-        waH_new = jnp.where(gate[..., None, None], waH, state.waH)
+        g = gate[..., None]  # broadcast the per-frame gate over the F axis
+        d_new = [jnp.where(g, dK[i], d[i]) for i in range(B)]
+        off_new = [jnp.where(g, offK[n], off[n]) for n in range(len(pairs))]
+        waH_new = [jnp.where(g, waH[i], waH_l[i]) for i in range(B)]
 
         Y = jnp.where(
             state.isamp >= c.min_frames,
-            Yc - ceinsum("...fb,...fb->...f", waH_new, Z),
+            Yc - sum(waH_new[i] * Zl[i] for i in range(B)),
             Yc,
         )
         new_state = _RLSState(
-            waH=waH_new,
-            Pz=Pz_new,
+            waH=jnp.stack(waH_new, axis=-1),
+            pz_diag=jnp.stack(d_new, axis=-1),
+            pz_off=(
+                jnp.stack(off_new, axis=-1)
+                if pairs
+                else state.pz_off
+            ),
             energy=state.energy * c.beta + (1.0 - c.beta) * energy_t,
             isamp=state.isamp + 1,
         )
@@ -352,12 +403,7 @@ def gsc_postfilter_fused(
         )
         gsc_step = _lms_step_factory(config, wqH, BmH)
     elif kind == "rls":
-        gsc_state = _RLSState(
-            waH=jnp.zeros(batch + (F, B), cdtype),
-            Pz=jnp.broadcast_to(jnp.eye(B, dtype=cdtype) / config.init_diagonal_load, batch + (F, B, B)),
-            energy=jnp.full(batch, config.init_diagonal_load, jnp.float32),
-            isamp=jnp.asarray(0, jnp.int32),
-        )
+        gsc_state = rls_init_state(batch, F, B, config.init_diagonal_load, cdtype)
         gsc_step = _rls_step_factory(config, wqH, BmH)
     else:
         raise ValueError(kind)

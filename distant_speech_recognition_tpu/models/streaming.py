@@ -30,7 +30,7 @@ from ..ops.filterbank import FilterbankParams, hermitian_mirror
 from . import beamforming as bf
 from .adaptive_gsc import (
     _LMSState,
-    _RLSState,
+    rls_init_state,
     _lms_step_factory,
     _rls_step_factory,
 )
@@ -236,12 +236,7 @@ class StreamingEnhancer:
         elif cfg.beamformer == "gsc_rls":
             c = cfg.rls
             B = self.BmH.shape[1]
-            self.g_state = _RLSState(
-                waH=jnp.zeros((F, B), jnp.complex64),
-                Pz=jnp.broadcast_to(jnp.eye(B, dtype=jnp.complex64) / c.init_diagonal_load, (F, B, B)),
-                energy=jnp.asarray(c.init_diagonal_load, jnp.float32),
-                isamp=jnp.asarray(0, jnp.int32),
-            )
+            self.g_state = rls_init_state((), F, B, c.init_diagonal_load)
         else:
             self.g_state = None
         self.pf_state = (

@@ -49,6 +49,9 @@ MATMUL_MAX_M = 0 if os.environ.get("DSR_DFT_MATMUL", "1") == "0" else 2048
 # DFT-matmul MXU precision.  HIGHEST = 6-pass bf16 (full f32, ~3e-7 rel err);
 # HIGH = 3-pass bf16 (~1e-6 rel err) at roughly half the MXU time.  Override
 # with DSR_DFT_PRECISION={default,high,highest} to trade accuracy for speed.
+# (HIGH was worth +2.5% end-to-end before the fused Pallas kernels took
+# over the big matmuls; with them it measures ~-2.5% — Mosaic dots only
+# support DEFAULT/HIGHEST anyway — so full-accuracy HIGHEST stays default.)
 _PREC = {
     "default": lax.Precision.DEFAULT,
     "high": lax.Precision.HIGH,

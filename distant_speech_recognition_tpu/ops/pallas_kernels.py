@@ -50,6 +50,17 @@ __all__ = [
 ]
 
 
+
+def _kernel_prec():
+    """Dot precision for in-kernel MXU ops.  Mosaic supports only DEFAULT and
+    HIGHEST; map the XLA-side HIGH default (ops.dft._PREC) to HIGHEST — the
+    fused kernels are DMA-bound, so the extra bf16 passes are free."""
+    from jax import lax
+    from . import dft
+
+    return lax.Precision.HIGHEST if dft._PREC == lax.Precision.HIGH else dft._PREC
+
+
 def _make_analysis_tm_kernel(m: int, R: int, Tt: int, D: int, prec):
     """Fused polyphase-FIR + DFT-matmul kernel body.
 
@@ -122,7 +133,7 @@ def _analysis_tm_fused_call(
             ((0, max(need_t - n_blocks, 0)), (0, max(need_b - BC, 0)), (0, 0)),
         )
 
-    kernel = _make_analysis_tm_kernel(m, R, Tt, D, dft._PREC)
+    kernel = _make_analysis_tm_kernel(m, R, Tt, D, _kernel_prec())
     return pl.pallas_call(
         kernel,
         grid=(n_b, n_t),
@@ -283,7 +294,7 @@ def _synthesis_tm_fused_call(
             ypp, ((0, max(need_t - n_in, 0)), (0, max(need_b - B, 0)), (0, 0))
         )
 
-    kernel = _make_synthesis_tm_kernel(m, R, Tt, D, dft._PREC)
+    kernel = _make_synthesis_tm_kernel(m, R, Tt, D, _kernel_prec())
     return pl.pallas_call(
         kernel,
         grid=(n_b, n_t),
