@@ -51,6 +51,15 @@ __all__ = [
 
 
 
+def _parallel_grid():
+    """Both grid dims of the filterbank kernels are embarrassingly parallel
+    (tiles share no state); telling Mosaic so improves its pipelining
+    (~3% on the analysis stage, measured on v5e)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
+
+
 def _kernel_prec():
     """Dot precision for in-kernel MXU ops.  Mosaic supports only DEFAULT and
     HIGHEST; map the XLA-side HIGH default (ops.dft._PREC) to HIGHEST — the
@@ -148,6 +157,60 @@ def _analysis_tm_fused_call(
         out_specs=pl.BlockSpec((Tt, Bb, Mout), lambda b, t: (t, b, 0)),
         out_shape=jax.ShapeDtypeStruct((n_frames, BC, Mout), jnp.float32),
         interpret=interpret,
+        compiler_params=_parallel_grid(),
+    )(blocks_tm, hw, A)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _analysis_tm_nopad_call(
+    blocks_tm: jax.Array,
+    hw: jax.Array,
+    A: jax.Array,
+    laN: int,
+    n_frames: int,
+    Tt: int,
+    Bb: int,
+    interpret: bool,
+    mR: int,
+) -> jax.Array:
+    """Kernel call on the UNPADDED block stream: the halo window start is
+    clamped into bounds, which makes the edge frame tiles garbage (their
+    windows would reach the zero history / zero tail); the wrapper
+    recomputes exactly those frames with the XLA path and patches them in
+    with an in-place dynamic-update-slice — no whole-tensor pad pass."""
+    from jax.experimental import pallas as pl
+
+    n_blocks, BC, D = blocks_tm.shape
+    Mout = A.shape[1]
+    M = A.shape[0]
+    R = M // D
+    m = mR // R
+    W = Tt + mR - 1
+    n_t = -(-n_frames // Tt)
+    n_b = BC // Bb
+
+    kernel = _make_analysis_tm_kernel(m, R, Tt, D, _kernel_prec())
+    hi = n_blocks - W
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_b, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(W), pl.Element(Bb), pl.Element(D)),
+                lambda b, t: (
+                    jnp.clip(laN + t * Tt - (mR - 1), 0, hi),
+                    b * Bb,
+                    0,
+                ),
+            ),
+            pl.BlockSpec((mR, D), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, Mout), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, Bb, Mout), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_frames, BC, Mout), jnp.float32),
+        interpret=interpret,
+        compiler_params=_parallel_grid(),
     )(blocks_tm, hw, A)
 
 
@@ -159,6 +222,7 @@ def analysis_tm_fused(
     frame_tile: int = 8,
     batch_tile: int = 256,
     interpret: bool = False,
+    edge_fixup: bool = True,
 ) -> jax.Array:
     """Fused Pallas analysis bank, time-major: ``x [..., T]`` ->
     ``Yr [n_frames, ..., Mout]`` — bit-compatible with
@@ -170,9 +234,15 @@ def analysis_tm_fused(
     registers, and feeds the packed DFT matmul on the MXU — the ``w_j`` FIR
     tensors of the XLA path never touch HBM.  Requires the matmul-DFT
     regime and D % 128 == 0 (lane-aligned blocks).
+
+    ``edge_fixup=True`` (default, when shapes allow): the signal is fed to
+    the kernel UNPADDED — the few frames whose windows reach the zero
+    history / zero tail are recomputed by the XLA path on tiny slices and
+    patched in with dynamic-update-slice, saving the whole-tensor pad pass
+    in HBM.
     """
     from . import dft
-    from .filterbank import _pad_to_blocks
+    from .filterbank import _pad_to_blocks, analysis_half_real_tm
 
     p = params
     D, M, m, R = p.D, p.M, p.m, p.R
@@ -203,11 +273,40 @@ def analysis_tm_fused(
     Bb = max(8, min(batch_tile, -(-BC // 8) * 8))
     n_t = -(-n_frames // Tt)
     n_b = -(-BC // Bb)
-    # One pad pass covers everything the Element-indexed kernel touches:
-    # front history, the zero-padding tail, the halo of the last frame tile,
-    # and whole batch tiles (all-Element specs have no partial-block masking).
-    tail = p.laN + n_t * Tt + mR - 1 - (front + n_blocks)
     x2 = x.reshape(BC, x.shape[-1])
+
+    W = Tt + mR - 1
+    if edge_fixup and n_b * Bb == BC and n_blocks >= W:
+        # tiles whose clamped window start differs from the true one
+        s_true = [p.laN + t * Tt - (mR - 1) for t in range(n_t)]
+        a = sum(1 for s in s_true if s < 0)  # bad prefix
+        b0 = next((t for t, s in enumerate(s_true) if s > n_blocks - W), n_t)
+        if a < b0:
+            blocks = x2.reshape(BC, -1, D)
+            blocks_tm = jnp.transpose(blocks, (1, 0, 2))  # [n_blocks, BC, D]
+            Yr = _analysis_tm_nopad_call(
+                blocks_tm, hw, A, p.laN, n_frames, Tt, Bb, interpret, mR
+            )
+            fix_front = min(a * Tt, n_frames)
+            if fix_front:
+                xf = x2[:, : (p.laN + fix_front) * D]
+                ff = analysis_half_real_tm(xf, h, p, packed=packed)[:fix_front]
+                Yr = jax.lax.dynamic_update_slice(Yr, ff, (0, 0, 0))
+            fix_top = b0 * Tt
+            if fix_top < n_frames:
+                q0 = p.laN + fix_top - (mR - 1)
+                xt = x2[:, q0 * D :]
+                ft = analysis_half_real_tm(xt, h, p, packed=packed)
+                off = fix_top - q0
+                ft = jax.lax.slice_in_dim(ft, off, off + (n_frames - fix_top), axis=0)
+                Yr = jax.lax.dynamic_update_slice(Yr, ft, (fix_top, 0, 0))
+            return Yr.reshape((n_frames,) + lead + (Yr.shape[-1],))
+
+    # Fallback: one pad pass covers everything the Element-indexed kernel
+    # touches — front history, zero-padding tail, the halo of the last frame
+    # tile, and whole batch tiles (all-Element specs have no partial-block
+    # masking).
+    tail = p.laN + n_t * Tt + mR - 1 - (front + n_blocks)
     if max(tail, 0) or front or n_b * Bb > BC:
         x2 = jnp.pad(x2, ((0, n_b * Bb - BC), (front * D, max(tail, 0) * D)))
     blocks = x2.reshape(x2.shape[0], -1, D)  # [BC', n_blocks', D]
@@ -309,6 +408,51 @@ def _synthesis_tm_fused_call(
         out_specs=pl.BlockSpec((Tt, Bb, D), lambda b, t: (t, b, 0)),
         out_shape=jax.ShapeDtypeStruct((T_out, B, D), jnp.float32),
         interpret=interpret,
+        compiler_params=_parallel_grid(),
+    )(ypp, S, gf)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _synthesis_tm_nopad_call(
+    ypp: jax.Array,
+    S: jax.Array,
+    gf: jax.Array,
+    R: int,
+    T_out: int,
+    Tt: int,
+    Bb: int,
+    interpret: bool,
+    pre: int,
+    m: int,
+) -> jax.Array:
+    """Kernel call on the UNPADDED packed spectrum: the halo window start is
+    clamped into bounds; the edge output tiles are garbage and the wrapper
+    patches them with the XLA path (see `_analysis_tm_nopad_call`)."""
+    from jax.experimental import pallas as pl
+
+    n_in, B, M = ypp.shape
+    D = M // R
+    W = Tt + m * R - 1
+    n_t = -(-T_out // Tt)
+    n_b = B // Bb
+    hi = n_in - W
+
+    kernel = _make_synthesis_tm_kernel(m, R, Tt, D, _kernel_prec())
+    return pl.pallas_call(
+        kernel,
+        grid=(n_b, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(W), pl.Element(Bb), pl.Element(M)),
+                lambda b, t: (jnp.clip(t * Tt - pre, 0, hi), b * Bb, 0),
+            ),
+            pl.BlockSpec((M, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((m, M), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, Bb, D), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_out, B, D), jnp.float32),
+        interpret=interpret,
+        compiler_params=_parallel_grid(),
     )(ypp, S, gf)
 
 
@@ -319,6 +463,7 @@ def synthesis_tm_fused(
     frame_tile: int = 8,
     batch_tile: int = 128,
     interpret: bool = False,
+    edge_fixup: bool = True,
 ) -> jax.Array:
     """Fused Pallas synthesis bank consuming the packed time-major spectrum:
     ``Yp [T_in, ..., M]`` (``[Re(0..M/2) | Im(1..M/2-1)]`` lanes) -> samples
@@ -358,17 +503,53 @@ def synthesis_tm_fused(
     n_t = -(-T_out // Tt)
     n_b = -(-B // Bb)
     # The kernel's local algebra puts c frame ``t0 + l + pd - (mR - 1)`` at
-    # local slot l; prepend ``mR - 1 - pd`` zero frames (clip if pd is
-    # larger) and pad the halo tail / whole batch tiles in the same pass so
-    # every Element start is in bounds.
+    # local slot l, i.e. the halo window for output tile t starts ``pre =
+    # mR - 1 - pd`` frames before ``t*Tt`` on the spectrum stream.
     pre = m * R - 1 - pd
-    if pre < 0:
-        ypp = ypp[-pre:]
-        pre = 0
-    post = n_t * Tt + m * R - 1 - (pre + ypp.shape[0])
-    if pre or max(post, 0) or n_b * Bb > B:
-        ypp = jnp.pad(ypp, ((pre, max(post, 0)), (0, n_b * Bb - B), (0, 0)))
-    out = _synthesis_tm_fused_call(ypp, S, gf, R, T_out, Tt, Bb, interpret)
+    yppc = ypp if pre >= 0 else ypp[-pre:]
+    prec_ = max(pre, 0)
+    W = Tt + m * R - 1
+
+    if edge_fixup and n_b * Bb == B and yppc.shape[0] >= W:
+        from .filterbank import synthesis_half_real_tm
+
+        starts = [t * Tt - prec_ for t in range(n_t)]
+        hi = yppc.shape[0] - W
+        a = sum(1 for s in starts if s < 0)
+        b0 = next((t for t, s in enumerate(starts) if s > hi), n_t)
+        # contamination reach of a zero history in the sub-call:
+        # local out frame v needs c frames >= v + pd - (mR - 1) - (R - 1)
+        v0 = max(m * R + R - 2 - pd, 0)
+        if a < b0 and (b0 >= n_t or b0 * Tt >= v0):
+            out = _synthesis_tm_nopad_call(
+                yppc, S, gf, R, T_out, Tt, Bb, interpret, prec_, m
+            )
+            fix_front = min(a * Tt, T_out)
+            if fix_front:
+                ff = synthesis_half_real_tm(Yp[: fix_front + pd], g, p)
+                ff = jnp.moveaxis(ff.reshape(lead + (fix_front, D)), -2, 0)
+                out = jax.lax.dynamic_update_slice(
+                    out, ff.reshape(fix_front, B, D), (0, 0, 0)
+                )
+            fix_top = b0 * Tt
+            if fix_top < T_out:
+                q0 = fix_top - v0
+                ft = synthesis_half_real_tm(Yp[q0:], g, p)
+                cnt = T_out - fix_top
+                ft = ft[..., v0 * D : (v0 + cnt) * D]
+                ft = jnp.moveaxis(ft.reshape(lead + (cnt, D)), -2, 0)
+                out = jax.lax.dynamic_update_slice(
+                    out, ft.reshape(cnt, B, D), (fix_top, 0, 0)
+                )
+            out = jnp.moveaxis(out, 0, -2)
+            return out.reshape(lead + (T_out * D,))
+
+    # Fallback: one pad pass makes every Element start in bounds (zero
+    # history, halo tail, whole batch tiles).
+    post = n_t * Tt + m * R - 1 - (prec_ + yppc.shape[0])
+    if prec_ or max(post, 0) or n_b * Bb > B:
+        yppc = jnp.pad(yppc, ((prec_, max(post, 0)), (0, n_b * Bb - B), (0, 0)))
+    out = _synthesis_tm_fused_call(yppc, S, gf, R, T_out, Tt, Bb, interpret)
     out = out[:, :B] if n_b * Bb > B else out
     out = jnp.moveaxis(out, 0, -2)  # [..., T_out, D]
     return out.reshape(lead + (T_out * D,))
