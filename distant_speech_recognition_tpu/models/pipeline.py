@@ -89,6 +89,33 @@ class PipelineConfig:
     wpe_iterations: int = 2
 
 
+def _tm_shardings(bin_sharding):
+    """Derive the time-major layouts ``[Tf, B, F, C]`` / ``[Tf, B, F]`` from
+    a caller-supplied bin sharding.
+
+    Accepts either a 4-axis time-major NamedSharding directly, or any
+    NamedSharding over a mesh with the standard (batch, freq) axis names
+    (parallel/mesh.MESH_AXES), from which the TM specs are rebuilt.  Returns
+    ``None`` when the layout cannot be derived (caller falls back to the
+    vmap path).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if not isinstance(bin_sharding, NamedSharding):
+        return None
+    mesh = bin_sharding.mesh
+    spec = tuple(bin_sharding.spec)
+    if len(spec) == 4:  # already a [Tf, B, F, C] spec
+        return bin_sharding, NamedSharding(mesh, P(*spec[:3]))
+    if {"batch", "freq"} <= set(mesh.axis_names):
+        return (
+            NamedSharding(mesh, P(None, "batch", "freq", None)),
+            NamedSharding(mesh, P(None, "batch", "freq")),
+        )
+    return None
+
+
 def _beamform_one(cfg: PipelineConfig, X, energy, wqH, BmH):
     """Beamform one utterance's snapshots X [T, F, C] -> [T, F]."""
     if cfg.beamformer in ("ds", "sd_mvdr", "lcmv"):
@@ -242,7 +269,6 @@ def build_pipeline(
         and HALF_BAND
         and cfg.aec == "none"
         and not cfg.wpe
-        and bin_sharding is None
         and M <= dft.MATMUL_MAX_M
     )
     # Time-major only pays for the fused adaptive scans (it removes the
@@ -252,12 +278,52 @@ def build_pipeline(
     # v5e), so they keep it.
     time_major = tm_ok and fused
 
+    # Freq-sharded flagship: the packed [Re | Im] lane layout cannot be
+    # split over bins (Re and Im of one bin live M/2 lanes apart), so the
+    # multi-chip time-major path runs the complex [Tf, B, F, C] snapshot
+    # layout instead and constrains the bin axis to the mesh's ``freq``
+    # axis — the scan state ([B, F, ...]) inherits the split by
+    # propagation, so each chip carries only its bins' RLS/CSD state
+    # (the per-bin independence scaled here: beamformer.cc:1142-1152).
+    tm_shardings = None
+    if time_major and bin_sharding is not None:
+        tm_shardings = _tm_shardings(bin_sharding)
+        if tm_shardings is None:
+            time_major = False  # un-derivable layout: fall back to vmap path
+
     if cfg.aec == "nlms":
 
         @jax.jit
         def enhance(x, play):
             """x: [B, C, T], play: [B, T] far-end reference -> [B, T_out]."""
             return jax.vmap(_one)(x, play)
+
+    elif time_major and tm_shardings is not None:
+        from .adaptive_gsc import gsc_postfilter_fused
+
+        kind = "lms" if cfg.beamformer == "gsc_lms" else "rls"
+        gcfg = cfg.lms if kind == "lms" else cfg.rls
+        F = M // 2 + 1
+        X_sharding, Y_sharding = tm_shardings
+
+        @jax.jit
+        def enhance(x):
+            """x: [B, C, T] -> [B, T_out] (time-major freq-sharded path)."""
+            Yr = analysis_half_real_tm(x, h, cfg.fb, packed=False)  # [Tf,B,C,2F]
+            X = jnp.moveaxis(
+                jax.lax.complex(Yr[..., :F], Yr[..., F:]), -2, -1
+            )  # [Tf, B, F, C]
+            X = jax.lax.with_sharding_constraint(X, X_sharding)
+            # dense pre-pass (one all-reduce over freq shards) instead of a
+            # per-scan-step reduction
+            energy = bf.frame_energy_half(X[..., 0], M)  # [Tf, B]
+            Y = gsc_postfilter_fused(
+                X, energy, jnp.asarray(wqH), jnp.asarray(BmH),
+                jnp.asarray(wq_manifold), kind, gcfg,
+                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+            )  # [Tf, B, F] complex, freq-sharded
+            Y = jax.lax.with_sharding_constraint(Y, Y_sharding)
+            return synthesis_half_tm(Y, g, cfg.fb)
 
     elif time_major:
         from .adaptive_gsc import gsc_postfilter_fused

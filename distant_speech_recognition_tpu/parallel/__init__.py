@@ -4,5 +4,6 @@ from .mesh import (  # noqa: F401
     make_mesh,
     shard_batch,
     snapshot_sharding,
+    tm_snapshot_sharding,
 )
 from .runner import enhance_files, enhance_files_pipelined, run_batch  # noqa: F401

@@ -26,6 +26,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "snapshot_sharding",
+    "tm_snapshot_sharding",
     "shard_batch",
     "MESH_AXES",
 ]
@@ -66,6 +67,14 @@ def snapshot_sharding(mesh: Mesh, batched: bool = True) -> NamedSharding:
     if batched:
         return NamedSharding(mesh, P("batch", None, "freq", None))
     return NamedSharding(mesh, P(None, "freq", None))
+
+
+def tm_snapshot_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for time-major snapshot tensors ``[T, B, F, C]`` (the layout
+    of the flagship fused-scan pipeline, models/pipeline.py): the utterance
+    axis over ``batch``, the bin axis over ``freq``.  The scan state
+    (``[B, F, ...]`` pytrees) inherits the same split by propagation."""
+    return NamedSharding(mesh, P(None, "batch", "freq", None))
 
 
 def shard_batch(mesh: Mesh, x):

@@ -103,6 +103,60 @@ def test_pipeline_sharded_matches_unsharded(protos, array_setup, rng):
     np.testing.assert_allclose(y, y_ref, atol=2e-4)
 
 
+def test_tm_pipeline_sharded_matches_unsharded(protos, array_setup, rng):
+    """The FLAGSHIP time-major fused GSC-RLS+Zelinski path, freq-sharded over
+    a (batch x freq) mesh, matches the unsharded packed fast path.
+
+    The sharded variant runs the complex [Tf, B, F, C] snapshot layout with
+    the scan state split over ``freq`` (models/pipeline.py freq-sharded TM
+    branch); the unsharded variant runs the packed-real lane layout — same
+    math, different layouts, so this also cross-checks the packing algebra.
+    """
+    h, g = protos
+    mpos, delays = array_setup
+    cfg = PipelineConfig(
+        fb=FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=2),
+        beamformer="gsc_rls",
+        postfilter="zelinski",
+        pf_min_frames=2,
+    )
+    x = (rng.standard_normal((4, C, 2500)) * 0.1).astype(np.float32)
+
+    y_ref = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(x))
+
+    from distant_speech_recognition_tpu.parallel import tm_snapshot_sharding
+
+    mesh = make_mesh(batch=4, freq=2)
+    fn = build_pipeline(
+        cfg, mpos, delays, h, g, bin_sharding=tm_snapshot_sharding(mesh)
+    )
+    with jax.set_mesh(mesh):
+        xs = shard_batch(mesh, x)
+        y = np.asarray(fn(xs))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4)
+
+
+def test_tm_pipeline_sharding_derived_from_snapshot_spec(protos, array_setup, rng):
+    """A 3-axis [T, F, C] bin sharding is auto-lifted to the TM layout."""
+    h, g = protos
+    mpos, delays = array_setup
+    cfg = PipelineConfig(
+        fb=FilterbankParams(M=M, m=m_, r=r_),
+        beamformer="gsc_lms",
+        postfilter="zelinski",
+        pf_min_frames=2,
+    )
+    x = (rng.standard_normal((2, C, 2000)) * 0.1).astype(np.float32)
+    y_ref = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(x))
+    mesh = make_mesh(batch=2, freq=4)
+    fn = build_pipeline(
+        cfg, mpos, delays, h, g, bin_sharding=snapshot_sharding(mesh, batched=False)
+    )
+    with jax.set_mesh(mesh):
+        y = np.asarray(fn(shard_batch(mesh, x)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4)
+
+
 def test_graft_entry_contract():
     import sys
 
