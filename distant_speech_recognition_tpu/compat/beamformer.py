@@ -133,7 +133,7 @@ class SubbandBeamformer(FeatureStream):
         self._snapshot_array: SnapShotArray | None = None
         # postfilter tap points (compat.postfilter.set_beamformer)
         self.last_snapshot: np.ndarray | None = None  # [F, C]
-        self.wq_manifold: np.ndarray | None = None  # conj quiescent weights [F, C]
+        self.wq_manifold: np.ndarray | None = None  # ta_ [F, C] (e^{-j.} conv.)
 
     # -- reference API ----------------------------------------------------
     def fftLen(self) -> int:
@@ -231,7 +231,7 @@ class SubbandDS(SubbandBeamformer):
         self._alloc_weights(np.asarray(delays).shape[-1], NC=1)
         vs = np.asarray(bf.array_manifold(self._fftLen, float(samplerate), delays))
         self._wq = vs.astype(np.complex64)
-        self.wq_manifold = np.conj(self._wq)
+        self.wq_manifold = self._wq  # ta_ = wq_ (setTimeAlignment, beamformer.cc:960-965)
 
     def calc_array_manifold_vectors_2(self, samplerate: float, delaysT, delaysJ) -> None:
         """Target + one null constraint (calcMainlobe2, beamformer.cc:572-598)."""
@@ -251,7 +251,7 @@ class SubbandDS(SubbandBeamformer):
         gains = jnp.asarray([1.0] + [0.0] * len(delaysJ))
         wqH = np.asarray(bf.lcmv_weights(constraints, gains))
         self._wq = np.conj(wqH).astype(np.complex64)
-        self.wq_manifold = wqH.astype(np.complex64)
+        self.wq_manifold = self._wq  # ta_ = wq_ (beamformer.cc:960-965)
 
     def get_weights(self, fbinX: int) -> np.ndarray:
         return self._wq[fbinX]
@@ -326,7 +326,7 @@ class SubbandGSC(SubbandDS):
         (SubbandGSC::set_quiescent_weights_f, beamformer.cc:1318-1325)."""
         self._require_weights("call calc_gsc_weights_x() once")
         self._wq[fbinX] = np.asarray(srcWq, np.complex64)
-        self.wq_manifold = np.conj(self._wq)
+        self.wq_manifold = self._wq
         self._B[fbinX] = np.asarray(
             bf.blocking_matrix(jnp.asarray(self._wq[fbinX]), Nc=self._NC)
         )
@@ -646,7 +646,7 @@ class SubbandMVDR(SubbandDS):
             bf.mvdr_weights(jnp.asarray(self._R), jnp.asarray(self._wq), float(dThreshold))
         )
         self._wmvdr = np.conj(wqH).astype(np.complex64)
-        self.wq_manifold = wqH.astype(np.complex64)
+        self.wq_manifold = self._wmvdr  # stored weights, e^{-j.} convention
         return True
 
     def mvdr_weights(self, fbinX: int) -> np.ndarray:
@@ -739,7 +739,7 @@ class SubbandMVDRGSC(SubbandMVDR):
         if self._B is None:
             self._alloc_weights(self.chanN(), NC=1)
         self._wq[1:] = self._wmvdr[1:]
-        self.wq_manifold = np.conj(self._wq)
+        self.wq_manifold = self._wq
         self._B[1:] = np.asarray(
             bf.blocking_matrix(jnp.asarray(self._wq[1:]), Nc=1)
         )

@@ -45,8 +45,8 @@ class SingleChannelWPEDereverberationFeature(FeatureStream):
         self._upper = int(upper_num)
         self._iters = int(iterations_num)
         self._load_db = float(load_db)
-        # band_width > 0 limits estimation to low bins in the reference; the
-        # batched kernel estimates all bins (band limit retained for API).
+        # band_width > 0 limits filtering to the reference's band-limit bins
+        # (models.dereverberation.band_limit_mask); others pass through
         self._band_width = float(band_width)
         self._rate = int(samplerate)
         self._out = None
@@ -61,7 +61,8 @@ class SingleChannelWPEDereverberationFeature(FeatureStream):
         M = frames.shape[-1]
         F = M // 2 + 1
         Yh = jnp.asarray(frames[:, :F])
-        out = wpe(Yh, self._lower, self._upper, self._iters, self._load_db)
+        out = wpe(Yh, self._lower, self._upper, self._iters, self._load_db,
+                  self._band_width, float(self._rate))
         self._out = np.asarray(hermitian_mirror(out, M))
         self._i = 0
         return self._out.shape[0]
@@ -120,7 +121,8 @@ class MultiChannelWPEDereverberation:
         F = self._M // 2 + 1
         Yh = jnp.asarray(frames[..., :F])
         out = wpe_multichannel(Yh, self._lower, self._upper, self._iters,
-                               self._load_db, self._bias)
+                               self._load_db, self._bias,
+                               self._band_width, float(self._rate))
         self.outputs = np.asarray(hermitian_mirror(out, self._M))
         return self.outputs.shape[1]
 

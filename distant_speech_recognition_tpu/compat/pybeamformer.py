@@ -63,7 +63,7 @@ class SubbandBeamformer(FeatureStream):
         # exposed for postfilters tapping the beamformer (ZelinskiPostFilter
         # set_beamformer path, postfilter.h:74-110)
         self.last_snapshot: np.ndarray | None = None  # [F, C]
-        self.wq_manifold: np.ndarray | None = None  # [F, C] conj manifold / C
+        self.wq_manifold: np.ndarray | None = None  # [F, C] ta_ (e^{-j.} conv.)
         self.wqH: np.ndarray | None = None
         self.BmH: np.ndarray | None = None
 
@@ -103,7 +103,7 @@ class SubbandGSCBeamformer(SubbandBeamformer):
     def calc_beamformer_weights(self, samplerate, delays_t):
         wqH, BmH = gsc_weights(self._M, float(samplerate), np.asarray(delays_t), Nc=1)
         self.wqH, self.BmH = np.asarray(wqH), np.asarray(BmH)
-        self.wq_manifold = self.wqH
+        self.wq_manifold = np.conj(self.wqH)  # ta_ (beamformer.cc:960-965)
         return self.wqH
 
     def calc_beamformer_weights_n(self, samplerate, delays_t, delays_js):
@@ -117,7 +117,7 @@ class SubbandGSCBeamformer(SubbandBeamformer):
         constraints = jnp.stack(cons, axis=-2)  # [F, Nc, C]
         gains = jnp.asarray([1.0] + [0.0] * len(delays_js))
         self.wqH = np.asarray(bf.lcmv_weights(constraints, gains))
-        self.wq_manifold = np.conj(np.asarray(vs_t))
+        self.wq_manifold = np.asarray(vs_t)  # ta_ (beamformer.cc:960-965)
         self.BmH = np.asarray(bf.blocking_matrix(vs_t, Nc=1)).transpose(0, 2, 1)
         return self.wqH
 
@@ -140,9 +140,9 @@ class SubbandMVDRBeamformer(SubbandBeamformer):
             bf.superdirective_weights(np.asarray(mpos), delays_t, self._M,
                                       float(samplerate), sspeed=sspeed, mu=mu)
         )
-        self.wq_manifold = np.conj(
-            np.asarray(bf.array_manifold(self._M, float(samplerate), delays_t))
-        )
+        self.wq_manifold = np.asarray(
+            bf.array_manifold(self._M, float(samplerate), delays_t)
+        )  # ta_ (beamformer.cc:960-965)
         return self.wqH
 
     def _produce(self) -> np.ndarray:
@@ -169,7 +169,7 @@ class _AdaptiveGSCBase(SubbandBeamformer):
     def calc_beamformer_weights(self, samplerate, delays_t):
         wqH, BmH = gsc_weights(self._M, float(samplerate), np.asarray(delays_t), Nc=1)
         self.wqH, self.BmH = np.asarray(wqH), np.asarray(BmH)
-        self.wq_manifold = self.wqH
+        self.wq_manifold = np.conj(self.wqH)  # ta_ (beamformer.cc:960-965)
         step = type(self)._make_step(self._cfg, jnp.asarray(wqH), jnp.asarray(BmH))
         self._step = jax.jit(step)
         if self._state is None:  # look-direction change keeps adaptive state

@@ -374,7 +374,10 @@ def gsc_postfilter_fused(
     in the same packed layout ``[T, ..., M]``, ready for
     `ops.filterbank.synthesis_half_real_tm`.
 
-    ``wq_manifold``: [F, C] conjugate manifold for the postfilter alignment.
+    ``wq_manifold``: [F, C] manifold for the postfilter alignment — the C++
+    ``ta_`` in the ``e^{-j2 pi f tau}/C`` convention (beamformer.cc:960-965);
+    it is conjugated per channel here like time_alignment_
+    (postfilter.cc:30-43).
     Returns ``Y_filtered [T, ..., F]`` complex (packed real when
     ``real_packed``).
     """

@@ -31,7 +31,27 @@ from ..ops.complex_ops import ceinsum
 
 SUBBAND_FLOOR = 1.0e-3  # dereverberation.cc:144
 
-__all__ = ["wpe_estimate", "wpe_apply", "wpe", "wpe_multichannel"]
+__all__ = ["wpe_estimate", "wpe_apply", "wpe", "wpe_multichannel", "band_limit_mask"]
+
+
+def band_limit_mask(F: int, band_width: float, samplerate: float):
+    """Active-bin mask for the WPE ``bandWidth`` option, or ``None`` for all.
+
+    The reference estimates/applies filters only for bins
+    ``<= lower_bandWidthN_`` or ``>= upper_bandWidthN_`` with
+    ``lower = (bw / (fs/2)) * (M/2)``, ``upper = M - lower``
+    (set_band_width_, dereverberation.cc:278-285; gates at :192 and :262);
+    other bins pass through.  ``F = M//2 + 1`` half-band bins.
+    """
+    if band_width <= 0.0:
+        return None
+    if band_width > samplerate / 2.0:
+        raise ValueError("bandWidth is greater than the Nyquist rate")
+    M2 = F - 1
+    lower = int((band_width / (samplerate / 2.0)) * M2)
+    upper = 2 * M2 - lower
+    bins = jnp.arange(F)
+    return (bins <= lower) | (bins >= upper)
 
 
 def _lag_tensor(Y: jax.Array, lowerN: int, P: int) -> jax.Array:
@@ -112,15 +132,37 @@ def wpe_apply(Y: jax.Array, G: jax.Array, lowerN: int) -> jax.Array:
     ``t >= lowerN`` (streaming apply of dereverberation.cc:227-275 /
     calc_every_channel_output :445-501).
 
+    Reference quirk, reproduced exactly (verified against the compiled C++,
+    tests/test_cpp_golden.py): the streaming apply keeps only ``P``
+    (``predictionN_``) frames of history but indexes lags at
+    ``yn_[size-1-lowerN-lagX]`` (dereverberation.cc:251-265), so once the
+    ring buffer is full the deepest ``lowerN`` taps read zeros — the
+    effective apply filter drops taps ``p >= P - lowerN`` (for every frame:
+    before the buffer fills, those taps hit the zero history anyway).
+    Estimation (`wpe_estimate`) buffers the whole utterance and uses the
+    full window, like ``calc_Rr_``.
+
     ``Y``: [C, T, F]; ``G``: [C, F, C*P].  Returns [C, T, F].
     """
     C, T, F = Y.shape
     P = G.shape[-1] // C
+    if lowerN > 0:
+        tap_ok = (jnp.arange(P) < P - lowerN)
+        G = G * jnp.tile(tap_ok, C).astype(G.dtype)
     L = _lag_tensor(Y, lowerN, P)  # [C, T, F, P]
     L = jnp.moveaxis(L, 0, -2).reshape(T, F, C * P)
     pred = ceinsum("cfp,tfp->ctf", jnp.conj(G), L)
     valid = (jnp.arange(T) >= lowerN)[:, None]
     return Y - jnp.where(valid, pred, 0.0)
+
+
+def _mask_G(G, F, band_width, samplerate):
+    """Zero filters for band-limited-out bins: identical to the reference's
+    skip (filters for skipped bins stay 0, so apply passes through)."""
+    mask = band_limit_mask(F, band_width, samplerate)
+    if mask is None:
+        return G
+    return G * mask[:, None].astype(G.dtype)
 
 
 def wpe(
@@ -129,22 +171,28 @@ def wpe(
     upperN: int,
     iterations: int = 2,
     load_db: float = -20.0,
+    band_width: float = 0.0,
+    samplerate: float = 16000.0,
 ) -> jax.Array:
     """Single-channel WPE end to end: estimate on the utterance, then apply.
 
     ``Y``: [T, F] (or [C, T, F] treating each channel independently).
+    ``band_width`` > 0 restricts estimation/apply to the reference's
+    band-limit bins (`band_limit_mask`); other bins pass through.
     """
     single = Y.ndim == 2
     Yc = Y[None] if single else Y
+    F = Y.shape[-1]
+
+    def one(y):
+        G = wpe_estimate(y, lowerN, upperN, iterations, load_db)
+        return wpe_apply(y, _mask_G(G, F, band_width, samplerate), lowerN)
+
     if single or Y.shape[0] == 1:
-        out = wpe_apply(Yc, wpe_estimate(Yc, lowerN, upperN, iterations, load_db), lowerN)
+        out = one(Yc)
     else:
         # independent per-channel single-channel WPE
-        out = jax.vmap(
-            lambda y: wpe_apply(
-                y[None], wpe_estimate(y[None], lowerN, upperN, iterations, load_db), lowerN
-            )[0]
-        )(Yc)
+        out = jax.vmap(lambda y: one(y[None])[0])(Yc)
     return out[0] if single else out
 
 
@@ -155,8 +203,11 @@ def wpe_multichannel(
     iterations: int = 2,
     load_db: float = -20.0,
     diagonal_bias: float = 0.0,
+    band_width: float = 0.0,
+    samplerate: float = 16000.0,
 ) -> jax.Array:
     """Joint multi-channel WPE: all channels' lags predict every channel
-    (MultiChannelWPEDereverberation).  ``Y``: [C, T, F] -> [C, T, F]."""
+    (MultiChannelWPEDereverberation).  ``Y``: [C, T, F] -> [C, T, F].
+    ``band_width`` > 0 applies the reference's band limit (`band_limit_mask`)."""
     G = wpe_estimate(Y, lowerN, upperN, iterations, load_db, diagonal_bias)
-    return wpe_apply(Y, G, lowerN)
+    return wpe_apply(Y, _mask_G(G, Y.shape[-1], band_width, samplerate), lowerN)

@@ -87,6 +87,7 @@ class PipelineConfig:
     wpe_lower: int = 2
     wpe_upper: int = 6
     wpe_iterations: int = 2
+    wpe_band_width: float = 0.0  # >0: reference band limit (dereverberation.h:38)
 
 
 def _tm_shardings(bin_sharding):
@@ -176,9 +177,15 @@ def build_pipeline(
     # ops, and constants embed into the jitted program regardless).
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         vs = bf.array_manifold(M, fs, delays)
-        wq_manifold = np.conj(np.asarray(vs))
+        # Postfilter alignment vector = the C++ ta_ (BeamformerWeights::
+        # setTimeAlignment copies wq_ = e^{-j2pi f tau}/C into ta_,
+        # beamformer.cc:960-965); the postfilters conjugate it per channel
+        # (time_alignment_, postfilter.cc:30-43).  NOT the conjugated apply
+        # weights — verified against the compiled reference
+        # (tests/test_cpp_golden.py).
+        wq_manifold = np.asarray(vs)
         if cfg.beamformer == "ds":
-            wqH = wq_manifold
+            wqH = np.conj(wq_manifold)
             BmH = None
         elif cfg.beamformer == "lcmv":
             # null steering: target + jammer manifolds as constraints
@@ -234,7 +241,9 @@ def build_pipeline(
                 )(subh)
             if cfg.wpe:
                 subh = wpe_multichannel(subh, cfg.wpe_lower, cfg.wpe_upper,
-                                        cfg.wpe_iterations)
+                                        cfg.wpe_iterations,
+                                        band_width=cfg.wpe_band_width,
+                                        samplerate=cfg.samplerate)
             X = jnp.moveaxis(subh, 0, -1)  # [Tf, F, C]
         elif HALF_BAND:
             # fused analysis + snapshot transpose (real-first: see

@@ -88,14 +88,18 @@ def build_steered_pipeline(
             if cfg.postfilter == "zelinski":
                 from .postfilter import zelinski_postfilter
 
-                Y = zelinski_postfilter(X, Y, wqH, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames)
+                # alignment vector is the manifold vs (the C++ ta_), not the
+                # conjugated apply weights (beamformer.cc:960-965)
+                Y = zelinski_postfilter(X, Y, vs, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames)
         else:
             BmH = jnp.swapaxes(bf.blocking_matrix(vs, cfg.Nc), -1, -2)
             kind = "lms" if cfg.beamformer == "gsc_lms" else "rls"
             gcfg = cfg.lms if kind == "lms" else cfg.rls
             if cfg.postfilter == "zelinski":
+                # postfilter alignment uses the manifold vs (the C++ ta_),
+                # not the conjugated apply weights (beamformer.cc:960-965)
                 Y = gsc_postfilter_fused(
-                    X, energy, wqH, BmH, wqH, kind, gcfg,
+                    X, energy, wqH, BmH, vs, kind, gcfg,
                     cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
                 )
             else:

@@ -202,9 +202,12 @@ class StreamingEnhancer:
 
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             vs = bf.array_manifold(cfg.fb.M, cfg.samplerate, delays)
-            self.wq_manifold = np.conj(np.asarray(vs))
+            # = the C++ ta_ (beamformer.cc:960-965); _zelinski_step_factory
+            # conjugates it per channel like time_alignment_
+            # (postfilter.cc:30-43)
+            self.wq_manifold = np.asarray(vs)
             if cfg.beamformer == "ds":
-                self.wqH, self.BmH = self.wq_manifold, None
+                self.wqH, self.BmH = np.conj(self.wq_manifold), None
             elif cfg.beamformer == "sd_mvdr":
                 self.wqH = np.asarray(
                     bf.superdirective_weights(mpos, delays, cfg.fb.M, cfg.samplerate, mu=cfg.sd_mu)

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Build the golden-output generator: the UNMODIFIED reference BTK 2.0 C++
+# sources (read-only at /root/reference/btk20_src) compiled against the GSL
+# shim in shim/gsl (GSL itself is not installed in this image).
+set -e
+cd "$(dirname "$0")"
+REF=/root/reference/btk20_src
+OUT=${1:-build}
+mkdir -p "$OUT"
+
+EIGEN=/opt/venv/lib/python3.12/site-packages/tensorflow/include
+CXXFLAGS="-O2 -std=c++14 -w -I shim -I $REF -I $EIGEN -Wl,--allow-multiple-definition"
+
+g++ $CXXFLAGS -o "$OUT/golden_main" \
+  drivers/golden_main.cc \
+  $REF/stream/stream.cc \
+  $REF/modulated/modulated.cc \
+  $REF/beamformer/beamformer.cc \
+  $REF/beamformer/taylorseries.cc \
+  $REF/beamformer/coefficients.cc \
+  $REF/postfilter/postfilter.cc \
+  $REF/dereverberation/dereverberation.cc \
+  $REF/aec/aec.cc \
+  $REF/matrix/gslmatrix.cc \
+  $REF/matrix/linpack_c.cc \
+  $REF/matrix/blas1_c.cc \
+  $REF/common/jexception.cc \
+  $REF/common/common.cc \
+  $REF/common/refcount.cc \
+  $REF/common/memory_manager.cc \
+  $REF/common/mach_ind_io.cc
+
+echo "built $OUT/golden_main"

@@ -1,0 +1,402 @@
+/* Golden-output generator: drives the UNMODIFIED reference BTK 2.0 C++ code
+ * (/root/reference/btk20_src, compiled against the GSL shim in ../shim)
+ * over raw sample files and dumps the results, so the TPU framework's
+ * outputs can be asserted allclose against the true reference — not against
+ * transliterations that share authorship with the implementation under test.
+ *
+ * File formats (all little-endian, no headers):
+ *   .f32  float32 samples          .f64  float64 (prototypes, delays)
+ *   .c128 complex128 interleaved   (analysis frames, [T, M] row-major)
+ *
+ * Subcommands:
+ *   analysis h.f64 M m r dc in.f32 out.c128
+ *   recon    h.f64 g.f64 M m r dc in.f32 out.f32
+ *   ds       h.f64 g.f64 M m r dc fs delays.f64 out.f32 in1.f32 [in2.f32 ...]
+ *   zelinski h.f64 g.f64 M m r dc fs delays.f64 alpha pftype minframes \
+ *            out.f32 in1.f32 [...]          (GSC quiescent + Zelinski PF)
+ *   gscrls   h.f64 g.f64 M m r dc fs delays.f64 mu sigma2 alpha qctype \
+ *            out.f32 in1.f32 [...]          (C++ SubbandGSCRLS adaptation)
+ */
+
+#include <algorithm>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "common/jpython_error.h"
+#include "stream/stream.h"
+#include "modulated/modulated.h"
+#include "beamformer/beamformer.h"
+#include "postfilter/postfilter.h"
+#include "dereverberation/dereverberation.h"
+#include "aec/aec.h"
+
+/* The python error bridge (common/jpython_error.cc) needs libpython; the
+ * golden drivers never raise through python, so provide the one symbol. */
+jpython_error::jpython_error() : j_error() {}
+
+/* ------------------------------------------------------------------ */
+
+static std::vector<float> read_f32(const char* fn) {
+  FILE* fp = fopen(fn, "rb");
+  if (!fp) { fprintf(stderr, "cannot open %s\n", fn); exit(1); }
+  fseek(fp, 0, SEEK_END);
+  long n = ftell(fp) / (long)sizeof(float);
+  fseek(fp, 0, SEEK_SET);
+  std::vector<float> v(n);
+  if (fread(v.data(), sizeof(float), n, fp) != (size_t)n) exit(1);
+  fclose(fp);
+  return v;
+}
+
+static std::vector<double> read_f64(const char* fn) {
+  FILE* fp = fopen(fn, "rb");
+  if (!fp) { fprintf(stderr, "cannot open %s\n", fn); exit(1); }
+  fseek(fp, 0, SEEK_END);
+  long n = ftell(fp) / (long)sizeof(double);
+  fseek(fp, 0, SEEK_SET);
+  std::vector<double> v(n);
+  if (fread(v.data(), sizeof(double), n, fp) != (size_t)n) exit(1);
+  fclose(fp);
+  return v;
+}
+
+static gsl_vector* to_gsl(const std::vector<double>& v) {
+  gsl_vector* g = gsl_vector_calloc(v.size());
+  for (size_t i = 0; i < v.size(); i++) gsl_vector_set(g, i, v[i]);
+  return g;
+}
+
+/* SampleFeature equivalent fed from memory (replicates the framing of
+ * feature/feature.cc:605-646 with blockLen == shiftLen == D, padZeros=true,
+ * without the libsndfile dependency). */
+class RawSampleFeature : public VectorFloatFeatureStream {
+ public:
+  RawSampleFeature(const std::vector<float>& samples, unsigned blockLen,
+                   const String& nm = "RawSample")
+      : VectorFloatFeatureStream(blockLen, nm), samples_(samples), cur_(0) {}
+
+  virtual const gsl_vector_float* next(int frame_no = -5) {
+    if (frame_no == frame_no_) return vector_;
+    if (cur_ >= samples_.size()) {
+      is_end_ = true;
+      throw jiterator_error("end of samples!");
+    }
+    gsl_vector_float_set_zero(vector_);
+    size_t remaining = samples_.size() - cur_;
+    size_t n = std::min((size_t)size(), remaining);
+    for (size_t i = 0; i < n; i++) gsl_vector_float_set(vector_, i, samples_[cur_ + i]);
+    cur_ += size();
+    increment_();
+    return vector_;
+  }
+
+  virtual void reset() {
+    cur_ = 0;
+    VectorFloatFeatureStream::reset();
+  }
+
+ private:
+  const std::vector<float> samples_;
+  size_t cur_;
+};
+
+typedef Inherit<RawSampleFeature, VectorFloatFeatureStreamPtr> RawSampleFeaturePtr;
+
+/* pull the sink until end-of-stream, appending D samples per frame */
+static void drain_to_f32(VectorFloatFeatureStreamPtr sink, unsigned D, const char* outfn) {
+  FILE* fp = fopen(outfn, "wb");
+  if (!fp) { fprintf(stderr, "cannot open %s\n", outfn); exit(1); }
+  for (;;) {
+    const gsl_vector_float* data;
+    try {
+      data = sink->next();
+    } catch (jiterator_error&) {
+      break;
+    }
+    for (unsigned i = 0; i < D; i++) {
+      float t = gsl_vector_float_get(data, i);
+      fwrite(&t, sizeof(float), 1, fp);
+    }
+  }
+  fclose(fp);
+}
+
+int main(int argc, char** argv) {
+  if (argc < 2) { fprintf(stderr, "usage: %s <subcommand> ...\n", argv[0]); return 1; }
+  std::string cmd = argv[1];
+
+  if (cmd == "analysis") {
+    /* analysis h.f64 M m r dc in.f32 out.c128 */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned M = atoi(argv[3]), m = atoi(argv[4]), r = atoi(argv[5]), dc = atoi(argv[6]);
+    std::vector<float> x = read_f32(argv[7]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+    FILE* fp = fopen(argv[8], "wb");
+    for (;;) {
+      const gsl_vector_complex* Y;
+      try {
+        Y = afb->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned k = 0; k < M; k++) {
+        gsl_complex z = gsl_vector_complex_get(Y, k);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "recon") {
+    /* recon h.f64 g.f64 M m r dc in.f32 out.f32 */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    gsl_vector* g = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    std::vector<float> x = read_f32(argv[8]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+    OverSampledDFTSynthesisBankPtr sfb = new OverSampledDFTSynthesisBank(
+        (VectorComplexFeatureStreamPtr&)afb, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, argv[9]);
+    return 0;
+  }
+
+  if (cmd == "ds" || cmd == "zelinski" || cmd == "gscrls") {
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    gsl_vector* g = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double fs = atof(argv[8]);
+    gsl_vector* delays = to_gsl(read_f64(argv[9]));
+    unsigned D = M >> r;
+    int argp = 10;
+
+    double alpha = 0.6; int pftype = 2, minframes = 0;
+    float mu = 0.97f, sigma2 = 0.01f, qalpha = 10.0f; int qctype = 1;
+    if (cmd == "zelinski") {
+      alpha = atof(argv[argp++]); pftype = atoi(argv[argp++]); minframes = atoi(argv[argp++]);
+    } else if (cmd == "gscrls") {
+      mu = atof(argv[argp++]); sigma2 = atof(argv[argp++]);
+      qalpha = atof(argv[argp++]); qctype = atoi(argv[argp++]);
+    }
+    const char* outfn = argv[argp++];
+
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+
+    SubbandDSPtr beamformer;
+    SubbandGSCRLSPtr rls;
+    if (cmd == "ds") {
+      beamformer = new SubbandDS(M, false);
+    } else if (cmd == "zelinski") {
+      beamformer = new SubbandGSC(M, false);
+    } else {
+      rls = new SubbandGSCRLS(M, false, mu, sigma2);
+      beamformer = (SubbandDSPtr&)rls;
+    }
+
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      beamformer->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+
+    VectorComplexFeatureStreamPtr bfout = (VectorComplexFeatureStreamPtr&)beamformer;
+    ZelinskiPostFilterPtr pf;
+    if (cmd == "ds") {
+      beamformer->calc_array_manifold_vectors((float)fs, delays);
+    } else if (cmd == "zelinski") {
+      SubbandGSCPtr gsc = (SubbandGSCPtr&)beamformer;
+      gsc->calc_gsc_weights((float)fs, delays);
+      pf = new ZelinskiPostFilter(bfout, M, alpha, pftype, minframes);
+      SubbandDSPtr bfds = (SubbandDSPtr&)beamformer;
+      pf->set_beamformer(bfds);
+      bfout = (VectorComplexFeatureStreamPtr&)pf;
+    } else {
+      rls->calc_gsc_weights((float)fs, delays);
+      rls->init_precision_matrix(sigma2);
+      rls->set_quadratic_constraint(qalpha, qctype);
+    }
+
+    OverSampledDFTSynthesisBankPtr sfb =
+        new OverSampledDFTSynthesisBank(bfout, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
+  if (cmd == "wpe") {
+    /* wpe h.f64 g.f64 M m r dc lowerN upperN iters loadDb bandWidth fs
+     *     in.f32 out.f32 */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    gsl_vector* g = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    unsigned lowerN = atoi(argv[8]), upperN = atoi(argv[9]), iters = atoi(argv[10]);
+    double loadDb = atof(argv[11]), bandWidth = atof(argv[12]), fs = atof(argv[13]);
+    std::vector<float> x = read_f32(argv[14]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+    SingleChannelWPEDereverberationFeaturePtr wpe =
+        new SingleChannelWPEDereverberationFeature(
+            (VectorComplexFeatureStreamPtr&)afb, lowerN, upperN, iters, loadDb,
+            bandWidth, fs);
+    /* two-pass protocol per test_subband_dereverberator.py:73-84:
+     * estimate over the whole utterance (resets the source), then stream */
+    wpe->estimate_filter();
+    OverSampledDFTSynthesisBankPtr sfb = new OverSampledDFTSynthesisBank(
+        (VectorComplexFeatureStreamPtr&)wpe, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, argv[15]);
+    return 0;
+  }
+
+  if (cmd == "wpemc") {
+    /* wpemc h.f64 g.f64 M m r dc lowerN upperN iters loadDb bandWidth fs
+     *       outprefix in1.f32 [in2.f32 ...]   -> outprefix<ch>.f32 */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    gsl_vector* g = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    unsigned lowerN = atoi(argv[8]), upperN = atoi(argv[9]), iters = atoi(argv[10]);
+    double loadDb = atof(argv[11]), bandWidth = atof(argv[12]), fs = atof(argv[13]);
+    const char* outprefix = argv[14];
+    unsigned D = M >> r;
+    unsigned chanN = argc - 15;
+    MultiChannelWPEDereverberationPtr wpe = new MultiChannelWPEDereverberation(
+        M, chanN, lowerN, upperN, iters, loadDb, bandWidth, 0.0, fs);
+    for (unsigned c = 0; c < chanN; c++) {
+      std::vector<float> x = read_f32(argv[15 + c]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      VectorComplexFeatureStreamPtr afbc = (VectorComplexFeatureStreamPtr&)afb;
+      wpe->set_input(afbc);
+    }
+    wpe->estimate_filter();
+    std::vector<OverSampledDFTSynthesisBankPtr> sfbs;
+    std::vector<FILE*> fps;
+    for (unsigned c = 0; c < chanN; c++) {
+      MultiChannelWPEDereverberationFeaturePtr feat =
+          new MultiChannelWPEDereverberationFeature(wpe, c, 0);
+      sfbs.push_back(new OverSampledDFTSynthesisBank(
+          (VectorComplexFeatureStreamPtr&)feat, g, M, m, r, dc));
+      char fn[4096];
+      snprintf(fn, sizeof(fn), "%s%u.f32", outprefix, c);
+      fps.push_back(fopen(fn, "wb"));
+    }
+    for (;;) {
+      bool done = false;
+      for (unsigned c = 0; c < chanN; c++) {
+        const gsl_vector_float* data;
+        try {
+          data = sfbs[c]->next();
+        } catch (jiterator_error&) {
+          done = true;
+          break;
+        }
+        for (unsigned i = 0; i < D; i++) {
+          float t = gsl_vector_float_get(data, i);
+          fwrite(&t, sizeof(float), 1, fps[c]);
+        }
+      }
+      if (done) break;
+    }
+    for (FILE* fp : fps) fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "wpemc_sub") {
+    /* wpemc_sub h.f64 M m r dc lowerN upperN iters loadDb bandWidth fs
+     *           outprefix in1.f32 [...]  -> per-channel subband frames
+     * (calc_every_channel_output driven directly: isolates the WPE math
+     * from the synthesis-bank priming interleave of the full driver) */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned M = atoi(argv[3]), m = atoi(argv[4]), r = atoi(argv[5]), dc = atoi(argv[6]);
+    unsigned lowerN = atoi(argv[7]), upperN = atoi(argv[8]), iters = atoi(argv[9]);
+    double loadDb = atof(argv[10]), bandWidth = atof(argv[11]), fs = atof(argv[12]);
+    const char* outprefix = argv[13];
+    unsigned D = M >> r;
+    unsigned chanN = argc - 14;
+    MultiChannelWPEDereverberation wpe(M, chanN, lowerN, upperN, iters, loadDb,
+                                       bandWidth, 0.0, fs);
+    for (unsigned c = 0; c < chanN; c++) {
+      std::vector<float> x = read_f32(argv[14 + c]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      VectorComplexFeatureStreamPtr afbc = (VectorComplexFeatureStreamPtr&)afb;
+      wpe.set_input(afbc);
+    }
+    wpe.estimate_filter();
+    std::vector<FILE*> fps;
+    for (unsigned c = 0; c < chanN; c++) {
+      char fn[4096];
+      snprintf(fn, sizeof(fn), "%s%u.c128", outprefix, c);
+      fps.push_back(fopen(fn, "wb"));
+    }
+    for (;;) {
+      gsl_vector_complex** out;
+      try {
+        out = wpe.calc_every_channel_output();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned c = 0; c < chanN; c++)
+        for (unsigned k = 0; k < M; k++) {
+          gsl_complex z = gsl_vector_complex_get(out[c], k);
+          fwrite(z.dat, sizeof(double), 2, fps[c]);
+        }
+    }
+    for (FILE* fp : fps) fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "aec") {
+    /* aec kind h.f64 g.f64 M m r dc p1 p2 p3 play.f32 rec.f32 out.f32
+     *   kind=nlms:   p1=delta  p2=epsilon p3=threshold
+     *   kind=kalman: p1=beta   p2=sigma2  p3=threshold */
+    std::string kind = argv[2];
+    gsl_vector* h = to_gsl(read_f64(argv[3]));
+    gsl_vector* g = to_gsl(read_f64(argv[4]));
+    unsigned M = atoi(argv[5]), m = atoi(argv[6]), r = atoi(argv[7]), dc = atoi(argv[8]);
+    double p1 = atof(argv[9]), p2 = atof(argv[10]), p3 = atof(argv[11]);
+    std::vector<float> vplay = read_f32(argv[12]);
+    std::vector<float> vrec = read_f32(argv[13]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr psrc = new RawSampleFeature(vplay, D);
+    RawSampleFeaturePtr rsrc = new RawSampleFeature(vrec, D);
+    OverSampledDFTAnalysisBankPtr pafb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)psrc, h, M, m, r, dc);
+    OverSampledDFTAnalysisBankPtr rafb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)rsrc, h, M, m, r, dc);
+    VectorComplexFeatureStreamPtr pstr = (VectorComplexFeatureStreamPtr&)pafb;
+    VectorComplexFeatureStreamPtr rstr = (VectorComplexFeatureStreamPtr&)rafb;
+    VectorComplexFeatureStreamPtr aec;
+    if (kind == "nlms")
+      aec = new NLMSAcousticEchoCancellationFeature(pstr, rstr, p1, p2, p3);
+    else if (kind == "kalman")
+      aec = new KalmanFilterEchoCancellationFeature(pstr, rstr, p1, p2, p3);
+    else {
+      fprintf(stderr, "unknown aec kind %s\n", kind.c_str());
+      return 1;
+    }
+    OverSampledDFTSynthesisBankPtr sfb =
+        new OverSampledDFTSynthesisBank(aec, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, argv[14]);
+    return 0;
+  }
+
+  fprintf(stderr, "unknown subcommand %s\n", cmd.c_str());
+  return 1;
+}

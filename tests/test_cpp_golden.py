@@ -1,0 +1,370 @@
+"""Equivalence tests against the COMPILED reference C++ (true btk20 goldens).
+
+Unlike the transliteration goldens (tests/reference_*.py, which share
+authorship with the implementation under test), these tests build the
+UNMODIFIED reference sources from /root/reference/btk20_src against the GSL
+shim in reference_golden/shim and assert allclose on real audio — the
+BASELINE.json "output allclose vs btk20" contract, config by config.
+
+These caught two real parity bugs in round 2 that the transliterations
+missed (a conjugate-flipped postfilter alignment, and the reference's
+apply-time WPE lag-buffer truncation quirk).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/btk20_src"
+GBIN = os.path.join(REPO, "reference_golden", "build", "golden_main")
+DATA = os.path.join(REF, "unit_test", "data")
+
+M, m_, r_, DC = 256, 4, 1, 2
+D = M >> r_
+FS = 16000.0
+F = M // 2 + 1
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available"
+)
+
+
+def _snr(ref, out):
+    n = min(len(ref), len(out))
+    err = ref[:n] - out[:n]
+    return 10.0 * np.log10((ref[:n] ** 2).mean() / max((err**2).mean(), 1e-30))
+
+
+@pytest.fixture(scope="module")
+def gbin():
+    if not os.path.exists(GBIN):
+        r = subprocess.run(
+            [os.path.join(REPO, "reference_golden", "build.sh")],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"golden generator build failed: {r.stderr[-800:]}")
+    return GBIN
+
+
+@pytest.fixture(scope="module")
+def protos(tmp_path_factory):
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    d = tmp_path_factory.mktemp("protos")
+    h, g = load_pair(M, m_, r_)
+    hf, gf = str(d / "h.f64"), str(d / "g.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    np.asarray(g, np.float64).tofile(gf)
+    return h, g, hf, gf
+
+
+@pytest.fixture(scope="module")
+def cmu(tmp_path_factory):
+    """First ~3 s of the 4-channel CMU Kinect utterance + f32 dumps."""
+    from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+    d = tmp_path_factory.mktemp("cmu")
+    chans, paths = [], []
+    for c in (1, 2, 3, 4):
+        x, _ = read_wav(
+            f"{DATA}/CMU/R1/M1005/KINECT/RAW/segmented/U1001_1M_16k_b16_c{c}.wav"
+        )
+        chans.append(x[0][:48000].astype(np.float32))
+    T = min(len(c) for c in chans)
+    chans = [c[:T] for c in chans]
+    for i, c in enumerate(chans):
+        p = str(d / f"ch{i}.f32")
+        c.tofile(p)
+        paths.append(p)
+    return np.stack(chans), paths
+
+
+@pytest.fixture(scope="module")
+def la_delays(tmp_path_factory):
+    from distant_speech_recognition_tpu.utils import geometry
+
+    d = tmp_path_factory.mktemp("geom")
+    mpos = np.c_[np.arange(4) * 50.0, np.zeros((4, 2))]
+    delays = np.asarray(
+        geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3), np.float64
+    )
+    p = str(d / "delays.f64")
+    delays.tofile(p)
+    return mpos, delays, p
+
+
+def _compat_chain(h, g, bf_factory, wire, channel_data):
+    """Source -> analysis (per channel) -> beamformer node -> wire() -> synth."""
+    from distant_speech_recognition_tpu.compat import feature as cf
+    from distant_speech_recognition_tpu.compat import modulated as cm
+
+    node = bf_factory()
+    for x in channel_data:
+        s = cf.SampleFeature(D, D, pad_zeros=True)
+        s.set_samples(x, int(FS))
+        a = cm.OverSampledDFTAnalysisBank(s, h, M, m_, r_, delay_compensation_type=DC)
+        node.set_channel(a)
+    out = wire(node)
+    syn = cm.OverSampledDFTSynthesisBank(out, g, M, m_, r_, delay_compensation_type=DC)
+    return np.concatenate([np.asarray(v, np.float32) for v in syn])
+
+
+def test_analysis_matches_cpp(gbin, protos, cmu, tmp_path):
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    out = str(tmp_path / "a.c128")
+    subprocess.run(
+        [gbin, "analysis", hf, str(M), str(m_), str(r_), str(DC), paths[0], out],
+        check=True, capture_output=True,
+    )
+    Ycpp = np.fromfile(out, np.complex128).reshape(-1, M)
+    p = ops.FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=DC)
+    Yj = np.asarray(ops.analysis(jnp.asarray(X[0]), h, p))
+    assert Ycpp.shape[0] == Yj.shape[0]
+    scale = np.abs(Ycpp).max()
+    np.testing.assert_allclose(Yj, Ycpp, atol=2e-6 * scale)
+
+
+def test_reconstruction_matches_cpp(gbin, protos, cmu, tmp_path):
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    out = str(tmp_path / "rec.f32")
+    subprocess.run(
+        [gbin, "recon", hf, gf, str(M), str(m_), str(r_), str(DC), paths[0], out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+    p = ops.FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=DC)
+    yj = np.asarray(ops.synthesis(ops.analysis(jnp.asarray(X[0]), h, p), g, p))
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 100, _snr(ycpp, yj)
+
+
+def test_ds_pipeline_matches_cpp(gbin, protos, cmu, la_delays, tmp_path):
+    """BASELINE config-1 shape: multi-channel D&S via the batched pipeline."""
+    from distant_speech_recognition_tpu.models.pipeline import (
+        PipelineConfig,
+        build_pipeline,
+    )
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    mpos, delays, dfile = la_delays
+    out = str(tmp_path / "ds.f32")
+    subprocess.run(
+        [gbin, "ds", hf, gf, str(M), str(m_), str(r_), str(DC), str(int(FS)),
+         dfile, out] + paths,
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+    cfg = PipelineConfig(
+        fb=FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=DC),
+        beamformer="ds",
+    )
+    yj = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(X[None]))[0]
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 80, _snr(ycpp, yj)
+
+
+def test_gsc_zelinski_matches_cpp(gbin, protos, cmu, la_delays, tmp_path):
+    """BASELINE config-2 shape: GSC quiescent + Zelinski postfilter (ABS)."""
+    from distant_speech_recognition_tpu.compat import beamformer as cb
+    from distant_speech_recognition_tpu.compat import postfilter as cp
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    mpos, delays, dfile = la_delays
+    out = str(tmp_path / "zel.f32")
+    subprocess.run(
+        [gbin, "zelinski", hf, gf, str(M), str(m_), str(r_), str(DC), str(int(FS)),
+         dfile, "0.6", "2", "0", out] + paths,
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+
+    def wire(bf):
+        bf.calc_gsc_weights(FS, delays)
+        z = cp.ZelinskiPostFilter(bf, M, 0.6, 2, 0)
+        z.set_beamformer(bf)
+        return z
+
+    yj = _compat_chain(h, g, lambda: cb.SubbandGSC(fftLen=M), wire, list(X))
+    assert len(ycpp) == len(yj)
+    # float32 CSD recursion vs the reference's double: ~60 dB agreement
+    assert _snr(ycpp, yj) > 55, _snr(ycpp, yj)
+
+
+def test_gscrls_matches_cpp(gbin, protos, cmu, la_delays, tmp_path):
+    """BASELINE config-3 shape: C++ SubbandGSCRLS adaptive weights."""
+    from distant_speech_recognition_tpu.compat import beamformer as cb
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    mpos, delays, dfile = la_delays
+    out = str(tmp_path / "rls.f32")
+    subprocess.run(
+        [gbin, "gscrls", hf, gf, str(M), str(m_), str(r_), str(DC), str(int(FS)),
+         dfile, "0.97", "0.01", "10.0", "2", out] + paths,
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+
+    def wire(bf):
+        bf.calc_gsc_weights(FS, delays)
+        bf.init_precision_matrix(0.01)
+        bf.set_quadratic_constraint(10.0, 2)
+        return bf
+
+    yj = _compat_chain(
+        h, g, lambda: cb.SubbandGSCRLS(fftLen=M, mu=0.97, sigma2=0.01), wire, list(X)
+    )
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 60, _snr(ycpp, yj)
+
+
+@pytest.mark.parametrize("band_width", [0.0, 3000.0])
+def test_wpe_single_matches_cpp(gbin, protos, band_width, tmp_path):
+    """BASELINE config-4 component: single-channel WPE on reverberant audio
+    (band_width > 0 exercises the reference's band-limit option,
+    dereverberation.h:38 / set_band_width_)."""
+    from distant_speech_recognition_tpu.compat import dereverberation as cd
+    from distant_speech_recognition_tpu.compat import feature as cf
+    from distant_speech_recognition_tpu.compat import modulated as cm
+    from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+    h, g, hf, gf = protos
+    x, _ = read_wav(f"{DATA}/speech_and_reverb_lt.wav")
+    x1 = x[0][:48000].astype(np.float32)
+    inp = str(tmp_path / "rev.f32")
+    x1.tofile(inp)
+    out = str(tmp_path / "wpe.f32")
+    subprocess.run(
+        [gbin, "wpe", hf, gf, str(M), str(m_), str(r_), str(DC),
+         "2", "6", "2", "-20.0", str(band_width), str(int(FS)), inp, out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+    s = cf.SampleFeature(D, D, pad_zeros=True)
+    s.set_samples(x1, int(FS))
+    a = cm.OverSampledDFTAnalysisBank(s, h, M, m_, r_, delay_compensation_type=DC)
+    w = cd.SingleChannelWPEDereverberationFeature(a, 2, 6, 2, -20.0, band_width, FS)
+    w.estimate_filter()
+    syn = cm.OverSampledDFTSynthesisBank(w, g, M, m_, r_, delay_compensation_type=DC)
+    yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 90, _snr(ycpp, yj)
+
+
+def test_wpe_multichannel_matches_cpp(gbin, protos, cmu, tmp_path):
+    """Joint-channel WPE vs the compiled reference.
+
+    All channels are compared in the SUBBAND domain (wpemc_sub drives
+    calc_every_channel_output directly) — this is the algorithm.  The
+    primary channel is additionally compared through synthesis end to end.
+    Non-primary channels are NOT compared end to end: the reference test
+    driver's synthesis banks prime ``processing_delay_`` frames one bank at
+    a time, and a non-primary MultiChannelWPEDereverberationFeature just
+    re-reads the latest ``output_`` row (dereverberation.cc:714-727), so
+    the reference's own non-primary wave outputs start with stale repeated
+    frames — a pull-scheduling artifact of the driver, not the component;
+    the compat layer replays the correctly-ordered outputs instead.
+    """
+    from distant_speech_recognition_tpu.compat import dereverberation as cd
+    from distant_speech_recognition_tpu.compat import feature as cf
+    from distant_speech_recognition_tpu.compat import modulated as cm
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    X2, paths2 = X[:2], paths[:2]
+    prefix = str(tmp_path / "wmc")
+    subprocess.run(
+        [gbin, "wpemc_sub", hf, str(M), str(m_), str(r_), str(DC),
+         "1", "4", "2", "-20.0", "0.0", str(int(FS)), prefix] + paths2,
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        [gbin, "wpemc", hf, gf, str(M), str(m_), str(r_), str(DC),
+         "1", "4", "2", "-20.0", "0.0", str(int(FS)), prefix + "syn"] + paths2,
+        check=True, capture_output=True,
+    )
+    wpe = cd.MultiChannelWPEDereverberation(M, 2, 1, 4, 2, -20.0, 0.0, 0.0, FS)
+    for x in X2:
+        s = cf.SampleFeature(D, D, pad_zeros=True)
+        s.set_samples(x, int(FS))
+        a = cm.OverSampledDFTAnalysisBank(s, h, M, m_, r_, delay_compensation_type=DC)
+        wpe.set_input(a)
+    wpe.estimate_filter()
+    for c in range(2):
+        feat = cd.MultiChannelWPEDereverberationFeature(wpe, c, 0)
+        sub = np.stack([np.asarray(v) for v in feat])  # [T, M]
+        Ycpp = np.fromfile(f"{prefix}{c}.c128", np.complex128).reshape(-1, M)
+        n = min(Ycpp.shape[0], sub.shape[0])
+        assert n > 0
+        scale = np.abs(Ycpp).max()
+        err = np.abs(Ycpp[:n] - sub[:n]).max()
+        assert err < 1e-4 * scale, (c, err, scale)
+    # primary channel end-to-end through synthesis
+    feat0 = cd.MultiChannelWPEDereverberationFeature(wpe, 0, 0)
+    syn = cm.OverSampledDFTSynthesisBank(feat0, g, M, m_, r_, delay_compensation_type=DC)
+    yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
+    ycpp = np.fromfile(f"{prefix}syn0.f32", np.float32)
+    n = min(len(ycpp), len(yj))
+    assert _snr(ycpp[:n], yj[:n]) > 80, _snr(ycpp[:n], yj[:n])
+
+
+@pytest.mark.parametrize(
+    "kind,p1,p2,p3",
+    [("nlms", 100.0, 0.1, 100.0), ("kalman", 0.95, 100.0, 100.0)],
+)
+def test_aec_matches_cpp(gbin, protos, kind, p1, p2, p3, tmp_path):
+    """BASELINE config-4 component: subband AEC, int16-scale signals so the
+    reference's power gates actually open and adaptation is exercised."""
+    from distant_speech_recognition_tpu.compat import aec as ca
+    from distant_speech_recognition_tpu.compat import feature as cf
+    from distant_speech_recognition_tpu.compat import modulated as cm
+    from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+    h, g, hf, gf = protos
+    play, _ = read_wav(f"{DATA}/speech_at_20sec.wav")
+    vplay = (play[0][:48000] * 32768.0).astype(np.float32)
+    rng = np.random.default_rng(5)
+    rec = (0.5 * np.roll(vplay, 200) + 100.0 * rng.standard_normal(len(vplay))).astype(
+        np.float32
+    )
+    pf, rf = str(tmp_path / "p.f32"), str(tmp_path / "r.f32")
+    vplay.tofile(pf)
+    rec.tofile(rf)
+    out = str(tmp_path / "aec.f32")
+    subprocess.run(
+        [gbin, "aec", kind, hf, gf, str(M), str(m_), str(r_), str(DC),
+         str(p1), str(p2), str(p3), pf, rf, out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+    sp = cf.SampleFeature(D, D, pad_zeros=True)
+    sp.set_samples(vplay, int(FS))
+    sr = cf.SampleFeature(D, D, pad_zeros=True)
+    sr.set_samples(rec, int(FS))
+    ap = cm.OverSampledDFTAnalysisBank(sp, h, M, m_, r_, delay_compensation_type=DC)
+    ar = cm.OverSampledDFTAnalysisBank(sr, h, M, m_, r_, delay_compensation_type=DC)
+    if kind == "nlms":
+        ae = ca.NLMSAcousticEchoCancellationFeature(ap, ar, p1, p2, p3)
+    else:
+        ae = ca.KalmanFilterEchoCancellationFeature(ap, ar, p1, p2, p3)
+    syn = cm.OverSampledDFTSynthesisBank(ae, g, M, m_, r_, delay_compensation_type=DC)
+    yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 90, _snr(ycpp, yj)

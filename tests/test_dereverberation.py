@@ -46,11 +46,18 @@ def _golden_single_channel_wpe(Y, lowerN, upperN, iterations, load_db):
                 R[p, p] = abs(R[p, p]) + md * load
             G[f] = np.linalg.solve(R, r)
 
+    # Streaming apply (next(), dereverberation.cc:227-275): the ring buffer
+    # keeps only P frames but lags index yn_[size-1-lowerN-lagX], so taps
+    # p >= P - lowerN read zeros — verified against the compiled reference
+    # (tests/test_cpp_golden.py); see models.dereverberation.wpe_apply.
+    Gq = G.copy()
+    if lowerN > 0:
+        Gq[:, P - lowerN:] = 0.0
     out = Y.astype(complex).copy()
     for t in range(T):
         if t >= lowerN:
             for f in range(F):
-                out[t, f] -= np.vdot(G[f], lags(f, t))
+                out[t, f] -= np.vdot(Gq[f], lags(f, t))
     return out, G
 
 
