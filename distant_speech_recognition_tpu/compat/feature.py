@@ -294,3 +294,366 @@ __all__ += [
     "CepstralFeature", "CepstralFeaturePtr",
     "FeatureSet", "FeatureSetPtr",
 ]
+
+
+class BlockSizeConversionFeature(_UnaryFeature):
+    """Re-frame a float sample stream to ``block_len`` frames shifted by
+    ``shift_len`` (BlockSizeConversionFeature, feature.cc:901-999): frame f
+    is the contiguous sample window ``[f*shift, f*shift + block)`` of the
+    concatenated source stream; EOF propagates when the window cannot be
+    filled (no padding)."""
+
+    def __init__(self, samp, block_len: int = 320, shift_len: int = 160,
+                 name: str = "BlockSizeConversionFeature"):
+        super().__init__(samp, block_len, name)
+        self._block = int(block_len)
+        self._shift = int(shift_len)
+        self._buf = np.zeros(0, np.float32)
+        self._pos = 0
+        self._src_done = False
+
+    def _produce(self) -> np.ndarray:
+        while not self._src_done and self._pos + self._block > len(self._buf):
+            try:
+                blk = np.asarray(self.samp.next(), np.float32).ravel()
+                self._buf = np.concatenate([self._buf, blk])
+                self._buf = self._buf[:]
+            except StopIteration:
+                self._src_done = True
+        if self._pos + self._block > len(self._buf):
+            raise StopIteration
+        out = self._buf[self._pos : self._pos + self._block].copy()
+        self._pos += self._shift
+        return out
+
+    def _reset(self):
+        super()._reset()
+        self._buf = np.zeros(0, np.float32)
+        self._pos = 0
+        self._src_done = False
+
+
+BlockSizeConversionFeaturePtr = BlockSizeConversionFeature
+
+
+class MeanSubtractionFeature(_UnaryFeature):
+    """Cepstral mean (and variance) normalization (MeanSubtractionFeature,
+    feature.cc:2450-2663).  Batch mode drains the source, computes the
+    (weight-gated) mean/variance, and replays normalized frames; runon mode
+    updates a running mean per frame with the reference's 0.98/0.995
+    schedule (frames < 500 / after)."""
+
+    _variance_floor = 1.0e-4
+    _before_wgt = 0.98
+    _after_wgt = 0.995
+    _frames_to_change = 500
+
+    def __init__(self, samp, weight=None, dev_norm_factor: float = 0.0,
+                 runon: bool = False, name: str = "MeanSubtractionFeature"):
+        super().__init__(samp, samp.size(), name)
+        self._wgt = weight
+        self._dev = float(dev_norm_factor)
+        self._runon = bool(runon)
+        self._mean = np.zeros(samp.size(), np.float32)
+        self._var = np.zeros(samp.size(), np.float32)
+        self._frames_seen = 0
+        self._rows = None
+        self._i = 0
+
+    def mean(self) -> np.ndarray:
+        return self._mean
+
+    def next_speaker(self):
+        """Reset the normalization statistics (feature.cc nextSpeaker)."""
+        self._mean[:] = 0.0
+        self._var[:] = 0.0
+        self._frames_seen = 0
+        self._rows = None
+
+    nextSpeaker = next_speaker
+
+    def _normalize(self, v: np.ndarray) -> np.ndarray:
+        out = v - self._mean
+        if self._dev > 0.0:
+            var = np.maximum(self._var, self._variance_floor)
+            out = out / (self._dev * np.sqrt(var))
+        return out.astype(np.float32)
+
+    def _produce(self) -> np.ndarray:
+        if self._runon:
+            v = np.asarray(self.samp.next(), np.float32)
+            w = 1.0
+            if self._wgt is not None:
+                w = float(np.asarray(self._wgt.next()).ravel()[0])
+            if w > 0.0:
+                a = (self._before_wgt if self._frames_seen < self._frames_to_change
+                     else self._after_wgt)
+                self._mean = a * self._mean + (1.0 - a) * v
+                if self._dev > 0.0:
+                    d = v - self._mean
+                    self._var = a * self._var + (1.0 - a) * d * d
+                self._frames_seen += 1
+            return self._normalize(v)
+        if self._rows is None:
+            rows, wgts = [], []
+            for v in self.samp:
+                rows.append(np.asarray(v, np.float32))
+                if self._wgt is not None:
+                    wgts.append(float(np.asarray(self._wgt.next()).ravel()[0]))
+                else:
+                    wgts.append(1.0)
+            if not rows:
+                raise StopIteration
+            S = np.stack(rows)
+            w = np.asarray(wgts, np.float32)[:, None]
+            ttl = w.sum()
+            self._mean = (S * w).sum(axis=0) / ttl
+            self._var = (S * S * w).sum(axis=0) / ttl - self._mean**2
+            self._rows = self._normalize(S)
+            self._i = 0
+        if self._i >= len(self._rows):
+            raise StopIteration
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+    def _reset(self):
+        super()._reset()
+        if self._wgt is not None and hasattr(self._wgt, "reset"):
+            self._wgt.reset()
+        self._rows = None
+        self._i = 0
+
+
+MeanSubtractionFeaturePtr = MeanSubtractionFeature
+
+
+class FileMeanSubtractionFeature(_UnaryFeature):
+    """Normalization against a stored mean/variance (feature.cc:2671-2760)."""
+
+    _variance_floor = 1.0e-4
+
+    def __init__(self, samp, dev_norm_factor: float = 0.0,
+                 name: str = "FileMeanSubtractionFeature"):
+        super().__init__(samp, samp.size(), name)
+        self._dev = float(dev_norm_factor)
+        self._mean = np.zeros(samp.size(), np.float32)
+        self._var = np.ones(samp.size(), np.float32)
+
+    def set_mean(self, mean, variance=None):
+        self._mean = np.asarray(mean, np.float32)
+        if variance is not None:
+            self._var = np.asarray(variance, np.float32)
+
+    def _produce(self) -> np.ndarray:
+        v = np.asarray(self.samp.next(), np.float32)
+        out = v - self._mean
+        if self._dev > 0.0:
+            out = out / (self._dev * np.sqrt(np.maximum(self._var, self._variance_floor)))
+        return out.astype(np.float32)
+
+
+FileMeanSubtractionFeaturePtr = FileMeanSubtractionFeature
+
+
+class AdjacentFeature(_UnaryFeature):
+    """Frame splicing with edge replication (AdjacentFeature,
+    feature.cc buffer_next_frame_): output frame t is the concatenation of
+    source frames ``clip(t-delta .. t+delta, 0, T-1)`` — the start/end
+    frames are replicated into the missing context.  Matches
+    models/features.adjacent_splice."""
+
+    def __init__(self, samp, delta: int = 5, name: str = "AdjacentFeature"):
+        super().__init__(samp, (2 * int(delta) + 1) * samp.size(), name)
+        self._delta = int(delta)
+        self._rows = None
+        self._i = 0
+
+    def _produce(self) -> np.ndarray:
+        if self._rows is None:
+            S = np.stack([np.asarray(v, np.float32) for v in self.samp])
+            T = S.shape[0]
+            d = self._delta
+            idx = np.clip(np.arange(T)[:, None] + np.arange(-d, d + 1), 0, T - 1)
+            self._rows = S[idx].reshape(T, -1)
+            self._i = 0
+        if self._i >= len(self._rows):
+            raise StopIteration
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+    def _reset(self):
+        super()._reset()
+        self._rows = None
+        self._i = 0
+
+
+AdjacentFeaturePtr = AdjacentFeature
+
+
+class LinearTransformFeature(_UnaryFeature):
+    """``y = T x`` per frame (LinearTransformFeature, feature.cc:1159-1190);
+    the matrix starts zero like the reference and is set via
+    :meth:`set_matrix` / :meth:`identity`."""
+
+    def __init__(self, samp, sz: int = 0, name: str = "LinearTransformFeature"):
+        sz = int(sz) or samp.size()
+        super().__init__(samp, sz, name)
+        self._T = np.zeros((sz, samp.size()), np.float32)
+
+    def matrix(self) -> np.ndarray:
+        return self._T
+
+    def set_matrix(self, T) -> None:
+        T = np.asarray(T, np.float32)
+        if T.shape != self._T.shape:
+            raise ValueError(f"expected {self._T.shape}, got {T.shape}")
+        self._T = T
+
+    def identity(self) -> None:
+        n = min(self._T.shape)
+        self._T[:] = 0.0
+        self._T[:n, :n] = np.eye(n, dtype=np.float32)
+
+    def _produce(self) -> np.ndarray:
+        v = np.asarray(self.samp.next(), np.float32)
+        return self._T @ v
+
+
+LinearTransformFeaturePtr = LinearTransformFeature
+
+
+class MergeFeature(FeatureStream):
+    """Per-frame concatenation of static/delta/delta-delta streams
+    (MergeFeature, feature.cc)."""
+
+    def __init__(self, stat, delta, delta_delta, name: str = "MergeFeature"):
+        self._srcs = [stat, delta, delta_delta]
+        super().__init__(sum(s.size() for s in self._srcs), name)
+
+    def _produce(self) -> np.ndarray:
+        return np.concatenate([np.asarray(s.next(), np.float32) for s in self._srcs])
+
+    def _reset(self):
+        for s in self._srcs:
+            if hasattr(s, "reset"):
+                s.reset()
+
+
+MergeFeaturePtr = MergeFeature
+
+
+class MultiModalFeature(FeatureStream):
+    """Concatenation of modalities with per-modality sample periods
+    (MultiModalFeature, feature.cc): a slower modality's slice is refreshed
+    only every ``period/min_period`` frames and held in between."""
+
+    def __init__(self, num_modalities: int, total_vec_size: int,
+                 name: str = "MultiModalFeature"):
+        super().__init__(int(total_vec_size), name)
+        self._n = int(num_modalities)
+        self._srcs = []
+        self._periods = []
+        self._held = np.zeros(int(total_vec_size), np.float32)
+
+    def add_modal_feature(self, feature, sample_period_ns: int = 1) -> None:
+        if len(self._srcs) == self._n:
+            raise RuntimeError("modality capacity exceeded")
+        self._srcs.append(feature)
+        self._periods.append(int(sample_period_ns))
+
+    addModalFeature = add_modal_feature
+
+    def _produce(self) -> np.ndarray:
+        if len(self._srcs) != self._n:
+            raise RuntimeError(f"need {self._n} modalities, got {len(self._srcs)}")
+        t = self._frame_no + 1
+        minp = min(self._periods)
+        dim = 0
+        for s, p in zip(self._srcs, self._periods):
+            if t % (p // minp) == 0 or t == 0:
+                self._held[dim : dim + s.size()] = np.asarray(s.next(), np.float32)
+            dim += s.size()
+        return self._held.copy()
+
+    def _reset(self):
+        for s in self._srcs:
+            if hasattr(s, "reset"):
+                s.reset()
+        self._held[:] = 0.0
+
+
+MultiModalFeaturePtr = MultiModalFeature
+
+
+class CircularStorageFeature(_UnaryFeature):
+    """Pass-through keeping the last ``frames_num`` frames addressable
+    (CircularStorageFeature, feature.cc:1260-1290): ``next(f)`` for an
+    already-produced recent frame returns it from the ring."""
+
+    def __init__(self, samp, frames_num: int = 3, name: str = "CircularStorageFeature"):
+        super().__init__(samp, samp.size(), name)
+        self._n = int(frames_num)
+        self._ring = {}
+
+    def _map(self, frame: np.ndarray) -> np.ndarray:
+        return frame
+
+    def next(self, frame_no: int = -5):
+        if frame_no >= 0 and frame_no <= self._frame_no:
+            if frame_no in self._ring:
+                return self._ring[frame_no]
+            raise IndexError(f"frame {frame_no} no longer buffered")
+        out = super().next(frame_no)
+        self._ring[self._frame_no] = out
+        for k in sorted(self._ring):
+            if k <= self._frame_no - self._n:
+                del self._ring[k]
+        return out
+
+    def _reset(self):
+        super()._reset()
+        self._ring = {}
+
+
+CircularStorageFeaturePtr = CircularStorageFeature
+
+
+class StaticStorageFeature(FeatureStream):
+    """Source-less storage stream fed programmatically (StaticStorageFeature,
+    feature.h:1226-1256): fill with :meth:`set_frames` (or `read`), then
+    iterate."""
+
+    def __init__(self, dim: int, name: str = "StaticStorageFeature"):
+        super().__init__(int(dim), name)
+        self._rows = np.zeros((0, int(dim)), np.float32)
+        self._i = 0
+
+    def set_frames(self, rows) -> None:
+        rows = np.asarray(rows, np.float32)
+        if rows.ndim != 2 or rows.shape[1] != self.size():
+            raise ValueError(f"expected [T, {self.size()}]")
+        self._rows = rows
+        self._i = 0
+
+    def evaluate(self) -> int:
+        return self._rows.shape[0]
+
+    def current_n_frames(self) -> int:
+        return self._frame_no
+
+    currentNFrames = current_n_frames
+
+    def _produce(self) -> np.ndarray:
+        if self._i >= len(self._rows):
+            raise StopIteration
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+    def _reset(self):
+        self._i = 0
+
+
+StaticStorageFeaturePtr = StaticStorageFeature

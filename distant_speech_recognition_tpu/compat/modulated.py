@@ -141,3 +141,156 @@ class OverSampledDFTSynthesisBank(FeatureStream):
 
 
 OverSampledDFTSynthesisBankPtr = OverSampledDFTSynthesisBank
+
+
+class _BufferedBank(FeatureStream):
+    """Drain-then-replay adapter: pulls the whole upstream, runs the batched
+    kernel once, and replays rows.  The batched kernels are frame-causal, so
+    outputs equal a frame-by-frame run (unlike the ODFT banks above, these
+    banks have no streaming-kernel counterpart yet)."""
+
+    def __init__(self, samp, size, name):
+        super().__init__(size, name)
+        self.samp = samp
+        self._rows = None
+        self._i = 0
+
+    def _compute(self, x: np.ndarray) -> np.ndarray:  # -> [T, size]
+        raise NotImplementedError
+
+    def _drain_samples(self) -> np.ndarray:
+        blocks = [np.asarray(v, np.float32) for v in self.samp]
+        if not blocks:
+            raise StopIteration
+        return np.concatenate(blocks)
+
+    def _produce(self) -> np.ndarray:
+        if self._rows is None:
+            self._rows = np.asarray(self._compute(self._drain_samples()))
+            self._i = 0
+        if self._i >= self._rows.shape[0]:
+            raise StopIteration
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+    def _reset(self):
+        self._rows = None
+        self._i = 0
+        if hasattr(self.samp, "reset"):
+            self.samp.reset()
+
+
+class NormalFFTAnalysisBank(_BufferedBank):
+    """Plain windowed STFT stream (NormalFFTAnalysisBank,
+    modulated.cc:96-227; window types 0 rect / 1 Hamming / 2 Hann).  Drives
+    `ops.filterbank.stft_analysis`; verified against the compiled reference
+    (tests/test_cpp_golden.py)."""
+
+    def __init__(self, samp, fftLen: int, r: int = 1, window_type: int = 1,
+                 name: str = "NormalFFTAnalysisBank"):
+        super().__init__(samp, fftLen, name)
+        self._M = int(fftLen)
+        self._r = int(r)
+        self._wt = int(window_type)
+
+    def fftlen(self) -> int:
+        return self._M
+
+    fftLen = fftlen
+
+    def _compute(self, x):
+        from ..ops.filterbank import stft_analysis
+
+        return np.asarray(stft_analysis(jnp.asarray(x), self._M, self._r, self._wt))
+
+
+NormalFFTAnalysisBankPtr = NormalFFTAnalysisBank
+
+
+class PerfectReconstructionFFTAnalysisBank(_BufferedBank):
+    """Cosine-modulated PR filterbank analysis stream
+    (PerfectReconstructionFFTAnalysisBank, modulated.cc:634-770) over
+    `ops.pr_filterbank.pr_analysis`."""
+
+    def __init__(self, samp, prototype, M: int, m: int, r: int,
+                 name: str = "PerfectReconstructionFFTAnalysisBank"):
+        from ..ops.pr_filterbank import PRFilterbankParams
+
+        super().__init__(samp, 2 * M, name)
+        self.p = PRFilterbankParams(M=M, m=m, r=r)
+        self._h = np.asarray(prototype, np.float64).ravel()
+
+    def fftLen(self) -> int:
+        return self.p.bands
+
+    def _compute(self, x):
+        from ..ops.pr_filterbank import pr_analysis
+
+        return np.asarray(pr_analysis(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(self._h, jnp.float32), self.p))
+
+
+PerfectReconstructionFFTAnalysisBankPtr = PerfectReconstructionFFTAnalysisBank
+
+
+class PerfectReconstructionFFTSynthesisBank(FeatureStream):
+    """PR synthesis stream (modulated.cc:772-904): buffers upstream subband
+    frames, synthesizes once, replays D-sample blocks.  Supports
+    ``input_source_vector`` direct feeding like the reference."""
+
+    def __init__(self, samp=None, prototype=None, M: int = 64, m: int = 2,
+                 r: int = 0, name: str = "PerfectReconstructionFFTSynthesisBank"):
+        from ..ops.pr_filterbank import PRFilterbankParams
+
+        self.p = PRFilterbankParams(M=M, m=m, r=r)
+        super().__init__(self.p.D, name)
+        self.samp = samp
+        self._g = np.asarray(prototype, np.float64).ravel()
+        self._feed = []
+        self._rows = None
+        self._i = 0
+
+    def input_source_vector(self, block) -> None:
+        self._feed.append(np.asarray(block, np.complex64))
+
+    inputSourceVector = input_source_vector
+
+    def _produce(self) -> np.ndarray:
+        from ..ops.pr_filterbank import pr_synthesis
+
+        if self._rows is None:
+            if self.samp is not None:
+                frames = [np.asarray(v, np.complex64) for v in self.samp]
+            else:
+                frames, self._feed = self._feed, []
+            if len(frames) <= self.p.processing_delay:
+                raise StopIteration
+            Y = jnp.asarray(np.stack(frames))
+            y = np.asarray(pr_synthesis(Y, jnp.asarray(self._g, jnp.float32), self.p))
+            self._rows = y.reshape(-1, self.p.D)
+            self._i = 0
+        if self._i >= self._rows.shape[0]:
+            raise StopIteration
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+    def _reset(self):
+        self._rows = None
+        self._i = 0
+        self._feed = []
+        if self.samp is not None and hasattr(self.samp, "reset"):
+            self.samp.reset()
+
+
+PerfectReconstructionFFTSynthesisBankPtr = PerfectReconstructionFFTSynthesisBank
+
+__all__ += [
+    "NormalFFTAnalysisBank",
+    "NormalFFTAnalysisBankPtr",
+    "PerfectReconstructionFFTAnalysisBank",
+    "PerfectReconstructionFFTAnalysisBankPtr",
+    "PerfectReconstructionFFTSynthesisBank",
+    "PerfectReconstructionFFTSynthesisBankPtr",
+]

@@ -25,6 +25,8 @@ __all__ = [
     "pair_tdoa_jacobian",
     "srp_phat_steering_table",
     "srp_phat",
+    "srp_dsbla",
+    "snapshot_energy",
     "linear_srp_steering_table",
     "linear_srp_doa",
     "mic_pairs",
@@ -167,6 +169,58 @@ def srp_phat(
     hi = F if max_bin is None else max_bin
     mask = (jnp.arange(F) >= lo) & (jnp.arange(F) < hi)
     return jnp.sum(jnp.where(mask, p, 0.0), axis=-1)
+
+
+def snapshot_energy(X: jax.Array, fbin_min: int, fbin_max: int, fftlen2: int) -> jax.Array:
+    """Frame energy used by the SRP energy gate (calc_energy,
+    beamformer.cc:3221-3251): per bin the SQUARED total channel power
+    (|X^H X|^2), interior bins doubled, normalized by ``2*fftLen2*C``.
+
+    ``X``: snapshots ``[..., T, F, C]`` -> ``[..., T]``.
+    """
+    C = X.shape[-1]
+    F = X.shape[-2]
+    p = jnp.sum(jnp.abs(X) ** 2, axis=-1)  # [..., T, F] = zdotc(F, F)
+    bins = jnp.arange(F)
+    w = jnp.where((bins >= fbin_min) & (bins <= fbin_max),
+                  jnp.where(bins < fftlen2, 2.0, 1.0), 0.0)
+    return jnp.sum(w * p * p, axis=-1) / (2.0 * fftlen2 * C)
+
+
+def srp_dsbla(
+    X: jax.Array,
+    weights: jax.Array,
+    fbin_min: int = 1,
+    fbin_max: int | None = None,
+    energy_threshold: float = 0.0,
+    n_best: int = 1,
+):
+    """The reference DOAEstimatorSRPDSBLA estimation protocol
+    (beamformer.cc:3125-3197): per frame, the delay-and-sum response power
+    per grid direction — mean over bins ``fbin_min..fbin_max`` with interior
+    bins doubled (calc_response_power_, :3093-3123) — accumulated over the
+    utterance with frames below the energy threshold skipped entirely
+    (:3148-3155); the N-best directions are read from the ACCUMULATED
+    response powers (get_nbest_hypotheses_from_accrp_, :2944-2984).
+
+    ``X``: half-band snapshots ``[..., T, F, C]``; ``weights``: steering
+    table ``[G, F, C]`` in the wq convention (applied as ``w^H X``).
+    Returns ``(nbest_idx [..., n_best], acc_rp [..., G], frame_ok [..., T])``.
+    """
+    F = X.shape[-2]
+    fftlen2 = F - 1
+    hi = fftlen2 if fbin_max is None else fbin_max
+    Y = ceinsum("gfc,...tfc->...tgf", jnp.conj(weights), X)
+    p = jnp.abs(Y) ** 2
+    bins = jnp.arange(F)
+    w = jnp.where((bins >= fbin_min) & (bins <= hi),
+                  jnp.where(bins < fftlen2, 2.0, 1.0), 0.0)
+    rp = jnp.sum(w * p, axis=-1) / (hi - fbin_min + 1.0)  # [..., T, G]
+    energy = snapshot_energy(X, fbin_min, hi, fftlen2)  # [..., T]
+    ok = energy >= energy_threshold
+    acc = jnp.sum(jnp.where(ok[..., None], rp, 0.0), axis=-2)  # [..., G]
+    _, idx = jax.lax.top_k(acc, n_best)
+    return idx, acc, ok
 
 
 def linear_srp_steering_table(

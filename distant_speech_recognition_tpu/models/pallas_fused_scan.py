@@ -1,0 +1,440 @@
+"""Pallas TPU kernel for the fused GSC-RLS + Zelinski scan.
+
+The XLA `lax.scan` path (adaptive_gsc.gsc_postfilter_fused) re-reads and
+re-writes the whole adaptive state (RLS precision triangle, active weights,
+CSD accumulators — ~10x the frame data) from HBM every frame; at bench
+shapes the scan is state-traffic/launch bound.  This kernel keeps the state
+RESIDENT IN VMEM scratch across the entire utterance: the grid iterates
+(batch blocks x frame tiles) with frames innermost, so per frame only the
+packed spectrum block streams in and the packed output streams out.
+
+Same math as `_rls_step_factory` + the fused Zelinski recursion, operand for
+operand (verified against the XLA path in tests/test_pallas_fused.py and by
+bench.py --selfcheck on device):
+
+  - per-bin RLS gain/precision/active-weight updates with quadratic
+    constraint + norm cap (pybeamformer.py:816-898 semantics;
+    beamformer.cc:1576-1645 is the C++ twin),
+  - reference-channel frame energy + silence gating computed in-step,
+  - Zelinski CSD pair/trace EMA and spectral-floor clamp
+    (postfilter.cc:57-148).
+
+Lane layout: the packed analysis spectrum ``[Re(0..M/2) | Im(1..M/2-1)]``
+splits at lane M/2 into two aligned halves U|V with V = [Re(M/2),
+Im(1..M/2-1)]; masking lane 0 of each half yields ALIGNED re/im planes for
+bins 0..M/2 on lanes 0..M/2 (DC and Nyquist imaginary parts are
+structurally zero), so all 129 bins run one uniform vector program — no
+per-bin special cases.  Lanes above M/2 carry zeros through the whole
+program (weights are zero there); their precision-state lanes are pinned to
+the initial value so nothing grows unboundedly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPECTRAL_FLOOR = 1.0e-4  # postfilter.cc SPECTRAL_FLOOR
+
+__all__ = ["gsc_rls_zelinski_pallas", "pallas_scan_supported"]
+
+
+def pallas_scan_supported(M: int, C: int) -> bool:
+    """Kernel preconditions: power-of-two M with M/2 a lane multiple."""
+    return M >= 256 and M % 256 == 0 and C >= 2
+
+
+# ---------------------------------------------------------------------------
+# tiny complex helpers on (re, im) pairs of f32 tiles
+# ---------------------------------------------------------------------------
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cmul_conj(ar, ai, br, bi):
+    """(a) * conj(b)"""
+    return ar * br + ai * bi, ai * br - ar * bi
+
+
+def _cdiv(ar, ai, br, bi):
+    s = br * br + bi * bi
+    s = jnp.where(s > 0, s, 1.0)
+    return (ar * br + ai * bi) / s, (ai * br - ar * bi) / s
+
+
+def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
+                 pf_type: int, pf_min_frames: int):
+    """cfg: GSCRLSConfig (static python floats)."""
+    pairs = [(i, j) for i in range(Bc) for j in range(Bc) if i < j]
+    pidx = {p: n for n, p in enumerate(pairs)}
+    cpairs = [(i, j) for i in range(C) for j in range(C) if i < j]
+    real_mode = bool(pf_type & 0x01)
+    mu = float(cfg.mu)
+    gamma = float(cfg.gamma)
+    beta = float(cfg.beta)
+    reg = float(cfg.regularization_param)
+    sil = float(cfg.sil_thresh)
+    alpha2 = float(cfg.alpha2)
+    max_wa = float(cfg.max_wa_l2norm)
+    d0 = 1.0 / float(cfg.init_diagonal_load)
+    e0 = float(cfg.init_diagonal_load)
+    copt = int(cfg.constraint_option)
+    M = 2 * Mh
+
+    def kernel(x_ref, wq_ref, bm_ref, ta_ref, out_ref,
+               war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s):
+        """Refs:
+        x_ref   [K, Bb, C, M]   packed input frames (f32)
+        wq_ref  [2, C, M]       aligned wqH re/im planes (lanes 0..Mh)
+        bm_ref  [2, Bc, C, M]   aligned BmH re/im planes
+        ta_ref  [2, C, M]       aligned manifold (ta_) re/im planes
+        out_ref [K, Bb, M]      packed output frames
+        scratch: per-(batch-block) VMEM state, persists over the frame grid:
+        war/wai [Bc, Bb, M], d [Bc, Bb, M], offr/offi [P, Bb, M],
+        en [Bb, 1], ppr/ppi [Bb, M], pd [Bb, M]
+        """
+        from jax.experimental import pallas as pl
+
+        tt = pl.program_id(1)
+        Bb = out_ref.shape[1]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, M), 1)
+        m0 = (lane[:, :Mh] == 0).astype(jnp.float32)  # [Bb, Mh] lane-0 mask
+        active = (lane <= Mh).astype(jnp.float32)     # bins 0..Mh live
+
+        @pl.when(tt == 0)
+        def _init():
+            war_s[...] = jnp.zeros(war_s.shape, jnp.float32)
+            wai_s[...] = jnp.zeros(wai_s.shape, jnp.float32)
+            d_s[...] = jnp.full(d_s.shape, d0, jnp.float32)
+            if pairs:
+                offr_s[...] = jnp.zeros(offr_s.shape, jnp.float32)
+                offi_s[...] = jnp.zeros(offi_s.shape, jnp.float32)
+            en_s[...] = jnp.full(en_s.shape, e0, jnp.float32)
+            ppr_s[...] = jnp.zeros(ppr_s.shape, jnp.float32)
+            ppi_s[...] = jnp.zeros(ppi_s.shape, jnp.float32)
+            pd_s[...] = jnp.zeros(pd_s.shape, jnp.float32)
+
+        def weight_planes(ref, c):
+            return ref[0, c, :][None, :], ref[1, c, :][None, :]  # [1, M]
+
+        for k in range(K):
+            t = tt * K + k
+
+            # ---- aligned complex spectrum per channel ----
+            Xre, Xim = [], []
+            for c in range(C):
+                P = x_ref[k, :, c, :]  # [Bb, M]
+                U, V = P[:, :Mh], P[:, Mh:]
+                xre = jnp.concatenate([U, V * m0], axis=-1)
+                xim = jnp.concatenate([V * (1.0 - m0), jnp.zeros_like(V)], axis=-1)
+                Xre.append(xre)
+                Xim.append(xim)
+
+            # ---- frame energy (channel 0, frame_energy_half) ----
+            p = Xre[0] * Xre[0] + Xim[0] * Xim[0]  # [Bb, M]
+            tot = jnp.sum(p, axis=-1, keepdims=True)
+            pdc = jnp.sum(p * jnp.concatenate([m0, jnp.zeros_like(m0)], -1),
+                          axis=-1, keepdims=True)
+            pny = jnp.sum(p * jnp.concatenate([jnp.zeros_like(m0), m0], -1),
+                          axis=-1, keepdims=True)
+            energy_t = (2.0 * tot - pdc - pny) / M  # [Bb, 1]
+            # en scratch is carried full-width [Bb, M] (a [Bb, 1] VMEM ref
+            # crashes this Mosaic toolchain); all lanes hold the same value
+            gate = (energy_t > en_s[...] / sil).astype(jnp.float32)  # [Bb, M]
+
+            # ---- blocking-matrix outputs and quiescent branch ----
+            Zr, Zi = [], []
+            for b in range(Bc):
+                zr = zi = 0.0
+                for c in range(C):
+                    br_ = bm_ref[0, b, c, :][None, :]
+                    bi_ = bm_ref[1, b, c, :][None, :]
+                    tr, ti = _cmul(br_, bi_, Xre[c], Xim[c])
+                    zr = zr + tr
+                    zi = zi + ti
+                Zr.append(zr)
+                Zi.append(zi)
+            Ycr = Yci = 0.0
+            for c in range(C):
+                wr_, wi_ = weight_planes(wq_ref, c)
+                tr, ti = _cmul(wr_, wi_, Xre[c], Xim[c])
+                Ycr = Ycr + tr
+                Yci = Yci + ti
+
+            dlist = [d_s[i] for i in range(Bc)]
+            offr = [offr_s[n] for n in range(len(pairs))] if pairs else []
+            offi = [offi_s[n] for n in range(len(pairs))] if pairs else []
+            war = [war_s[i] for i in range(Bc)]
+            wai = [wai_s[i] for i in range(Bc)]
+
+            def pz_matvec(d, orr, oi, vr, vi):
+                """(Pz v)_i with Pz carried as diag + upper triangle."""
+                outr, outi = [], []
+                for i in range(Bc):
+                    rr = d[i] * vr[i]
+                    ri = d[i] * vi[i]
+                    for j in range(i + 1, Bc):
+                        n = pidx[(i, j)]
+                        tr, ti = _cmul(orr[n], oi[n], vr[j], vi[j])
+                        rr = rr + tr
+                        ri = ri + ti
+                    for j in range(i):
+                        n = pidx[(j, i)]
+                        tr, ti = _cmul(orr[n], -oi[n], vr[j], vi[j])
+                        rr = rr + tr
+                        ri = ri + ti
+                    outr.append(rr)
+                    outi.append(ri)
+                return outr, outi
+
+            PzZr, PzZi = pz_matvec(dlist, offr, offi, Zr, Zi)
+            ipr = ipi = 0.0
+            for i in range(Bc):
+                tr, ti = _cmul(Zr[i], -Zi[i], PzZr[i], PzZi[i])  # conj(Z)*PzZ
+                ipr = ipr + tr
+                ipi = ipi + ti
+            denr, deni = mu + ipr, ipi
+            gzr, gzi = [], []
+            for i in range(Bc):
+                qr, qi = _cdiv(PzZr[i], PzZi[i], denr, deni)
+                gzr.append(qr)
+                gzi.append(qi)
+            dK = [(dlist[i] - (gzr[i] * PzZr[i] + gzi[i] * PzZi[i])) / mu
+                  for i in range(Bc)]
+            offKr, offKi = [], []
+            for n, (i, j) in enumerate(pairs):
+                tr, ti = _cmul_conj(gzr[i], gzi[i], PzZr[j], PzZi[j])
+                offKr.append((offr[n] - tr) / mu)
+                offKi.append((offi[n] - ti) / mu)
+
+            # ---- active weight update ----
+            epr, epi = Ycr, Yci
+            for i in range(Bc):
+                tr, ti = _cmul(war[i], wai[i], Zr[i], Zi[i])
+                epr = epr - tr
+                epi = epi - ti
+            nwr, nwi = [], []
+            for i in range(Bc):
+                tr, ti = _cmul(gzr[i], -gzi[i], epr, epi)  # conj(gz)*ep
+                nwr.append(war[i] + gamma * tr)
+                nwi.append(wai[i] + gamma * ti)
+            if reg > 0:
+                for i in range(Bc):
+                    rr = dK[i] * war[i]
+                    ri = dK[i] * wai[i]
+                    for j in range(i + 1, Bc):
+                        n = pidx[(i, j)]
+                        tr, ti = _cmul(offKr[n], -offKi[n], war[j], wai[j])
+                        rr = rr + tr
+                        ri = ri + ti
+                    for j in range(i):
+                        n = pidx[(j, i)]
+                        tr, ti = _cmul(offKr[n], offKi[n], war[j], wai[j])
+                        rr = rr + tr
+                        ri = ri + ti
+                    nwr[i] = nwr[i] - rr * reg
+                    nwi[i] = nwi[i] - ri * reg
+
+            if copt > 0:
+                waK2 = 0.0
+                for i in range(Bc):
+                    waK2 = waK2 + nwr[i] * nwr[i] + nwi[i] * nwi[i]
+                if copt in (1, 3):
+                    # quadratic constraint on conj(waH) through PzK
+                    waKr = [nwr[i] for i in range(Bc)]
+                    waKi = [-nwi[i] for i in range(Bc)]
+                    var_, vai_ = pz_matvec(dK, offKr, offKi, waKr, waKi)
+                    a = 0.0
+                    bq = 0.0
+                    for i in range(Bc):
+                        a = a + var_[i] * var_[i] + vai_[i] * vai_[i]
+                        bq = bq - 2.0 * (var_[i] * waKr[i] + vai_[i] * waKi[i])
+                    cc = waK2 - alpha2
+                    arg = bq * bq - 4.0 * a * cc
+                    a_safe = jnp.where(a > 0, a, 1.0)
+                    betaK = jnp.where(
+                        arg > 0,
+                        -(bq + jnp.sqrt(jnp.maximum(arg, 0.0))) / (2.0 * a_safe),
+                        -bq / (2.0 * a_safe),
+                    )
+                    hit = (waK2 > alpha2).astype(jnp.float32)
+                    for i in range(Bc):
+                        nwr[i] = nwr[i] - hit * betaK * var_[i]
+                        nwi[i] = nwi[i] + hit * betaK * vai_[i]
+                if copt >= 2:
+                    over = (waK2 > max_wa).astype(jnp.float32)
+                    scale = jnp.sqrt(max_wa / jnp.where(waK2 > 0, waK2, 1.0))
+                    s_eff = over * scale + (1.0 - over)
+                    for i in range(Bc):
+                        nwr[i] = nwr[i] * s_eff
+                        nwi[i] = nwi[i] * s_eff
+                        dK[i] = over * d0 + (1.0 - over) * dK[i]
+                    for n in range(len(pairs)):
+                        offKr[n] = (1.0 - over) * offKr[n]
+                        offKi[n] = (1.0 - over) * offKi[n]
+
+            # ---- silence gate + dead-lane pinning, state write-back ----
+            for i in range(Bc):
+                d_new = gate * dK[i] + (1.0 - gate) * dlist[i]
+                d_s[i] = active * d_new + (1.0 - active) * d0
+                war_s[i] = gate * nwr[i] + (1.0 - gate) * war[i]
+                wai_s[i] = gate * nwi[i] + (1.0 - gate) * wai[i]
+            for n in range(len(pairs)):
+                offr_s[n] = active * (gate * offKr[n] + (1.0 - gate) * offr[n])
+                offi_s[n] = active * (gate * offKi[n] + (1.0 - gate) * offi[n])
+            en_s[...] = en_s[...] * beta + (1.0 - beta) * (
+                energy_t * jnp.ones((1, M), jnp.float32)
+            )
+
+            # ---- GSC output with gated weights ----
+            war2 = [war_s[i] for i in range(Bc)]
+            wai2 = [wai_s[i] for i in range(Bc)]
+            Yr, Yi = Ycr, Yci
+            for i in range(Bc):
+                tr, ti = _cmul(war2[i], wai2[i], Zr[i], Zi[i])
+                Yr = Yr - tr
+                Yi = Yi - ti
+            Yr = jnp.where(t >= cfg.min_frames, Yr, Ycr)
+            Yi = jnp.where(t >= cfg.min_frames, Yi, Yci)
+
+            # ---- fused Zelinski postfilter ----
+            alr, ali = [], []
+            for c in range(C):
+                tr_, ti_ = (ta_ref[0, c, :][None, :], ta_ref[1, c, :][None, :])
+                ar_, ai_ = _cmul(tr_, -ti_, Xre[c], Xim[c])  # conj(ta) * X
+                alr.append(ar_)
+                ali.append(ai_)
+            psr = psi = 0.0
+            for i, j in cpairs:
+                tr, ti = _cmul_conj(alr[i], ali[i], alr[j], ali[j])
+                psr = psr + tr
+                psi = psi + ti
+            dsum = 0.0
+            for c in range(C):
+                dsum = dsum + alr[c] * alr[c] + ali[c] * ali[c]
+            ppr = jnp.where(t > 0, pf_alpha * ppr_s[...] + (1.0 - pf_alpha) * psr, psr)
+            ppi = jnp.where(t > 0, pf_alpha * ppi_s[...] + (1.0 - pf_alpha) * psi, psi)
+            pd = jnp.where(t > 0, pf_alpha * pd_s[...] + (1.0 - pf_alpha) * dsum, dsum)
+            ppr_s[...] = ppr
+            ppi_s[...] = ppi
+            pd_s[...] = pd
+            if real_mode:
+                num = jnp.maximum(ppr, 0.0)
+            else:
+                num = jnp.sqrt(ppr * ppr + ppi * ppi)
+            ratio = jnp.where(pd > 0, num / jnp.where(pd > 0, pd, 1.0), 0.0)
+            W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
+            apply_pf = t >= pf_min_frames
+            Yr_o = jnp.where(apply_pf, Yr * W, Yr)
+            Yi_o = jnp.where(apply_pf, Yi * W, Yi)
+
+            # ---- repack [Re(0..Mh) | Im(1..Mh-1)] ----
+            out_ref[k, :, :] = jnp.concatenate(
+                [Yr_o[:, :Mh], Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
+                axis=-1,
+            )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
+          pf_min_frames, K, Bb, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Tf, B, C, M = Yp.shape
+    Mh = M // 2
+    Bc = bm_planes.shape[1]
+    nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
+
+    nT = -(-Tf // K)
+    nB = -(-B // Bb)
+    padT, padB = nT * K - Tf, nB * Bb - B
+    if padT or padB:
+        Yp = jnp.pad(Yp, ((0, padT), (0, padB), (0, 0), (0, 0)))
+
+    kernel = _make_kernel(cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames)
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, Bb, C, M), lambda b, t: (t, b, 0, 0)),
+            pl.BlockSpec((2, C, M), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, C, M), lambda b, t: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, Bb, M), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, M), f32),
+        scratch_shapes=[
+            pltpu.VMEM((Bc, Bb, M), f32),  # war
+            pltpu.VMEM((Bc, Bb, M), f32),  # wai
+            pltpu.VMEM((Bc, Bb, M), f32),  # d
+            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offr
+            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offi
+            pltpu.VMEM((Bb, M), f32),      # energy (full-width, see kernel)
+            pltpu.VMEM((Bb, M), f32),      # phi_pair re
+            pltpu.VMEM((Bb, M), f32),      # phi_pair im
+            pltpu.VMEM((Bb, M), f32),      # phi_diag
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(Yp, wq_planes, bm_planes, ta_planes)
+    return out[:Tf, :B, :]
+
+
+def _aligned_planes(w: np.ndarray, M: int) -> np.ndarray:
+    """[F, ...] complex -> [2, ..., M] f32 planes, bin f on lane f (f<=M/2),
+    zeros above."""
+    F = w.shape[0]
+    rest = w.shape[1:]
+    out = np.zeros((2,) + rest + (M,), np.float32)
+    wm = np.moveaxis(w, 0, -1)  # [..., F]
+    out[0, ..., :F] = wm.real
+    out[1, ..., :F] = wm.imag
+    return out
+
+
+def gsc_rls_zelinski_pallas(
+    Yp: jax.Array,
+    wqH,
+    BmH,
+    wq_manifold,
+    cfg,
+    pf_alpha: float = 0.6,
+    pf_type: int = 1,
+    pf_min_frames: int = 0,
+    frame_tile: int = 4,
+    batch_tile: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused GSC-RLS + Zelinski over packed time-major frames, one kernel.
+
+    ``Yp``: packed real analysis output [Tf, B, C, M]
+    (`ops.filterbank.analysis_half_real_tm(packed=True)` /
+    `ops.pallas_kernels.analysis_tm_fused` layout).  ``wqH/BmH`` [F, C] /
+    [F, Bc, C] complex; ``wq_manifold`` [F, C] complex (the C++ ta_).
+    ``cfg``: adaptive_gsc.GSCRLSConfig.  Returns packed [Tf, B, M], equal to
+    `adaptive_gsc.gsc_postfilter_fused(real_packed=True)` with energy=None.
+    """
+    Tf, B, C, M = Yp.shape
+    wq = np.asarray(wqH)
+    bm = np.moveaxis(np.asarray(BmH), 0, 0)  # [F, Bc, C]
+    ta = np.asarray(wq_manifold)
+    wq_planes = jnp.asarray(_aligned_planes(wq, M))          # [2, C, M]
+    bm_planes = jnp.asarray(_aligned_planes(bm, M))          # [2, Bc, C, M]
+    ta_planes = jnp.asarray(_aligned_planes(ta, M))          # [2, C, M]
+    Bb = min(batch_tile, B)
+    return _call(
+        Yp, wq_planes, bm_planes, ta_planes, cfg, float(pf_alpha),
+        int(pf_type), int(pf_min_frames), int(frame_tile), Bb, interpret
+    )

@@ -55,6 +55,12 @@ TIME_MAJOR = os.environ.get("DSR_TIME_MAJOR", "1") == "1"
 # synthesis stage speedups on v5e.  Requires a TPU backend and lane-aligned
 # blocks (D % 128 == 0); falls back to the XLA stages otherwise.
 PALLAS_FB = os.environ.get("DSR_PALLAS_FB", "1") == "1"
+# Fused Pallas GSC-RLS+Zelinski scan (models/pallas_fused_scan.py): the
+# adaptive state (RLS precision triangle, active weights, CSD accumulators)
+# stays resident in VMEM across the whole utterance instead of being
+# re-read/re-written from HBM every frame by lax.scan.  Bit-compatible with
+# the XLA fused scan (same operand order); requires TPU + M % 256 == 0.
+PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "1") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
@@ -79,10 +85,11 @@ class PipelineConfig:
     lms: GSCLMSConfig = GSCLMSConfig()
     rls: GSCRLSConfig = GSCRLSConfig()
     # full-chain extensions (BASELINE config 4: AEC -> WPE -> GSC -> postfilter)
-    aec: str = "none"  # none | nlms
-    aec_delta: float = 100.0
-    aec_epsilon: float = 1.0e-4
+    aec: str = "none"  # none | nlms | kalman | block_kalman
+    aec_delta: float = 100.0       # nlms delta | kalman beta | block_kalman beta
+    aec_epsilon: float = 1.0e-4    # nlms epsilon | (block_)kalman sigma2
     aec_threshold: float = 100.0
+    aec_taps: int = 1              # block_kalman sampleN
     wpe: bool = False
     wpe_lower: int = 2
     wpe_upper: int = 6
@@ -219,26 +226,38 @@ def build_pipeline(
         """x: [C, T] (+ optional far-end playback [T]) -> enhanced [T_out]."""
         # Every stage below reads bins 0..M/2 only; the conjugate mirror is
         # restored at synthesis (beamformer.cc:1142-1152).
-        if cfg.aec == "nlms" or cfg.wpe:
-            from .aec import nlms_aec
+        if cfg.aec != "none" or cfg.wpe:
+            from .aec import block_kalman_aec, kalman_aec, nlms_aec
             from .dereverberation import wpe_multichannel
 
             if HALF_BAND:
                 subh = analysis_half(x, h, cfg.fb)  # [C, Tf, F]
             else:
                 subh = analysis(x, h, cfg.fb)[..., : M // 2 + 1]
-            if cfg.aec == "nlms":
+            if cfg.aec != "none":
                 # far-end reference through the same analysis bank
-                # (NLMSAcousticEchoCancellationFeature consumes subband
-                # snapshots of the played signal, aec.cc:41-81)
+                # (the echo-canceller features consume subband snapshots of
+                # the played signal, aec.cc:41-81 / :118-164 / :244-308)
                 if HALF_BAND:
                     Vh = analysis_half(play, h, cfg.fb)
                 else:
                     Vh = analysis(play, h, cfg.fb)[..., : M // 2 + 1]
-                subh = jax.vmap(
-                    lambda A: nlms_aec(Vh, A, cfg.aec_delta, cfg.aec_epsilon,
-                                       cfg.aec_threshold)[0]
-                )(subh)
+                if cfg.aec == "nlms":
+                    cancel = lambda A: nlms_aec(
+                        Vh, A, cfg.aec_delta, cfg.aec_epsilon, cfg.aec_threshold
+                    )[0]
+                elif cfg.aec == "kalman":
+                    cancel = lambda A: kalman_aec(
+                        Vh, A, cfg.aec_delta, cfg.aec_epsilon, cfg.aec_threshold
+                    )[0]
+                elif cfg.aec == "block_kalman":
+                    cancel = lambda A: block_kalman_aec(
+                        Vh, A, cfg.aec_taps, cfg.aec_delta, cfg.aec_epsilon,
+                        threshold=cfg.aec_threshold,
+                    )[0]
+                else:
+                    raise ValueError(f"unknown aec {cfg.aec!r}")
+                subh = jax.vmap(cancel)(subh)
             if cfg.wpe:
                 subh = wpe_multichannel(subh, cfg.wpe_lower, cfg.wpe_upper,
                                         cfg.wpe_iterations,
@@ -300,7 +319,7 @@ def build_pipeline(
         if tm_shardings is None:
             time_major = False  # un-derivable layout: fall back to vmap path
 
-    if cfg.aec == "nlms":
+    if cfg.aec != "none":
 
         @jax.jit
         def enhance(x, play):
@@ -347,6 +366,19 @@ def build_pipeline(
         )
         if pallas_fb:
             from ..ops.pallas_kernels import analysis_tm_fused, synthesis_tm_fused
+        pallas_scan = (
+            PALLAS_SCAN
+            and kind == "rls"
+            and cfg.postfilter == "zelinski"
+            and jax.default_backend() not in ("cpu",)
+        )
+        if pallas_scan:
+            from .pallas_fused_scan import (
+                gsc_rls_zelinski_pallas,
+                pallas_scan_supported,
+            )
+
+            pallas_scan = pallas_scan_supported(M, len(delays))
 
         @jax.jit
         def enhance(x):
@@ -360,13 +392,20 @@ def build_pipeline(
                 Yr = analysis_tm_fused(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
             else:
                 Yr = analysis_half_real_tm(x, h, cfg.fb, packed=True)
-            # energy=None: the reference-channel frame energy is computed
-            # inside each scan step (no separate dense pass over Yr)
-            Yp = gsc_postfilter_fused(
-                Yr, None, jnp.asarray(wqH), jnp.asarray(BmH),
-                jnp.asarray(wq_manifold), kind, gcfg,
-                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames, True,
-            )  # [Tf, B, M] packed (True = real_packed, positional static arg)
+            if pallas_scan:
+                # VMEM-resident adaptive state across the whole utterance
+                Yp = gsc_rls_zelinski_pallas(
+                    Yr, wqH, BmH, wq_manifold, gcfg,
+                    cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                )
+            else:
+                # energy=None: the reference-channel frame energy is computed
+                # inside each scan step (no separate dense pass over Yr)
+                Yp = gsc_postfilter_fused(
+                    Yr, None, jnp.asarray(wqH), jnp.asarray(BmH),
+                    jnp.asarray(wq_manifold), kind, gcfg,
+                    cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames, True,
+                )  # [Tf, B, M] packed (True = real_packed, positional arg)
             if pallas_fb:
                 return synthesis_tm_fused(Yp, g, cfg.fb)
             return synthesis_half_real_tm(Yp, g, cfg.fb)

@@ -311,6 +311,52 @@ class MLPVad:
     b2: np.ndarray
     threshold: float = 0.1
     context: int = 4
+    # input normalization (Mlp_Post, neural_spnsp_det.c:51-73: the stacked
+    # context vector is normalized as (f - mean) / var — by the VARIANCE,
+    # not the deviation, exactly as the reference computes it)
+    mean: np.ndarray | None = None
+    var: np.ndarray | None = None
+    # decision rule: "diff" = P(sp) - P(nsp) > threshold (generic mode);
+    # "p0" = P(sp) >= threshold (Neural_Spnsp_Det, neural_spnsp_det.c:38-39)
+    decision: str = "diff"
+
+    @classmethod
+    def from_spnsp_file(cls, path: str, featdim: int, context: int = 4,
+                        nhidden: int = 100, noutput: int = 2,
+                        threshold: float = 0.5) -> "MLPVad":
+        """Load a trained speech/non-speech net in the reference's text
+        weight format (Read_Mlp_Param, neural_spnsp_det.c:132-196):
+
+            <label> n_w1   then n_w1 floats, u2-major (hidden-major)
+            <label> n_w2   then n_w2 floats
+            <label> n_b1 / n_b2 + biases
+            <label> featdim + per-feature means
+            <label> featdim + per-feature variances
+
+        The mean/var are per base feature and tiled over the context window.
+        """
+        toks = open(path).read().split()
+        pos = 0
+
+        def take_block(expect_n):
+            nonlocal pos
+            n = int(toks[pos + 1])
+            if n != expect_n:
+                raise ValueError(f"size mismatch in {path}: {n} != {expect_n}")
+            vals = np.asarray([float(v) for v in toks[pos + 2 : pos + 2 + n]],
+                              np.float32)
+            pos += 2 + n
+            return vals
+
+        nin = featdim * (2 * context + 1)
+        w1 = take_block(nin * nhidden).reshape(nhidden, nin).T  # u2-major file
+        w2 = take_block(nhidden * noutput).reshape(noutput, nhidden).T
+        b1 = take_block(nhidden)
+        b2 = take_block(noutput)
+        mean = np.tile(take_block(featdim), 2 * context + 1)
+        var = np.tile(take_block(featdim), 2 * context + 1)
+        return cls(W1=w1, b1=b1, W2=w2, b2=b2, threshold=threshold,
+                   context=context, mean=mean, var=var, decision="p0")
 
     def stack_context(self, cep: jax.Array) -> jax.Array:
         """[T, D] -> [T, (2*context+1)*D] edge-padded context windows."""
@@ -322,8 +368,12 @@ class MLPVad:
 
     def __call__(self, cep: jax.Array) -> jax.Array:
         x = self.stack_context(cep)
+        if self.mean is not None:
+            x = (x - jnp.asarray(self.mean)) / jnp.asarray(self.var)
         hdn = jax.nn.sigmoid(x @ jnp.asarray(self.W1) + jnp.asarray(self.b1))
         out = jax.nn.softmax(hdn @ jnp.asarray(self.W2) + jnp.asarray(self.b2), axis=-1)
+        if self.decision == "p0":
+            return out[..., 0] >= self.threshold
         return (out[..., 0] - out[..., 1]) > self.threshold
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.filterbank import analysis_snapshots_half, synthesis_half
 from . import beamforming as bf
-from .localization import srp_phat, srp_phat_steering_table
+from .localization import srp_dsbla, srp_phat, srp_phat_steering_table
 
 __all__ = ["build_steered_pipeline"]
 
@@ -35,6 +35,8 @@ def build_steered_pipeline(
     min_bin: int = 1,
     max_bin: int | None = None,
     bin_sharding=None,
+    doa_protocol: str = "srp_phat",
+    energy_threshold: float = 0.0,
 ):
     """Build jitted ``enhance(x [B, C, T]) -> (y [B, T_out], doa [B, 2])``.
 
@@ -42,6 +44,13 @@ def build_steered_pipeline(
     postfilter none | zelinski.  ``thetas``/``phis``: the polar/azimuth search
     grid (radians).  The per-utterance DOA (theta, phi) is returned alongside
     the enhanced audio.
+
+    ``doa_protocol``: ``"srp_phat"`` (default — whole-utterance PHAT-weighted
+    SRP sum, the fast estimator) or ``"dsbla"`` — the reference
+    DOAEstimatorSRPDSBLA protocol (models.localization.srp_dsbla): per-frame
+    D&S response power, frames below ``energy_threshold`` skipped, argmax of
+    the accumulated powers (robust to silence padding;
+    beamformer.cc:3125-3197).
     """
     from ..utils.geometry import calc_ca_delays
     from .adaptive_gsc import gsc_postfilter_fused, gsc_lms, gsc_rls
@@ -60,6 +69,15 @@ def build_steered_pipeline(
         delay_table = np.stack(
             [calc_ca_delays(mpos, p, t, sspeed) for t, p in np.asarray(grid)]
         )  # [G, C]
+    if doa_protocol not in ("srp_phat", "dsbla"):
+        raise ValueError(f"unknown doa_protocol {doa_protocol!r}")
+    if doa_protocol == "dsbla":
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            # wq steering table (e^{-j.}/C convention, calcMainlobe)
+            wq_table = np.stack(
+                [np.asarray(bf.array_manifold(M, fs, d)) for d in delay_table]
+            )
+        wq_table_j = jnp.asarray(wq_table)
     steering = jnp.asarray(steering)
     grid_j = jnp.asarray(grid)
     delay_table = jnp.asarray(delay_table, jnp.float32)
@@ -74,9 +92,15 @@ def build_steered_pipeline(
             X = jax.lax.with_sharding_constraint(X, bin_sharding)
         energy = bf.frame_energy_half(X[..., 0], M)
 
-        # --- in-graph SRP-PHAT DOA (whole-utterance vote) ---------------
-        srp = srp_phat(X, steering, min_bin, max_bin)  # [Tf, G]
-        gidx = jnp.argmax(jnp.sum(srp, axis=0))
+        # --- in-graph DOA estimate ------------------------------------
+        if doa_protocol == "dsbla":
+            nbest, _, _ = srp_dsbla(
+                X, wq_table_j, min_bin, max_bin, energy_threshold, 1
+            )
+            gidx = nbest[0]
+        else:
+            srp = srp_phat(X, steering, min_bin, max_bin)  # [Tf, G]
+            gidx = jnp.argmax(jnp.sum(srp, axis=0))
         doa = grid_j[gidx]  # (theta, phi)
         delays = delay_table[gidx]  # [C]
 

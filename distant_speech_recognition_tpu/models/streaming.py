@@ -155,6 +155,23 @@ class _CSDState(NamedTuple):
     t: jax.Array  # scalar int32
 
 
+class _AECState(NamedTuple):
+    """Per-channel NLMS echo-canceller filters (aec.cc:41-81); each recorded
+    channel adapts independently against the shared far-end reference."""
+
+    R: jax.Array  # [C, F] complex64
+
+
+class _WPEState(NamedTuple):
+    """WPE streaming-apply state: the last ``P-1`` input (post-AEC) frames —
+    the lag-window reach of the reference's apply ring
+    (dereverberation.cc:251-265) — and the global frame counter for the
+    ``t >= lowerN`` gate."""
+
+    hist: jax.Array  # [C, P-1, F] complex64, most recent last
+    t: jax.Array  # scalar int32
+
+
 def _zelinski_step_factory(wq_manifold, pf_alpha, pf_type, pf_min_frames):
     C = wq_manifold.shape[-1]
     pair = jnp.asarray(_pair_mask(C))
@@ -193,6 +210,8 @@ class StreamingEnhancer:
             raise ValueError(f"streaming supports none|zelinski, got {cfg.postfilter}")
         if cfg.beamformer not in ("ds", "sd_mvdr", "gsc_lms", "gsc_rls"):
             raise ValueError(f"unsupported streaming beamformer {cfg.beamformer}")
+        if cfg.aec not in ("none", "nlms"):
+            raise ValueError(f"streaming supports aec none|nlms, got {cfg.aec}")
         self.cfg = cfg
         self.p = cfg.fb
         self.h = np.asarray(h, np.float32)
@@ -247,6 +266,28 @@ class StreamingEnhancer:
             if cfg.postfilter == "zelinski"
             else None
         )
+        self.aec_state = (
+            _AECState(R=jnp.zeros((C, F), jnp.complex64))
+            if cfg.aec == "nlms"
+            else None
+        )
+        # WPE streaming is APPLY-ONLY, like the reference: filters must be
+        # estimated beforehand (estimate_filter() protocol,
+        # test_subband_dereverberator.py:73-84) and set via set_wpe_filters.
+        self._wpe_G = None
+        self.wpe_state = None
+        if cfg.wpe:
+            P = cfg.wpe_upper - cfg.wpe_lower + 1
+            self._wpe_P = P
+            self.wpe_state = _WPEState(
+                hist=jnp.zeros((C, max(P - 1, 1), F), jnp.complex64),
+                t=jnp.asarray(0, jnp.int32),
+            )
+        if cfg.aec == "nlms":
+            self.pa_state = analysis_init(self.p)  # far-end analysis history
+            self._psample_buf = np.zeros(0, np.float32)
+            self._pframe_buf = None
+            self._pskip_frames = self.p.laN
 
         # --- host-side stream bookkeeping ------------------------------
         self._sample_buf = np.zeros((C, 0), np.float32)
@@ -258,6 +299,88 @@ class StreamingEnhancer:
         self._mid = self._build_mid()
 
     # ------------------------------------------------------------------
+    def set_wpe_filters(self, G) -> None:
+        """Set pre-estimated WPE prediction filters ``G [C, F, C*P]``
+        (models.dereverberation.wpe_estimate) for the streaming apply."""
+        if not self.cfg.wpe:
+            raise ValueError("cfg.wpe is off")
+        G = jnp.asarray(G, jnp.complex64)
+        C, F, CP = G.shape
+        if CP != self._C * self._wpe_P or C != self._C or F != self._F:
+            raise ValueError(f"expected G [{self._C}, {self._F}, "
+                             f"{self._C * self._wpe_P}], got {G.shape}")
+        self._wpe_G = G
+        self._mid = self._build_mid()
+
+    def _front_steps(self):
+        """AEC + WPE half-band stages shared by both mid variants.
+
+        Returns ``front(aec_state, wpe_state, frames, pframes) ->
+        (aec_state, wpe_state, subh [C, T, F])``.
+        """
+        cfg = self.cfg
+        F = self._F
+        lower = cfg.wpe_lower
+        P = getattr(self, "_wpe_P", 1)
+        G = self._wpe_G
+        if G is not None:
+            # reference apply-ring quirk: taps p >= P - lowerN never
+            # contribute (models.dereverberation.wpe_apply)
+            Gq = np.asarray(G)
+            if lower > 0:
+                tap_ok = np.tile(np.arange(P) < P - lower, self._C)
+                Gq = Gq * tap_ok.astype(Gq.dtype)
+            Gq = jnp.asarray(Gq)
+
+        def front(aec_state, wpe_state, frames, pframes):
+            subh = frames[..., :F]  # [C, T, F]
+            if cfg.aec == "nlms":
+                Vh = pframes[..., :F]  # [T, F]
+                eps, delta, thr = cfg.aec_epsilon, cfg.aec_delta, cfg.aec_threshold
+
+                def step(R, inputs):
+                    Vk, Ak = inputs  # [F], [C, F]
+                    Ek = Ak - R * Vk
+                    gate = jnp.abs(Vk) ** 2 > thr
+                    Gkhat = Ak / jnp.where(jnp.abs(Vk) > 0, Vk, 1.0)
+                    dC = R - Gkhat
+                    deltaC = dC * (eps * jnp.abs(Vk) ** 2 / (delta + jnp.abs(Ak) ** 2))
+                    return jnp.where(gate, R - deltaC, R), Ek
+
+                R, E = jax.lax.scan(
+                    step, aec_state.R, (Vh, jnp.moveaxis(subh, 1, 0))
+                )
+                aec_state = _AECState(R=R)
+                subh = jnp.moveaxis(E, 0, 1)  # [C, T, F]
+            if cfg.wpe and G is not None:
+                C = subh.shape[0]
+                T = subh.shape[1]
+                yy = jnp.concatenate([wpe_state.hist, subh], axis=1)
+                # l_t[p] = y[t - lower - p]: slice offsets relative to the
+                # (P-1)-frame history prefix
+                slices = []
+                for p in range(P):
+                    start = (P - 1) + 0 - lower - p  # local index of t=0 lag
+                    sl = jax.lax.slice_in_dim(
+                        yy, start if start >= 0 else 0, (start if start >= 0 else 0) + T, axis=1
+                    )
+                    if start < 0:  # lags reaching past the carried history
+                        sl = jnp.zeros_like(sl)
+                    slices.append(sl)
+                L = jnp.stack(slices, axis=-1)  # [C, T, F, P]
+                Lf = jnp.moveaxis(L, 0, -2).reshape(T, self._F, C * P)
+                pred = jnp.einsum(
+                    "cfp,tfp->ctf", jnp.conj(Gq), Lf,
+                )
+                tglob = wpe_state.t + jnp.arange(T)
+                subh = subh - jnp.where((tglob >= lower)[None, :, None], pred, 0.0)
+                wpe_state = _WPEState(
+                    hist=yy[:, -max(P - 1, 1):], t=wpe_state.t + T
+                )
+            return aec_state, wpe_state, subh
+
+        return front
+
     def _build_mid(self):
         cfg = self.cfg
         wqH = jnp.asarray(self.wqH)
@@ -269,6 +392,7 @@ class StreamingEnhancer:
             if cfg.postfilter == "zelinski"
             else None
         )
+        front = self._front_steps()
         if cfg.beamformer in ("gsc_lms", "gsc_rls"):
             gsc_step = (
                 _lms_step_factory(cfg.lms, wqH, BmH)
@@ -276,10 +400,11 @@ class StreamingEnhancer:
                 else _rls_step_factory(cfg.rls, wqH, BmH)
             )
 
-            def mid(g_state, pf_state, s_state, frames):
+            def mid(g_state, pf_state, s_state, aec_state, wpe_state, frames, pframes):
                 # frames: [C, T, M] -> Y blocks [T * D]
-                X = bf.snapshots(frames)  # [T, F, C]
-                energy = bf.frame_energy(frames[0]).astype(jnp.float32)
+                aec_state, wpe_state, subh = front(aec_state, wpe_state, frames, pframes)
+                X = jnp.moveaxis(subh, 0, -1)  # [T, F, C]
+                energy = bf.frame_energy_half(X[..., 0], M).astype(jnp.float32)
 
                 def step(carry, inputs):
                     gs, ps = carry
@@ -292,11 +417,12 @@ class StreamingEnhancer:
                 (g_state, pf_state), Y = jax.lax.scan(step, (g_state, pf_state), (X, energy))
                 Yfull = hermitian_mirror(Y, M)
                 s_state, y = streaming_synthesis(s_state, Yfull, self.g, self.p)
-                return g_state, pf_state, s_state, y
+                return g_state, pf_state, s_state, aec_state, wpe_state, y
         else:
 
-            def mid(g_state, pf_state, s_state, frames):
-                X = bf.snapshots(frames)
+            def mid(g_state, pf_state, s_state, aec_state, wpe_state, frames, pframes):
+                aec_state, wpe_state, subh = front(aec_state, wpe_state, frames, pframes)
+                X = jnp.moveaxis(subh, 0, -1)  # [T, F, C]
                 Y = bf.apply_weights(wqH, X)
                 if pf_step is not None:
                     def step(ps, inputs):
@@ -306,7 +432,7 @@ class StreamingEnhancer:
                     pf_state, Y = jax.lax.scan(step, pf_state, (X, Y))
                 Yfull = hermitian_mirror(Y, M)
                 s_state, y = streaming_synthesis(s_state, Yfull, self.g, self.p)
-                return g_state, pf_state, s_state, y
+                return g_state, pf_state, s_state, aec_state, wpe_state, y
 
         return jax.jit(mid)
 
@@ -318,21 +444,52 @@ class StreamingEnhancer:
         D = self.p.D
         outs = []
         valid = 0
-        while self._frame_buf is not None and self._frame_buf.shape[1] >= self.Tc:
-            chunk = jnp.asarray(self._frame_buf[:, : self.Tc])
-            self._frame_buf = self._frame_buf[:, self.Tc :]
-            self.g_state, self.pf_state, self.s_state, y = self._mid(
-                self.g_state, self.pf_state, self.s_state, chunk
+        use_play = self.cfg.aec == "nlms"
+
+        def n_ready():
+            n = 0 if self._frame_buf is None else self._frame_buf.shape[1]
+            if use_play:
+                np_ = 0 if self._pframe_buf is None else self._pframe_buf.shape[0]
+                n = min(n, np_)
+            return n
+
+        def pop(n, pad_to=None):
+            chunk = self._frame_buf[:, :n]
+            self._frame_buf = self._frame_buf[:, n:]
+            if self._frame_buf.shape[1] == 0:
+                self._frame_buf = None
+            if use_play:
+                pchunk = self._pframe_buf[:n]
+                self._pframe_buf = self._pframe_buf[n:]
+                if self._pframe_buf.shape[0] == 0:
+                    self._pframe_buf = None
+            else:
+                pchunk = np.zeros((n, self.p.M), np.complex64)
+            if pad_to and n < pad_to:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((self._C, pad_to - n, self.p.M), np.complex64)], axis=1
+                )
+                pchunk = np.concatenate(
+                    [pchunk, np.zeros((pad_to - n, self.p.M), np.complex64)], axis=0
+                )
+            return jnp.asarray(chunk), jnp.asarray(pchunk)
+
+        while n_ready() >= self.Tc:
+            chunk, pchunk = pop(self.Tc)
+            (self.g_state, self.pf_state, self.s_state, self.aec_state,
+             self.wpe_state, y) = self._mid(
+                self.g_state, self.pf_state, self.s_state, self.aec_state,
+                self.wpe_state, chunk, pchunk
             )
             outs.append(np.asarray(y))
             valid += self.Tc * D
-        n_left = 0 if self._frame_buf is None else self._frame_buf.shape[1]
+        n_left = n_ready()
         if force and n_left:
-            pad = np.zeros((self._C, self.Tc - n_left, self.p.M), np.complex64)
-            chunk = jnp.asarray(np.concatenate([self._frame_buf, pad], axis=1))
-            self._frame_buf = None
-            self.g_state, self.pf_state, self.s_state, y = self._mid(
-                self.g_state, self.pf_state, self.s_state, chunk
+            chunk, pchunk = pop(n_left, pad_to=self.Tc)
+            (self.g_state, self.pf_state, self.s_state, self.aec_state,
+             self.wpe_state, y) = self._mid(
+                self.g_state, self.pf_state, self.s_state, self.aec_state,
+                self.wpe_state, chunk, pchunk
             )
             outs.append(np.asarray(y))
             valid += n_left * D
@@ -343,11 +500,25 @@ class StreamingEnhancer:
         self._skip_blocks -= skip // D
         return y[skip:]
 
-    def process(self, x: np.ndarray) -> np.ndarray:
-        """Feed ``x [C, T]`` samples; returns enhanced samples available."""
+    def process(self, x: np.ndarray, play: np.ndarray | None = None) -> np.ndarray:
+        """Feed ``x [C, T]`` samples (and, with ``cfg.aec != "none"``, the
+        same-length far-end reference ``play [T]``); returns enhanced samples
+        available so far."""
         if self._flushed:
             raise RuntimeError("stream already flushed")
+        if self.cfg.wpe and self._wpe_G is None:
+            raise RuntimeError(
+                "cfg.wpe is on: call set_wpe_filters() first (the reference's "
+                "estimate_filter() protocol — streaming WPE is apply-only)"
+            )
         x = np.asarray(x, np.float32)
+        if self.cfg.aec == "nlms":
+            if play is None:
+                raise ValueError("cfg.aec='nlms' requires the far-end `play`")
+            play = np.asarray(play, np.float32).ravel()
+            if play.shape[0] != x.shape[1]:
+                raise ValueError("play must have the same length as x")
+            self._psample_buf = np.concatenate([self._psample_buf, play])
         self._sample_buf = np.concatenate([self._sample_buf, x], axis=1)
         D = self.p.D
         n_blocks = self._sample_buf.shape[1] // D
@@ -366,6 +537,23 @@ class StreamingEnhancer:
                     if self._frame_buf is None
                     else np.concatenate([self._frame_buf, frames], axis=1)
                 )
+            if self.cfg.aec == "nlms":
+                pchunk = self._psample_buf[: n_blocks * D]
+                self._psample_buf = self._psample_buf[n_blocks * D :]
+                self.pa_state, pframes = streaming_analysis(
+                    self.pa_state, jnp.asarray(pchunk), self.h, self.p
+                )
+                pframes = np.asarray(pframes)
+                if self._pskip_frames:
+                    k = min(self._pskip_frames, pframes.shape[0])
+                    pframes = pframes[k:]
+                    self._pskip_frames -= k
+                if pframes.shape[0]:
+                    self._pframe_buf = (
+                        pframes
+                        if self._pframe_buf is None
+                        else np.concatenate([self._pframe_buf, pframes], axis=0)
+                    )
         return self._run_frames()
 
     def flush(self) -> np.ndarray:
@@ -377,7 +565,8 @@ class StreamingEnhancer:
         D = self.p.D
         resid = self._sample_buf.shape[1]
         pad = (D - resid % D) % D + self.p.analysis_delay * D
-        out = self.process(np.zeros((self._C, pad), np.float32))
+        pplay = np.zeros(pad, np.float32) if self.cfg.aec == "nlms" else None
+        out = self.process(np.zeros((self._C, pad), np.float32), pplay)
         self._flushed = True
         tail = self._run_frames(force=True)
         return np.concatenate([out, tail])
@@ -396,6 +585,12 @@ class StreamingEnhancer:
             "frame_buf": self._frame_buf,
             "skip_frames": self._skip_frames,
             "skip_blocks": self._skip_blocks,
+            "aec_state": dev(self.aec_state) if self.aec_state is not None else None,
+            "wpe_state": dev(self.wpe_state) if self.wpe_state is not None else None,
+            "pa_state": dev(self.pa_state) if self.cfg.aec == "nlms" else None,
+            "psample_buf": self._psample_buf if self.cfg.aec == "nlms" else None,
+            "pframe_buf": self._pframe_buf if self.cfg.aec == "nlms" else None,
+            "pskip_frames": self._pskip_frames if self.cfg.aec == "nlms" else None,
         }
 
     def restore(self, snap: dict) -> None:
@@ -411,4 +606,14 @@ class StreamingEnhancer:
         self._frame_buf = None if fb is None else np.asarray(fb)
         self._skip_frames = int(snap["skip_frames"])
         self._skip_blocks = int(snap["skip_blocks"])
+        if snap.get("aec_state") is not None:
+            self.aec_state = _AECState(*map(jnp.asarray, snap["aec_state"]))
+        if snap.get("wpe_state") is not None:
+            self.wpe_state = _WPEState(*map(jnp.asarray, snap["wpe_state"]))
+        if snap.get("pa_state") is not None:
+            self.pa_state = AnalysisState(*map(jnp.asarray, snap["pa_state"]))
+            self._psample_buf = np.asarray(snap["psample_buf"])
+            pf = snap["pframe_buf"]
+            self._pframe_buf = None if pf is None else np.asarray(pf)
+            self._pskip_frames = int(snap["pskip_frames"])
         self._flushed = False

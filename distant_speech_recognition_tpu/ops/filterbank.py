@@ -574,8 +574,12 @@ def stft_analysis(x: jax.Array, M: int, r: int = 1, window_type: int = 1) -> jax
     params = FilterbankParams(M=M, m=1, r=r, delay_compensation_type=0)
     windows = analysis_frames(x, params)  # [..., n_frames, M] chronological
     win = jnp.asarray(get_window(window_type, M), x.dtype)
-    # output_[mi] = win[mi] * buffer(0, M-1-mi)  : reversed chronological window
-    v = windows[..., ::-1] * win
+    # output_[mi] = win[mi] * buffer(0, M-1-mi): the ring stores the window
+    # REVERSED (update_buf_ nextSample(reverse=true), modulated.cc:158-168)
+    # and the read index M-1-mi un-reverses it, so the windowed vector is the
+    # plain CHRONOLOGICAL last-M samples — verified against the compiled
+    # reference (tests/test_cpp_golden.py; round 1 mis-read this as reversed).
+    v = windows * win
     return jnp.fft.fft(v, axis=-1)
 
 

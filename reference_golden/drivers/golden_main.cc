@@ -170,6 +170,70 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "normalfft") {
+    /* normalfft M r wintype in.f32 out.c128 */
+    unsigned M = atoi(argv[2]), r = atoi(argv[3]), wt = atoi(argv[4]);
+    std::vector<float> x = read_f32(argv[5]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    NormalFFTAnalysisBankPtr afb = new NormalFFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)src, M, r, wt);
+    FILE* fp = fopen(argv[6], "wb");
+    for (;;) {
+      const gsl_vector_complex* Y;
+      try {
+        Y = afb->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned k = 0; k < M; k++) {
+        gsl_complex z = gsl_vector_complex_get(Y, k);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "pr_analysis" || cmd == "pr_recon") {
+    /* pr_analysis h.f64 M m r in.f32 out.c128
+     * pr_recon    h.f64 g.f64 M m r in.f32 out.f32 */
+    int argp = 2;
+    gsl_vector* h = to_gsl(read_f64(argv[argp++]));
+    gsl_vector* g = NULL;
+    if (cmd == "pr_recon") g = to_gsl(read_f64(argv[argp++]));
+    unsigned M = atoi(argv[argp]), m = atoi(argv[argp + 1]), r = atoi(argv[argp + 2]);
+    argp += 3;
+    std::vector<float> x = read_f32(argv[argp++]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    PerfectReconstructionFFTAnalysisBankPtr afb =
+        new PerfectReconstructionFFTAnalysisBank(
+            (VectorFloatFeatureStreamPtr&)src, h, M, m, r);
+    if (cmd == "pr_analysis") {
+      FILE* fp = fopen(argv[argp], "wb");
+      for (;;) {
+        const gsl_vector_complex* Y;
+        try {
+          Y = afb->next();
+        } catch (jiterator_error&) {
+          break;
+        }
+        for (unsigned k = 0; k < 2 * M; k++) {
+          gsl_complex z = gsl_vector_complex_get(Y, k);
+          fwrite(z.dat, sizeof(double), 2, fp);
+        }
+      }
+      fclose(fp);
+      return 0;
+    }
+    PerfectReconstructionFFTSynthesisBankPtr sfb =
+        new PerfectReconstructionFFTSynthesisBank(
+            (VectorComplexFeatureStreamPtr&)afb, g, M, m, r);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, argv[argp]);
+    return 0;
+  }
+
   if (cmd == "ds" || cmd == "zelinski" || cmd == "gscrls") {
     gsl_vector* h = to_gsl(read_f64(argv[2]));
     gsl_vector* g = to_gsl(read_f64(argv[3]));

@@ -365,3 +365,116 @@ def test_overlap_save_nonhermitian_update_uses_lower_half():
         np.fft.rfft(x[:L]) * delta[: L // 2 + 1], n=L
     )[4:]
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# plumbing feature nodes (feature.h:325-401, 1044-1498)
+# ---------------------------------------------------------------------------
+
+
+class _RowSource(FeatureStream):
+    """Test source replaying fixed rows."""
+
+    def __init__(self, rows):
+        rows = np.asarray(rows, np.float32)
+        super().__init__(rows.shape[-1], "RowSource")
+        self._rows = rows
+        self._i = 0
+
+    def _produce(self):
+        if self._i >= len(self._rows):
+            raise StopIteration
+        r = self._rows[self._i]
+        self._i += 1
+        return r
+
+    def _reset(self):
+        self._i = 0
+
+
+def test_block_size_conversion_reframes(rng):
+    from distant_speech_recognition_tpu.compat.feature import BlockSizeConversionFeature
+
+    x = rng.standard_normal(1000).astype(np.float32)
+    src = _RowSource(x.reshape(-1, 100))  # 100-sample source frames
+    node = BlockSizeConversionFeature(src, block_len=320, shift_len=160)
+    frames = [np.asarray(v) for v in node]
+    # frame f = samples [f*160, f*160+320)
+    want_n = (1000 - 320) // 160 + 1
+    assert len(frames) == want_n
+    for f, fr in enumerate(frames):
+        np.testing.assert_array_equal(fr, x[f * 160 : f * 160 + 320])
+
+
+def test_mean_subtraction_batch_and_runon(rng):
+    from distant_speech_recognition_tpu.compat.feature import MeanSubtractionFeature
+
+    S = rng.standard_normal((30, 6)).astype(np.float32)
+    node = MeanSubtractionFeature(_RowSource(S), dev_norm_factor=1.0)
+    got = np.stack([np.asarray(v) for v in node])
+    mean = S.mean(axis=0)
+    var = (S**2).mean(axis=0) - mean**2
+    want = (S - mean) / np.sqrt(np.maximum(var, 1e-4))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # runon: running mean with the 0.98 schedule (feature.cc:2499-2540)
+    node = MeanSubtractionFeature(_RowSource(S), runon=True)
+    got = np.stack([np.asarray(v) for v in node])
+    m = np.zeros(6, np.float32)
+    want = []
+    for t in range(30):
+        m = 0.98 * m + 0.02 * S[t]
+        want.append(S[t] - m)
+    np.testing.assert_allclose(got, np.stack(want), atol=1e-5)
+
+
+def test_adjacent_matches_batch_splice(rng):
+    from distant_speech_recognition_tpu.compat.feature import AdjacentFeature
+    from distant_speech_recognition_tpu.models.features import adjacent_splice
+
+    S = rng.standard_normal((12, 4)).astype(np.float32)
+    node = AdjacentFeature(_RowSource(S), delta=3)
+    got = np.stack([np.asarray(v) for v in node])
+    want = np.asarray(adjacent_splice(jnp.asarray(S), 3))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_linear_transform_merge_multimodal_circular(rng):
+    from distant_speech_recognition_tpu.compat.feature import (
+        CircularStorageFeature,
+        LinearTransformFeature,
+        MergeFeature,
+        MultiModalFeature,
+        StaticStorageFeature,
+    )
+
+    S = rng.standard_normal((8, 5)).astype(np.float32)
+    node = LinearTransformFeature(_RowSource(S), sz=3)
+    T = rng.standard_normal((3, 5)).astype(np.float32)
+    node.set_matrix(T)
+    got = np.stack([np.asarray(v) for v in node])
+    np.testing.assert_allclose(got, S @ T.T, atol=1e-5)
+
+    m = MergeFeature(_RowSource(S), _RowSource(2 * S), _RowSource(3 * S))
+    got = np.stack([np.asarray(v) for v in m])
+    np.testing.assert_allclose(got, np.concatenate([S, 2 * S, 3 * S], axis=1))
+
+    mm = MultiModalFeature(2, 10)
+    mm.add_modal_feature(_RowSource(S), 1)
+    mm.add_modal_feature(_RowSource(S[:4]), 2)  # refreshed every 2nd frame
+    rows = [np.asarray(mm.next()) for _ in range(6)]
+    np.testing.assert_allclose(rows[1][5:], rows[0][5:])  # held between updates
+    np.testing.assert_allclose(rows[0][:5], S[0])
+    np.testing.assert_allclose(rows[2][5:], S[1])  # refreshed at frame 2
+
+    cs = CircularStorageFeature(_RowSource(S), frames_num=3)
+    for _ in range(5):
+        cs.next()
+    np.testing.assert_allclose(np.asarray(cs.next(4)), S[4])  # recent frame
+    with pytest.raises(IndexError):
+        cs.next(0)  # evicted
+
+    st = StaticStorageFeature(5)
+    st.set_frames(S)
+    got = np.stack([np.asarray(v) for v in st])
+    np.testing.assert_allclose(got, S)

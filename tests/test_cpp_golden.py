@@ -368,3 +368,70 @@ def test_aec_matches_cpp(gbin, protos, kind, p1, p2, p3, tmp_path):
     yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
     assert len(ycpp) == len(yj)
     assert _snr(ycpp, yj) > 90, _snr(ycpp, yj)
+
+
+@pytest.mark.parametrize("Mn,rn,wt", [(256, 1, 1), (128, 2, 2)])
+def test_normalfft_matches_cpp(gbin, cmu, Mn, rn, wt, tmp_path):
+    """NormalFFTAnalysisBank (plain windowed STFT stream) vs the compiled
+    reference — caught a window-reversal misreading in round 2."""
+    from distant_speech_recognition_tpu.compat import feature as cf
+    from distant_speech_recognition_tpu.compat import modulated as cm
+
+    X, paths = cmu
+    out = str(tmp_path / "nf.c128")
+    subprocess.run(
+        [gbin, "normalfft", str(Mn), str(rn), str(wt), paths[0], out],
+        check=True, capture_output=True,
+    )
+    Ycpp = np.fromfile(out, np.complex128).reshape(-1, Mn)
+    s = cf.SampleFeature(Mn >> rn, Mn >> rn, pad_zeros=True)
+    s.set_samples(X[0], int(FS))
+    node = cm.NormalFFTAnalysisBank(s, Mn, rn, wt)
+    Yj = np.stack([np.asarray(v) for v in node])
+    assert Ycpp.shape[0] == Yj.shape[0]
+    scale = np.abs(Ycpp).max()
+    np.testing.assert_allclose(Yj, Ycpp, atol=2e-6 * scale)
+
+
+def test_pr_filterbank_matches_cpp(gbin, cmu, tmp_path):
+    """PerfectReconstruction analysis + synthesis streams vs the compiled
+    reference (cosine-modulated bank, modulated.cc:634-904)."""
+    from distant_speech_recognition_tpu.compat import feature as cf
+    from distant_speech_recognition_tpu.compat import modulated as cm
+    from distant_speech_recognition_tpu.design.cosine_modulated import (
+        design_pr_prototype,
+        full_prototype,
+    )
+
+    X, paths = cmu
+    Mp, mp, rp = 64, 2, 0
+    hq, _ = design_pr_prototype(Mp, mp)
+    proto = np.asarray(full_prototype(hq), np.float64)
+    pf = str(tmp_path / "prh.f64")
+    proto.tofile(pf)
+    outa = str(tmp_path / "pra.c128")
+    outr = str(tmp_path / "prr.f32")
+    subprocess.run(
+        [gbin, "pr_analysis", pf, str(Mp), str(mp), str(rp), paths[0], outa],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        [gbin, "pr_recon", pf, pf, str(Mp), str(mp), str(rp), paths[0], outr],
+        check=True, capture_output=True,
+    )
+    Ycpp = np.fromfile(outa, np.complex128).reshape(-1, 2 * Mp)
+    s = cf.SampleFeature(Mp, Mp, pad_zeros=True)
+    s.set_samples(X[0], int(FS))
+    node = cm.PerfectReconstructionFFTAnalysisBank(s, proto, Mp, mp, rp)
+    Yj = np.stack([np.asarray(v) for v in node])
+    assert Ycpp.shape[0] == Yj.shape[0]
+    np.testing.assert_allclose(Yj, Ycpp, atol=2e-6 * np.abs(Ycpp).max())
+
+    ycpp = np.fromfile(outr, np.float32)
+    s2 = cf.SampleFeature(Mp, Mp, pad_zeros=True)
+    s2.set_samples(X[0], int(FS))
+    a2 = cm.PerfectReconstructionFFTAnalysisBank(s2, proto, Mp, mp, rp)
+    syn = cm.PerfectReconstructionFFTSynthesisBank(a2, proto, Mp, mp, rp)
+    yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 100, _snr(ycpp, yj)

@@ -214,3 +214,81 @@ def test_linear_srp_doa_recovers_plane_wave(rng):
     want = np.arcsin(np.clip(-np.cos(azimuth), -1, 1))
     step = float(sin_grid[1] - sin_grid[0])
     assert np.all(np.abs(np.sin(doa) - np.sin(want)) <= step), (doa, want)
+
+
+def _golden_srp_dsbla(X, W, fbin_min, fbin_max, thr, n_best):
+    import jax.numpy as jnp  # noqa: F401  (kept local; see tests below)
+    """Frame-loop transliteration of DOAEstimatorSRPDSBLA::next +
+    get_nbest_hypotheses_from_accrp_ (beamformer.cc:3093-3197)."""
+    T, F, C = X.shape
+    G = W.shape[0]
+    fftlen2 = F - 1
+    acc = np.zeros(G)
+    for t in range(T):
+        energy = 0.0
+        for f in range(fbin_min, fbin_max + 1):
+            tot = np.sum(np.abs(X[t, f]) ** 2)
+            energy += (2.0 if f < fftlen2 else 1.0) * tot * tot
+        energy /= 2.0 * fftlen2 * C
+        if energy < thr:
+            continue
+        for gidx in range(G):
+            rp = 0.0
+            for f in range(fbin_min, fbin_max + 1):
+                v = np.vdot(W[gidx, f], X[t, f])
+                rp += (2.0 if f < fftlen2 else 1.0) * abs(v) ** 2
+            acc[gidx] += rp / (fbin_max - fbin_min + 1.0)
+    order = np.argsort(-acc)[:n_best]
+    return order, acc
+
+
+def test_srp_dsbla_matches_protocol_transliteration(rng):
+    from distant_speech_recognition_tpu.models.localization import srp_dsbla
+
+    T, F, C, G = 12, 9, 3, 5
+    X = (rng.standard_normal((T, F, C)) + 1j * rng.standard_normal((T, F, C))).astype(np.complex64)
+    X[3] *= 1e-4  # one near-silent frame: must be gated out
+    W = (rng.standard_normal((G, F, C)) + 1j * rng.standard_normal((G, F, C))).astype(np.complex64)
+    thr = 1e-3
+    import jax.numpy as jnp
+    idx, acc, ok = srp_dsbla(jnp.asarray(X), jnp.asarray(W), 1, None, thr, 3)
+    g_idx, g_acc = _golden_srp_dsbla(X, W, 1, F - 1, thr, 3)
+    np.testing.assert_allclose(np.asarray(acc), g_acc, rtol=2e-5)
+    assert list(np.asarray(idx)) == list(g_idx)
+    assert not bool(np.asarray(ok)[3])  # silent frame skipped
+
+
+def test_srp_dsbla_robust_to_silence_padding():
+    """On a silence-padded utterance the energy-gated accumulation ignores
+    the noise-only tail (the reference's robustness property), while the
+    ungated sum integrates the noise."""
+    from distant_speech_recognition_tpu.models.localization import srp_dsbla
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.utils import geometry
+
+    M, C = 64, 4
+    F = M // 2 + 1
+    fs = 16000.0
+    rng = np.random.default_rng(3)
+    mpos_x = np.arange(C)[:, None] * 50.0
+    true_delays = np.asarray(geometry.calc_la_delays(mpos_x, azimuth=1.1))
+    vs = np.asarray(array_manifold(M, fs, true_delays))  # [F, C]
+
+    # 10 speech frames from the true direction + 40 diffuse noise-only frames
+    S = (rng.standard_normal((10, F)) + 1j * rng.standard_normal((10, F))) * 5
+    speech = S[:, :, None] * np.conj(vs)[None] * C  # plane wave at true DOA
+    noise = 0.3 * (rng.standard_normal((40, F, C)) + 1j * rng.standard_normal((40, F, C)))
+    X = np.concatenate([speech, noise]).astype(np.complex64)
+
+    grid = np.linspace(0.2, 1.4, 13)
+    W = np.stack([
+        np.asarray(array_manifold(M, fs, geometry.calc_la_delays(mpos_x, azimuth=a)))
+        for a in grid
+    ])  # [G, F, C] wq convention
+
+    # threshold between noise-frame and speech-frame energies
+    import jax.numpy as jnp
+    idx, acc, ok = srp_dsbla(jnp.asarray(X), jnp.asarray(W), 1, None, 1.0, 1)
+    got = grid[int(np.asarray(idx)[0])]
+    assert int(np.asarray(ok).sum()) == 10  # only the speech frames counted
+    assert abs(got - 1.1) < 0.11, got

@@ -102,3 +102,43 @@ def test_fused_roundtrip_reconstruction(rng, protos):
         )
     )[0]
     np.testing.assert_allclose(y, ref, rtol=0, atol=2e-5 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("pf_type,min_frames", [(1, 2), (2, 0)])
+def test_pallas_rls_zelinski_scan_matches_xla(rng, pf_type, min_frames):
+    """The VMEM-resident fused GSC-RLS+Zelinski kernel equals the XLA fused
+    scan (adaptive_gsc.gsc_postfilter_fused real_packed path) — including
+    padding tiles (Tf and B not multiples of the tile sizes)."""
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        GSCRLSConfig,
+        gsc_postfilter_fused,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        gsc_rls_zelinski_pallas,
+    )
+    from distant_speech_recognition_tpu.utils import geometry
+
+    M, C = 256, 4
+    Tf, B = 19, 3  # deliberately not tile multiples
+    Yp = (rng.standard_normal((Tf, B, C, M)) * 100).astype(np.float32)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    wqH, BmH = gsc_weights(M, 16000.0, delays, 1)
+    wqH, BmH = np.asarray(wqH), np.asarray(BmH)
+    vs = np.asarray(array_manifold(M, 16000.0, delays))
+    cfg = GSCRLSConfig(min_frames=4)
+    want = np.asarray(
+        gsc_postfilter_fused(
+            jnp.asarray(Yp), None, jnp.asarray(wqH), jnp.asarray(BmH),
+            jnp.asarray(vs), "rls", cfg, 0.6, pf_type, min_frames, True,
+        )
+    )
+    got = np.asarray(
+        gsc_rls_zelinski_pallas(
+            jnp.asarray(Yp), wqH, BmH, vs, cfg, 0.6, pf_type, min_frames,
+            frame_tile=4, batch_tile=2, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())

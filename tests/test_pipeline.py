@@ -234,6 +234,70 @@ def test_multihost_runner_single_host_path(tmp_path):
         assert np.isfinite(y).all() and np.abs(y).max() > 0
 
 
+def test_multihost_runner_two_process(tmp_path):
+    """TRUE multi-process run of parallel/runner.enhance_files: two local
+    jax.distributed CPU processes (4 virtual devices each) share one file
+    list; each reads only its round-robin shard and writes only its own
+    outputs (runner.py make_array_from_process_local_data path).  Outputs
+    must match a single-process run of the same pipeline."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.utils.wavio import read_wav, write_wav
+
+    # fixtures: 4 two-channel WAVs
+    rng = np.random.default_rng(7)
+    wav_dir = tmp_path / "in"
+    wav_dir.mkdir()
+    T = 3000
+    for i in range(4):
+        x = (rng.standard_normal((2, T)) * 1500).astype(np.float32)
+        write_wav(str(wav_dir / f"u{i}.wav"), x, 16000, normalized=False)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_dir = tmp_path / "out"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = f"/root/repo:{env.get('PYTHONPATH', '')}"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, os.path.join(os.path.dirname(__file__), "_mp_worker.py"),
+             str(port), str(pid), "2", str(wav_dir), str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (so[-2000:], se[-2000:])
+        assert "WORKER_OK" in so, (so, se)
+
+    # every input has an enhanced output, written by exactly one process
+    produced = sorted(os.listdir(out_dir))
+    assert produced == [f"u{i}_enhanced.wav" for i in range(4)], produced
+
+    # equivalence vs a single-process run of the same pipeline
+    h, g = design_nyquist_pair(32, 4, 1)
+    mpos = np.c_[np.arange(2) * 50.0, np.zeros((2, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=0.5)
+    cfg = PipelineConfig(
+        fb=FilterbankParams(M=32, m=4, r=1, delay_compensation_type=2),
+        beamformer="ds",
+    )
+    fn = build_pipeline(cfg, mpos, delays, h, g)
+    for i in range(4):
+        x, _ = read_wav(str(wav_dir / f"u{i}.wav"), normalize=False)
+        want = np.asarray(fn(jnp.asarray(x)[None]))[0]
+        got, _ = read_wav(str(out_dir / f"u{i}_enhanced.wav"), normalize=False)
+        n = min(len(want), got.shape[-1])
+        np.testing.assert_allclose(got[0][:n], want[:n], atol=1.5)  # int16 LSB
+
+
 def test_full_chain_aec_wpe_gsc(tmp_path):
     """BASELINE config 4: AEC -> WPE -> GSC -> postfilter chained.
 
@@ -280,6 +344,54 @@ def test_full_chain_aec_wpe_gsc(tmp_path):
         return abs(np.corrcoef(yy, e[: len(yy)])[0, 1])
 
     assert leak(y_chain) < leak(y_plain) * 0.7, (leak(y_chain), leak(y_plain))
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("kalman", dict(aec_delta=0.95, aec_epsilon=1e-3, aec_threshold=1e-8)),
+    ("block_kalman", dict(aec_delta=0.95, aec_epsilon=1e-3, aec_threshold=1e-8,
+                          aec_taps=2)),
+])
+def test_full_chain_kalman_aec(kind, params):
+    """Config-4 chain with the Kalman-family cancellers wired into the
+    pipeline (not just the standalone kernels): echo leakage must drop vs
+    the AEC-less chain."""
+    import jax.numpy as jnp
+
+    M, m, r = 32, 2, 1
+    fb = FilterbankParams(M=M, m=m, r=r)
+    h, g = design_nyquist_pair(M, m, r)
+    C, T = 4, 4000
+    fs = 16000.0
+    rng = np.random.default_rng(7)
+    t = np.arange(T) / fs
+    target = np.sin(2 * np.pi * 300 * t).astype(np.float32)
+    play = (rng.standard_normal(T) * 0.5).astype(np.float32)
+    echo = np.roll(play, 5) * 0.8
+    x = np.stack(
+        [target + echo + 0.01 * rng.standard_normal(T) for _ in range(C)]
+    ).astype(np.float32)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = np.zeros(C)
+
+    base = dict(fb=fb, samplerate=fs, beamformer="gsc_rls", postfilter="zelinski")
+    cfg_chain = PipelineConfig(**base, aec=kind, **params)
+    cfg_plain = PipelineConfig(**base)
+    y_chain = np.asarray(build_pipeline(cfg_chain, mpos, delays, h, g)(
+        jnp.asarray(x[None]), jnp.asarray(play[None])
+    ))[0]
+    y_plain = np.asarray(build_pipeline(cfg_plain, mpos, delays, h, g)(
+        jnp.asarray(x[None])
+    ))[0]
+    assert np.isfinite(y_chain).all()
+    n = min(len(y_chain), len(y_plain), T) - 600
+    sl = slice(500, n)
+
+    def leak(y):
+        e = np.roll(play, 5)[sl]
+        yy = y[sl]
+        return abs(np.corrcoef(yy, e[: len(yy)])[0, 1])
+
+    assert leak(y_chain) < leak(y_plain) * 0.7, (kind, leak(y_chain), leak(y_plain))
 
 
 def test_srp_steered_gsc_pipeline():

@@ -144,3 +144,50 @@ def test_ccc_and_lowfull_metrics(rng):
     ratio = np.asarray(sad.low_full_band_energy_ratio_metric(frames))
     assert ratio.shape == (T,)
     assert np.isfinite(ratio).all()
+
+
+def test_mlp_vad_spnsp_file_loader(tmp_path, rng):
+    """Round-trip the reference's text weight format and match a float
+    transliteration of Mlp_Post/Mlp_Ffwd (neural_spnsp_det.c:51-129)."""
+    from distant_speech_recognition_tpu.models.sad import MLPVad
+
+    featdim, context, H, O = 5, 2, 7, 2
+    nin = featdim * (2 * context + 1)
+    w1 = rng.standard_normal((H, nin)).astype(np.float32)  # u2-major like the file
+    w2 = rng.standard_normal((O, H)).astype(np.float32)
+    b1 = rng.standard_normal(H).astype(np.float32)
+    b2 = rng.standard_normal(O).astype(np.float32)
+    mean = rng.standard_normal(featdim).astype(np.float32)
+    var = (0.5 + rng.random(featdim)).astype(np.float32)
+
+    path = tmp_path / "spnsp.wgt"
+    with open(path, "w") as f:
+        f.write(f"weights12 {w1.size}\n" + " ".join(str(float(v)) for v in w1.ravel()) + "\n")
+        f.write(f"weights23 {w2.size}\n" + " ".join(str(float(v)) for v in w2.ravel()) + "\n")
+        f.write(f"bias2 {b1.size}\n" + " ".join(str(float(v)) for v in b1) + "\n")
+        f.write(f"bias3 {b2.size}\n" + " ".join(str(float(v)) for v in b2) + "\n")
+        f.write(f"mean {featdim}\n" + " ".join(str(float(v)) for v in mean) + "\n")
+        f.write(f"var {featdim}\n" + " ".join(str(float(v)) for v in var) + "\n")
+
+    vad = MLPVad.from_spnsp_file(str(path), featdim, context, H, O, threshold=0.5)
+
+    T = 9
+    cep = rng.standard_normal((T, featdim)).astype(np.float32)
+
+    # transliteration: stacked context (edge replication), (f-mean)/var,
+    # sigmoid hidden, softmax output, speech = out[0] >= threshold
+    want = []
+    tiled_mean = np.tile(mean, 2 * context + 1)
+    tiled_var = np.tile(var, 2 * context + 1)
+    for t in range(T):
+        idx = np.clip(np.arange(t - context, t + context + 1), 0, T - 1)
+        x = cep[idx].reshape(-1)
+        x = (x - tiled_mean) / tiled_var
+        h = 1.0 / (1.0 + np.exp(-(w1 @ x + b1)))
+        o = w2 @ h + b2
+        e = np.exp(o - o.max())
+        p = e / e.sum()
+        want.append(p[0] >= 0.5)
+    import jax.numpy as jnp
+    got = np.asarray(vad(jnp.asarray(cep)))
+    assert list(got) == want

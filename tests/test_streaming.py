@@ -134,3 +134,58 @@ def test_streaming_checkpoint_resume(tmp_path):
     resumed = np.concatenate([y1, y2, y3])
 
     np.testing.assert_allclose(resumed, ref, atol=1e-6)
+
+
+def test_streaming_full_chain_aec_wpe_matches_batch():
+    """BASELINE config-4 online: NLMS-AEC + WPE-apply + GSC-RLS + Zelinski
+    with carried state equals the batch pipeline, chunk-size independent.
+
+    Streaming WPE is apply-only (the reference's estimate-then-stream
+    protocol, test_subband_dereverberator.py:73-84): the filters are
+    estimated from the same AEC-cancelled subbands the batch pipeline uses
+    internally, then set via set_wpe_filters().
+    """
+    from distant_speech_recognition_tpu.models.aec import nlms_aec
+    from distant_speech_recognition_tpu.models.dereverberation import wpe_estimate
+    from distant_speech_recognition_tpu.ops.filterbank import analysis_half
+    import jax
+
+    h, g = _protos()
+    C, T = 3, 3500
+    x = _signal(C=C, T=T)
+    rng = np.random.default_rng(11)
+    play = (rng.standard_normal(T) * 0.5).astype(np.float32)
+    x = x + 0.6 * np.roll(play, 7)[None, :]
+    mpos = np.stack([np.arange(C) * 100.0, np.zeros(C), np.zeros(C)], axis=1)
+    delays = np.arange(C) * 1e-5
+    cfg = PipelineConfig(
+        fb=P, beamformer="gsc_rls", postfilter="zelinski",
+        aec="nlms", aec_delta=1.0, aec_epsilon=0.5, aec_threshold=1e-6,
+        wpe=True, wpe_lower=2, wpe_upper=4, wpe_iterations=2,
+    )
+
+    batch = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(
+        jnp.asarray(x[None]), jnp.asarray(play[None])
+    ))[0]
+
+    # estimate WPE filters exactly as the batch pipeline does internally:
+    # analysis -> per-channel NLMS -> wpe_estimate on the cancelled subbands
+    subh = analysis_half(jnp.asarray(x), jnp.asarray(h, jnp.float32), P)
+    Vh = analysis_half(jnp.asarray(play), jnp.asarray(h, jnp.float32), P)
+    Eh = jax.vmap(lambda A: nlms_aec(Vh, A, 1.0, 0.5, 1e-6)[0])(subh)
+    G = np.asarray(wpe_estimate(Eh, 2, 4, 2, -20.0))
+
+    se = StreamingEnhancer(cfg, mpos, delays, h, g, frames_per_chunk=16)
+    se.set_wpe_filters(G)
+    outs = []
+    pos = 0
+    for n in [700, 123, 1011, 64, 1000]:
+        outs.append(se.process(x[:, pos : pos + n], play[pos : pos + n]))
+        pos += n
+    outs.append(se.process(x[:, pos:], play[pos:]))
+    outs.append(se.flush())
+    stream = np.concatenate(outs)
+
+    n = min(len(stream), len(batch))
+    assert n >= len(batch) - P.D
+    np.testing.assert_allclose(stream[:n], batch[:n], atol=2e-4)
