@@ -80,3 +80,40 @@ def tm_snapshot_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, x):
     """Place a host array batch-sharded on the mesh."""
     return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+
+def accumulate_sos_timesharded(mesh: Mesh, X, weights, time_axis: str = "batch"):
+    """`beamforming.accumulate_sos` with the FRAME axis sharded over devices,
+    reduced with an explicit ``psum`` over ICI.
+
+    This is the scale-out form of the reference's global covariance sums
+    (``SubbandSOSBatchBeamformer.accu_stats_*``, pybeamformer.py:1048-1165):
+    each device accumulates ``sum_t w_t X_t X_t^H`` over its local frame
+    shard, then one psum of the tiny ``[F, C, C]`` sums crosses the mesh —
+    frames never move, only covariances do.
+
+    ``X``: ``[T, F, C]`` snapshots, ``weights``: ``[T]`` or ``[T, F]``;
+    ``time_axis`` names the mesh axis the frame dimension is split over
+    (the default reuses the data-parallel axis, which is idle during a
+    single-utterance stats pass).  Returns the same ``(R [F,C,C],
+    counts [F])`` as the unsharded reduction, replicated over ``time_axis``.
+    """
+    from ..models.beamforming import accumulate_sos
+
+    def local(Xl, wl):
+        R, counts = accumulate_sos(Xl, wl)
+        R = jax.lax.psum(R, time_axis)
+        counts = jax.lax.psum(counts, time_axis)
+        return R, counts
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(time_axis), P(time_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    with jax.set_mesh(mesh):
+        Xs = jax.device_put(np.asarray(X), NamedSharding(mesh, P(time_axis)))
+        ws = jax.device_put(np.asarray(weights), NamedSharding(mesh, P(time_axis)))
+        return fn(Xs, ws)

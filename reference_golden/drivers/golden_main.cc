@@ -300,6 +300,61 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "sdmvdr") {
+    /* sdmvdr h.f64 g.f64 M m r dc fs delays.f64 micpos.f64 mu \
+     *        alpha pftype minframes out.f32 in1.f32 [...]
+     * Super-directive MVDR (diffuse-noise model + diagonal loading) with an
+     * optional Zelinski postfilter (pftype < 0 disables it) — BASELINE
+     * config 2.  micpos.f64 is [C,3] row-major. */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    gsl_vector* g = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double fs = atof(argv[8]);
+    gsl_vector* delays = to_gsl(read_f64(argv[9]));
+    std::vector<double> mposv = read_f64(argv[10]);
+    double mu = atof(argv[11]);
+    double alpha = atof(argv[12]); int pftype = atoi(argv[13]), minframes = atoi(argv[14]);
+    const char* outfn = argv[15];
+    unsigned D = M >> r;
+    int argp = 16;
+
+    unsigned chanN = argc - argp;
+    gsl_matrix* mpos = gsl_matrix_calloc(chanN, 3);
+    for (unsigned c = 0; c < chanN; c++)
+      for (unsigned k = 0; k < 3; k++)
+        gsl_matrix_set(mpos, c, k, mposv[3 * c + k]);
+
+    SubbandMVDRPtr beamformer = new SubbandMVDR(M, false);
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      beamformer->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    beamformer->calc_array_manifold_vectors((float)fs, delays);
+    beamformer->set_diffuse_noise_model(mpos, (float)fs);
+    beamformer->set_all_diagonal_loading((float)mu);
+    beamformer->calc_mvdr_weights((float)fs);
+
+    VectorComplexFeatureStreamPtr bfout = (VectorComplexFeatureStreamPtr&)beamformer;
+    ZelinskiPostFilterPtr pf;
+    if (pftype >= 0) {
+      pf = new ZelinskiPostFilter(bfout, M, alpha, pftype, minframes);
+      SubbandDSPtr bfds = (SubbandDSPtr&)beamformer;
+      pf->set_beamformer(bfds);
+      bfout = (VectorComplexFeatureStreamPtr&)pf;
+    }
+    OverSampledDFTSynthesisBankPtr sfb =
+        new OverSampledDFTSynthesisBank(bfout, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
   if (cmd == "wpe") {
     /* wpe h.f64 g.f64 M m r dc lowerN upperN iters loadDb bandWidth fs
      *     in.f32 out.f32 */

@@ -435,3 +435,42 @@ def test_pr_filterbank_matches_cpp(gbin, cmu, tmp_path):
     yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
     assert len(ycpp) == len(yj)
     assert _snr(ycpp, yj) > 100, _snr(ycpp, yj)
+
+
+@pytest.mark.parametrize("with_pf", [False, True])
+def test_sd_mvdr_matches_cpp(gbin, protos, cmu, la_delays, with_pf, tmp_path):
+    """BASELINE config 2: super-directive MVDR (diffuse-noise model +
+    diagonal loading, SubbandMVDR::calc_mvdr_weights beamformer.cc:2350-2402)
+    with and without the Zelinski postfilter, vs the compiled reference."""
+    from distant_speech_recognition_tpu.models.pipeline import (
+        PipelineConfig,
+        build_pipeline,
+    )
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    mpos, delays, dfile = la_delays
+    mfile = str(tmp_path / "mpos.f64")
+    np.asarray(mpos, np.float64).tofile(mfile)
+    out = str(tmp_path / "sd.f32")
+    pftype = "2" if with_pf else "-1"
+    subprocess.run(
+        [gbin, "sdmvdr", hf, gf, str(M), str(m_), str(r_), str(DC), str(int(FS)),
+         dfile, mfile, "0.01", "0.6", pftype, "0", out] + paths,
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+
+    cfg = PipelineConfig(
+        fb=FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=DC),
+        beamformer="sd_mvdr",
+        sd_mu=0.01,
+        postfilter="zelinski" if with_pf else "none",
+        pf_alpha=0.6,
+        pf_type=2,
+        pf_min_frames=0,
+    )
+    yj = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(X[None]))[0]
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 55, _snr(ycpp, yj)
