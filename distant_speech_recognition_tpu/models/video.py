@@ -9,7 +9,9 @@ clips process as one tensor on the MXU/VPU:
 - ``video_frames``         VideoFeature (videofeature.cc:20-141): decoded
                            frames -> grayscale (mode 1) or stacked R/G/B
                            planes (mode 3) flattened in the reference's
-                           width-major vector layout.
+                           width-major vector layout.  AVI file decode
+                           (the cvCreateFileCapture path) lives host-side
+                           in ``utils/avi.py``.
 - ``image_roi``            ImageROI (videofeature.cc:144-213).
 - ``image_smooth``         ImageSmooth / cvSmooth types 0-3
                            (videofeature.cc:259-265).

@@ -181,3 +181,92 @@ def test_save_load_image(tmp_path, img):
     back3 = video.load_image(p3)
     assert back3.shape == rgb.shape
     np.testing.assert_allclose(back3, np.clip(np.round(rgb), 0, 255))
+
+
+# ---------------------------------------------------------------------------
+# AVI ingest (utils/avi.py — the VideoFeature file path, videofeature.cc:92-141)
+# ---------------------------------------------------------------------------
+
+def _rand_frames(rng, n=5, h=18, w=25):
+    return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+
+
+def test_avi_uncompressed_roundtrip(tmp_path, rng):
+    from distant_speech_recognition_tpu.utils import avi
+
+    frames = _rand_frames(rng)
+    p = str(tmp_path / "clip.avi")
+    avi.write_avi(p, frames, fps=10.0)
+
+    info = avi.avi_info(p)
+    assert (info.width, info.height) == (25, 18)
+    assert info.total_frames == 5
+    assert info.compression == ""
+    assert abs(info.fps - 10.0) < 1e-6
+    # the reference's raw dwTotalFrames peek at byte 0x30
+    # (VideoFeature::Frames, videofeature.cc:127-141)
+    assert avi.avi_frame_count(p) == 5
+
+    back = avi.read_avi(p)
+    np.testing.assert_array_equal(back, frames)
+    # frame-range window (read(filename, from, to), videofeature.cc:92-125)
+    np.testing.assert_array_equal(avi.read_avi(p, 1, 4), frames[1:4])
+
+
+def test_avi_feeds_video_feature_layout(tmp_path, rng):
+    """Decoded AVI frames -> the reference's exact width-major gray vectors."""
+    from distant_speech_recognition_tpu.utils import avi
+
+    frames = _rand_frames(rng, n=3)
+    p = str(tmp_path / "clip.avi")
+    avi.write_avi(p, frames)
+    feats = np.asarray(video.video_frames(avi.read_avi(p).astype(np.float32), mode=1))
+    assert feats.shape == (3, 25 * 18)
+    f = frames.astype(np.float64)
+    gray = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    expect = np.swapaxes(gray, -1, -2).reshape(3, -1)
+    np.testing.assert_allclose(feats, expect, rtol=1e-5, atol=1e-3)
+
+
+def test_avi_mjpg_decodes(tmp_path, rng):
+    """MJPG-compressed streams decode through Pillow."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from distant_speech_recognition_tpu.utils import avi
+
+    # smooth frames so JPEG loss stays small
+    yy, xx = np.mgrid[0:18, 0:25].astype(np.float32)
+    frames = np.stack(
+        [np.stack([yy * 5 + i * 10, xx * 5, yy + xx], -1) for i in range(3)]
+    ).clip(0, 255).astype(np.uint8)
+
+    jpegs = []
+    for fr in frames:
+        b = io.BytesIO()
+        Image.fromarray(fr).save(b, "JPEG", quality=95)
+        jpegs.append(b.getvalue())
+
+    # hand-build an MJPG AVI with the module's own chunk helpers
+    strf = struct.pack("<IiihhIIiiII", 40, 25, 18, 1, 24,
+                       struct.unpack("<I", b"MJPG")[0], 0, 0, 0, 0, 0)
+    strh = (b"vidsMJPG" + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 25,
+                                      0, len(jpegs), 0, 0, 0, 0, 0, 25, 18))
+    strl = avi._list(b"strl", avi._chunk(b"strh", strh) + avi._chunk(b"strf", strf))
+    avih = struct.pack("<IIIIIIIIIIIIII", 40000, 0, 0, 0x10, len(jpegs), 0, 1,
+                       0, 25, 18, 0, 0, 0, 0)
+    hdrl = avi._list(b"hdrl", avi._chunk(b"avih", avih) + strl)
+    movi = avi._chunk(b"LIST", b"movi" + b"".join(avi._chunk(b"00dc", j) for j in jpegs))
+    riff = b"AVI " + hdrl + movi
+    p = str(tmp_path / "clip_mjpg.avi")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+    info = avi.avi_info(p)
+    assert info.compression.upper().startswith("MJPG")
+    back = avi.read_avi(p)
+    assert back.shape == frames.shape
+    err = np.abs(back.astype(np.float64) - frames.astype(np.float64)).mean()
+    assert err < 6.0, err  # JPEG quality-95 tolerance
