@@ -300,6 +300,73 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "gscpf") {
+    /* gscpf kind h.f64 g.f64 M m r dc fs delays.f64 micpos.f64 \
+     *       alpha pftype minframes dload minsv fbin1 out.f32 in1.f32 [...]
+     * GSC quiescent branch + McCowan or Lefkimmiatis postfilter (the
+     * coherence-based Wiener family, postfilter.h:123-202). */
+    std::string kind = argv[2];
+    gsl_vector* h = to_gsl(read_f64(argv[3]));
+    gsl_vector* g = to_gsl(read_f64(argv[4]));
+    unsigned M = atoi(argv[5]), m = atoi(argv[6]), r = atoi(argv[7]), dc = atoi(argv[8]);
+    double fs = atof(argv[9]);
+    gsl_vector* delays = to_gsl(read_f64(argv[10]));
+    std::vector<double> mposv = read_f64(argv[11]);
+    double alpha = atof(argv[12]); int pftype = atoi(argv[13]), minframes = atoi(argv[14]);
+    double dload = atof(argv[15]), minsv = atof(argv[16]);
+    unsigned fbin1 = atoi(argv[17]);
+    const char* outfn = argv[18];
+    unsigned D = M >> r;
+    int argp = 19;
+
+    unsigned chanN = argc - argp;
+    gsl_matrix* mpos = gsl_matrix_calloc(chanN, 3);
+    for (unsigned c = 0; c < chanN; c++)
+      for (unsigned k = 0; k < 3; k++)
+        gsl_matrix_set(mpos, c, k, mposv[3 * c + k]);
+
+    SubbandGSCPtr beamformer = new SubbandGSC(M, false);
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      beamformer->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    beamformer->calc_gsc_weights((float)fs, delays);
+
+    VectorComplexFeatureStreamPtr bfout = (VectorComplexFeatureStreamPtr&)beamformer;
+    SubbandDSPtr bfds = (SubbandDSPtr&)beamformer;
+    McCowanPostFilterPtr mc;
+    LefkimmiatisPostFilterPtr lk;
+    if (kind == "mccowan") {
+      mc = new McCowanPostFilter(bfout, M, alpha, pftype, minframes);
+      mc->set_diffuse_noise_model(mpos, fs);
+      mc->set_all_diagonal_loading((float)dload);
+      mc->set_beamformer(bfds);
+      bfout = (VectorComplexFeatureStreamPtr&)mc;
+    } else if (kind == "lefkimmiatis") {
+      lk = new LefkimmiatisPostFilter(bfout, M, minsv, fbin1, alpha, pftype,
+                                      minframes);
+      lk->set_diffuse_noise_model(mpos, fs);
+      lk->set_all_diagonal_loading((float)dload);
+      lk->calc_inverse_noise_spatial_spectral_matrix();
+      lk->set_beamformer(bfds);
+      bfout = (VectorComplexFeatureStreamPtr&)lk;
+    } else {
+      fprintf(stderr, "unknown gscpf kind %s\n", kind.c_str());
+      return 1;
+    }
+    OverSampledDFTSynthesisBankPtr sfb =
+        new OverSampledDFTSynthesisBank(bfout, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
   if (cmd == "sdmvdr") {
     /* sdmvdr h.f64 g.f64 M m r dc fs delays.f64 micpos.f64 mu \
      *        alpha pftype minframes out.f32 in1.f32 [...]

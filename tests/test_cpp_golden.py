@@ -474,3 +474,48 @@ def test_sd_mvdr_matches_cpp(gbin, protos, cmu, la_delays, with_pf, tmp_path):
     yj = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(X[None]))[0]
     assert len(ycpp) == len(yj)
     assert _snr(ycpp, yj) > 55, _snr(ycpp, yj)
+
+
+@pytest.mark.parametrize(
+    "kind,alpha,dload,pftype",
+    [("mccowan", 0.6, 0.01, 2), ("lefkimmiatis", 0.8, 0.1, 2)],
+)
+def test_gsc_coherence_pf_matches_cpp(gbin, protos, cmu, la_delays, kind,
+                                      alpha, dload, pftype, tmp_path):
+    """GSC + McCowan / Lefkimmiatis coherence postfilters vs the compiled
+    reference (postfilter.h:123-202; driver params per
+    test_online_beamforming.py:137-151)."""
+    from distant_speech_recognition_tpu.compat import beamformer as cb
+    from distant_speech_recognition_tpu.compat import postfilter as cp
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    mpos, delays, dfile = la_delays
+    mfile = str(tmp_path / "mpos.f64")
+    np.asarray(mpos, np.float64).tofile(mfile)
+    out = str(tmp_path / f"{kind}.f32")
+    min_sv, fbin1 = 1.0e-8, 128
+    subprocess.run(
+        [gbin, "gscpf", kind, hf, gf, str(M), str(m_), str(r_), str(DC),
+         str(int(FS)), dfile, mfile, str(alpha), str(pftype), "0",
+         str(dload), str(min_sv), str(fbin1), out] + paths,
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+
+    def wire(bf):
+        bf.calc_gsc_weights(FS, delays)
+        if kind == "mccowan":
+            pf = cp.McCowanPostFilter(bf, M, alpha, pftype, 0)
+        else:
+            pf = cp.LefkimmiatisPostFilter(bf, M, min_sv, fbin1, alpha, pftype, 0)
+        pf.set_diffuse_noise_model(mpos, FS)
+        pf.set_all_diagonal_loading(dload)
+        if kind == "lefkimmiatis":
+            pf.calc_inverse_noise_spatial_spectral_matrix()
+        pf.set_beamformer(bf)
+        return pf
+
+    yj = _compat_chain(h, g, lambda: cb.SubbandGSC(fftLen=M), wire, list(X))
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 50, _snr(ycpp, yj)
