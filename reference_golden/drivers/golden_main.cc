@@ -124,6 +124,24 @@ static void drain_to_f32(VectorFloatFeatureStreamPtr sink, unsigned D, const cha
   fclose(fp);
 }
 
+/* Driver-side shim for DOAEstimatorSRPDSBLA: the reference #defines
+ * __MBDEBUG__ mid-file (beamformer.cc:3138), which compiles the per-frame
+ * gsl_matrix_set(rpMat_, ...) debug write into next() while the matching
+ * allocDebugWorkSapce() earlier in the file stays preprocessed OUT — the
+ * shipped code dereferences a NULL rpMat_ on the first voiced frame.  The
+ * subclass pre-allocates the debug matrix (generously: nTheta <= 512) and
+ * exposes the protected accumulated response powers. */
+class SRPDriver : public DOAEstimatorSRPDSBLA {
+ public:
+  SRPDriver(unsigned nBest, unsigned sr, unsigned fftLen)
+      : DOAEstimatorSRPDSBLA(nBest, sr, fftLen) {
+    rpMat_ = gsl_matrix_calloc(512, 4);
+  }
+  const gsl_vector* acc_rps() const { return accRPs_; }
+};
+
+typedef Inherit<SRPDriver, DOAEstimatorSRPDSBLAPtr> SRPDriverPtr;
+
 int main(int argc, char** argv) {
   if (argc < 2) { fprintf(stderr, "usage: %s <subcommand> ...\n", argv[0]); return 1; }
   std::string cmd = argv[1];
@@ -297,6 +315,72 @@ int main(int argc, char** argv) {
     OverSampledDFTSynthesisBankPtr sfb =
         new OverSampledDFTSynthesisBank(bfout, g, M, m, r, dc);
     drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
+  if (cmd == "srp") {
+    /* srp nbest h.f64 M m r dc fs ethresh xpos.f64 accout.f64 nbestout.f64 \
+     *     in1.f32 [...]
+     * DOAEstimatorSRPDSBLA: per-frame energy-gated D&S response powers
+     * accumulated over the utterance, N-best from the accumulated powers
+     * (beamformer.cc:3125-3197).  Dumps accRPs [G] and then the N-best
+     * (rp, theta) rows after final_nbest_hypotheses(). */
+    unsigned nbest = atoi(argv[2]);
+    gsl_vector* h = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double fs = atof(argv[8]);
+    double ethresh = atof(argv[9]);
+    std::vector<double> xposv = read_f64(argv[10]);
+    const char* accfn = argv[11];
+    const char* nbestfn = argv[12];
+    const char* enfn = argv[13];
+    unsigned D = M >> r;
+    int argp = 14;
+
+    gsl_vector* xpos = to_gsl(xposv);
+    SRPDriverPtr doa = new SRPDriver(nbest, (unsigned)fs, M);
+    doa->set_array_geometry(xpos);
+    doa->set_energy_threshold((float)ethresh);
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      doa->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    FILE* efp = fopen(enfn, "wb");
+    for (;;) {
+      try {
+        doa->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      double e = doa->energy();
+      fwrite(&e, sizeof(double), 1, efp);
+    }
+    fclose(efp);
+    doa->final_nbest_hypotheses();
+
+    const gsl_vector* acc = doa->acc_rps();
+    FILE* fp = fopen(accfn, "wb");
+    for (unsigned i = 0; i < acc->size; i++) {
+      double v = gsl_vector_get(acc, i);
+      fwrite(&v, sizeof(double), 1, fp);
+    }
+    fclose(fp);
+    const gsl_vector* rps = doa->nbest_rps();
+    const gsl_matrix* doas = doa->nbest_doas();
+    fp = fopen(nbestfn, "wb");
+    for (unsigned n = 0; n < nbest; n++) {
+      double row[3] = {gsl_vector_get(rps, n), gsl_matrix_get(doas, n, 0),
+                       gsl_matrix_get(doas, n, 1)};
+      fwrite(row, sizeof(double), 3, fp);
+    }
+    fclose(fp);
     return 0;
   }
 

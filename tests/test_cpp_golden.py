@@ -519,3 +519,99 @@ def test_gsc_coherence_pf_matches_cpp(gbin, protos, cmu, la_delays, kind,
     yj = _compat_chain(h, g, lambda: cb.SubbandGSC(fftLen=M), wire, list(X))
     assert len(ycpp) == len(yj)
     assert _snr(ycpp, yj) > 50, _snr(ycpp, yj)
+
+
+def test_srp_dsbla_matches_cpp(gbin, protos, cmu, tmp_path):
+    """DOAEstimatorSRPDSBLA vs the compiled reference: accumulated response
+    powers over the default (-pi/2..pi/2, 0.1-rad) theta grid, the per-frame
+    energy gate, and the N-best hypotheses (beamformer.cc:3125-3197).
+
+    The golden driver subclasses the estimator only to pre-allocate the
+    debug matrix the reference's mid-file __MBDEBUG__ define writes through
+    without ever allocating (a latent NULL deref in the shipped code).
+
+    Precision notes replicated here: the reference feeds RAW mm-scale
+    delays to calcMainlobe (no /sspeed), so steering phases reach ~7e8 rad,
+    and set_look_direction_ takes theta as FLOAT — the float-narrowed grid
+    thetas must be reproduced exactly or the weights decorrelate.  Even so
+    the giant-phase regime is chaotic at the ~0.1% level (a 5e-11 relative
+    phase difference moves |w^H X|^2 by ~1e-3), hence the tolerance; the
+    N-best ordering must still match exactly."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.localization import (
+        snapshot_energy,
+        srp_dsbla,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import snapshots
+
+    h, g, hf, gf = protos
+    X, paths = cmu
+    xpos = np.array([0.0, 50.0, 100.0, 150.0])
+    xfile = str(tmp_path / "xpos.f64")
+    xpos.tofile(xfile)
+    accf, nbf = str(tmp_path / "acc.f64"), str(tmp_path / "nbest.f64")
+    enf = str(tmp_path / "en.f64")
+    nbest = 3
+
+    p = ops.FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=DC)
+    Xs = np.asarray(snapshots(ops.analysis(jnp.asarray(X), h, p)))
+    Xs = Xs.astype(np.complex128)  # the C++ runs the protocol in double
+    # pick a gating threshold in the widest gap near the median so gate
+    # decisions cannot flip between the float32 analysis and C++ doubles
+    en = np.sort(np.asarray(snapshot_energy(jnp.asarray(Xs), 1, M // 2, M // 2)))
+    k = len(en) // 2
+    thr = float(np.sqrt(en[k] * en[k + 1]))
+
+    subprocess.run(
+        [gbin, "srp", str(nbest), hf, str(M), str(m_), str(r_), str(DC),
+         str(int(FS)), repr(thr), xfile, accf, nbf, enf] + paths,
+        check=True, capture_output=True,
+    )
+    acc_cpp = np.fromfile(accf, np.float64)
+    nbest_cpp = np.fromfile(nbf, np.float64).reshape(nbest, 3)
+    en_cpp = np.fromfile(enf, np.float64)
+
+    # search grid: the ctor's set_search_param() call uses the DECLARATION
+    # defaults -pi/2..pi/2 width 0.1 (beamformer.h:479-484) stored in FLOAT
+    # members, accumulated in double, narrowed to float at the call
+    G = len(acc_cpp)
+    t = np.float64(np.float32(-np.pi / 2))
+    w = np.float64(np.float32(0.1))
+    thetas = []
+    for _ in range(G):
+        thetas.append(np.float32(t))
+        t = t + w
+    thetas = np.array(thetas, np.float32)
+    assert G == 31  # (pi / 0.1f + 0.5) truncated, beamformer.cc:3052
+    C = X.shape[0]
+
+    # steering table exactly as set_look_direction_ -> calcMainlobe builds
+    # it (beamformer.cc:3199-3213, 502-565), double precision throughout
+    dist = np.abs(xpos - xpos[0])
+    F = M // 2 + 1
+    fb = np.arange(F, dtype=np.float64)
+    W = np.zeros((G, F, C), np.complex128)
+    for gi, th in enumerate(thetas):
+        delays = dist * np.cos(np.float64(th))
+        ph = ((-2.0 * np.pi) * fb[:, None]) * delays[None, :] * FS / M
+        ph[F - 1, :] = -np.pi * FS * delays
+        W[gi] = np.exp(1j * ph) / C
+
+    idx, acc, ok = srp_dsbla(jnp.asarray(Xs), jnp.asarray(W), 1, None, thr, nbest)
+
+    # per-frame energies and the gate itself agree frame for frame
+    en_py = np.asarray(snapshot_energy(jnp.asarray(Xs), 1, M // 2, M // 2))
+    assert len(en_cpp) == len(en_py)
+    np.testing.assert_allclose(en_py, en_cpp, rtol=1e-5)
+    ok = np.asarray(ok)
+    np.testing.assert_array_equal(ok, en_cpp >= thr)
+    assert 0 < ok.sum() < len(ok)
+
+    scale = np.abs(acc_cpp).max()
+    np.testing.assert_allclose(np.asarray(acc), acc_cpp, atol=3e-3 * scale)
+    np.testing.assert_allclose(thetas[np.asarray(idx)], nbest_cpp[:, 1], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(acc)[np.asarray(idx)], nbest_cpp[:, 0], rtol=5e-3
+    )
