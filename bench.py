@@ -177,8 +177,11 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
     fb = cfg.fb
     M, m, fs = fb.M, fb.m, cfg.samplerate
     B, C, T = xd.shape
-    wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
-    ta = array_manifold(M, fs, delays)
+    # weight math under jit: the axon backend rejects some eager-mode ops
+    # (complex exp) that compile fine
+    wqH, BmH = jax.jit(lambda: gsc_weights(M, fs, delays, cfg.Nc))()
+    ta = jax.jit(lambda: array_manifold(M, fs, delays))()
+    wqH, BmH, ta = np.asarray(wqH), np.asarray(BmH), np.asarray(ta)
     Bc = BmH.shape[1]
 
     pallas_fb = plmod.PALLAS_FB and fb.D % 128 == 0 and jax.default_backend() != "cpu"
