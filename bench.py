@@ -70,18 +70,20 @@ def main():
         from distant_speech_recognition_tpu.models import pipeline as plmod
 
         pallas_on = (
-            plmod.PALLAS_FB
+            (plmod.PALLAS_FB or plmod.PALLAS_SCAN)
             and cfg.fb.D % 128 == 0
             and jax.default_backend() not in ("cpu",)
         )  # same condition the built pipeline used
         xs = x[: min(B, 8), :, : fs * 2]
         y_pallas = np.asarray(fn(xs)) if pallas_on else None
-        old = os.environ.get("DSR_PALLAS_FB")
+        old_fb, old_scan = plmod.PALLAS_FB, plmod.PALLAS_SCAN
         try:
+            # pure-XLA reference: every Pallas piece off
             plmod.PALLAS_FB = False
+            plmod.PALLAS_SCAN = False
             y_xla = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(xs))
         finally:
-            plmod.PALLAS_FB = old != "0"
+            plmod.PALLAS_FB, plmod.PALLAS_SCAN = old_fb, old_scan
         if y_pallas is None:
             selfcheck = "pallas-disabled"
         else:

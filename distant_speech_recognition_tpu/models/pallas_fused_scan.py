@@ -89,10 +89,13 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
     def kernel(x_ref, wq_ref, bm_ref, ta_ref, out_ref,
                war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s):
         """Refs:
-        x_ref   [K, Bb, C, M]   packed input frames (f32)
-        wq_ref  [2, C, M]       aligned wqH re/im planes (lanes 0..Mh)
-        bm_ref  [2, Bc, C, M]   aligned BmH re/im planes
-        ta_ref  [2, C, M]       aligned manifold (ta_) re/im planes
+        x_ref   [K, C, Bb, M]   packed input frames (f32; channel ahead of
+                                the batch rows so every read is a contiguous
+                                leading-dim slice, never sublane-strided)
+        wq_ref  [2, C, Bb, M]     aligned wqH re/im planes (lanes 0..Mh)
+        bm_ref  [2, Bc, C, Bb, M] aligned BmH re/im planes
+        ta_ref  [2, C, Bb, M]     aligned manifold (ta_) re/im planes
+        (weights pre-tiled over the Bb rows host-side)
         out_ref [K, Bb, M]      packed output frames
         scratch: per-(batch-block) VMEM state, persists over the frame grid:
         war/wai [Bc, Bb, M], d [Bc, Bb, M], offr/offi [P, Bb, M],
@@ -121,7 +124,10 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             pd_s[...] = jnp.zeros(pd_s.shape, jnp.float32)
 
         def weight_planes(ref, c):
-            return ref[0, c, :][None, :], ref[1, c, :][None, :]  # [1, M]
+            # [Bb, M]: pre-tiled host-side (see gsc_rls_zelinski_pallas) so
+            # the vector program never carries sublane-replicated operands,
+            # which the Mosaic vreg slicer faults on at batch tiles > 8
+            return ref[0, c], ref[1, c]
 
         for k in range(K):
             t = tt * K + k
@@ -129,7 +135,7 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             # ---- aligned complex spectrum per channel ----
             Xre, Xim = [], []
             for c in range(C):
-                P = x_ref[k, :, c, :]  # [Bb, M]
+                P = x_ref[k, c]  # [Bb, M]
                 U, V = P[:, :Mh], P[:, Mh:]
                 xre = jnp.concatenate([U, V * m0], axis=-1)
                 xim = jnp.concatenate([V * (1.0 - m0), jnp.zeros_like(V)], axis=-1)
@@ -144,17 +150,20 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             pny = jnp.sum(p * jnp.concatenate([jnp.zeros_like(m0), m0], -1),
                           axis=-1, keepdims=True)
             energy_t = (2.0 * tot - pdc - pny) / M  # [Bb, 1]
-            # en scratch is carried full-width [Bb, M] (a [Bb, 1] VMEM ref
-            # crashes this Mosaic toolchain); all lanes hold the same value
-            gate = (energy_t > en_s[...] / sil).astype(jnp.float32)  # [Bb, M]
+            # full-width [Bb, M] immediately: lane-replicated [Bb, 1]
+            # operands stay out of the vector program (and the en scratch is
+            # carried full-width because a [Bb, 1] VMEM ref crashes this
+            # Mosaic toolchain); all lanes hold the same value
+            en_b = jnp.broadcast_to(energy_t, (Bb, M))
+            gate = (en_b > en_s[...] / sil).astype(jnp.float32)  # [Bb, M]
 
             # ---- blocking-matrix outputs and quiescent branch ----
             Zr, Zi = [], []
             for b in range(Bc):
                 zr = zi = 0.0
                 for c in range(C):
-                    br_ = bm_ref[0, b, c, :][None, :]
-                    bi_ = bm_ref[1, b, c, :][None, :]
+                    br_ = bm_ref[0, b, c]
+                    bi_ = bm_ref[1, b, c]
                     tr, ti = _cmul(br_, bi_, Xre[c], Xim[c])
                     zr = zr + tr
                     zi = zi + ti
@@ -288,9 +297,7 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             for n in range(len(pairs)):
                 offr_s[n] = active * (gate * offKr[n] + (1.0 - gate) * offr[n])
                 offi_s[n] = active * (gate * offKi[n] + (1.0 - gate) * offi[n])
-            en_s[...] = en_s[...] * beta + (1.0 - beta) * (
-                energy_t * jnp.ones((1, M), jnp.float32)
-            )
+            en_s[...] = en_s[...] * beta + (1.0 - beta) * en_b
 
             # ---- GSC output with gated weights ----
             war2 = [war_s[i] for i in range(Bc)]
@@ -306,7 +313,7 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             # ---- fused Zelinski postfilter ----
             alr, ali = [], []
             for c in range(C):
-                tr_, ti_ = (ta_ref[0, c, :][None, :], ta_ref[1, c, :][None, :])
+                tr_, ti_ = ta_ref[0, c], ta_ref[1, c]
                 ar_, ai_ = _cmul(tr_, -ti_, Xre[c], Xim[c])  # conj(ta) * X
                 alr.append(ar_)
                 ali.append(ai_)
@@ -349,16 +356,17 @@ def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    Tf, B, C, M = Yp.shape
+    Tf, C, B, M = Yp.shape
     Mh = M // 2
     Bc = bm_planes.shape[1]
+    assert wq_planes.shape == (2, C, Bb, M), wq_planes.shape
     nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
 
     nT = -(-Tf // K)
     nB = -(-B // Bb)
     padT, padB = nT * K - Tf, nB * Bb - B
     if padT or padB:
-        Yp = jnp.pad(Yp, ((0, padT), (0, padB), (0, 0), (0, 0)))
+        Yp = jnp.pad(Yp, ((0, padT), (0, 0), (0, padB), (0, 0)))
 
     kernel = _make_kernel(cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames)
     f32 = jnp.float32
@@ -366,10 +374,10 @@ def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
         kernel,
         grid=(nB, nT),
         in_specs=[
-            pl.BlockSpec((K, Bb, C, M), lambda b, t: (t, b, 0, 0)),
-            pl.BlockSpec((2, C, M), lambda b, t: (0, 0, 0)),
-            pl.BlockSpec((2, Bc, C, M), lambda b, t: (0, 0, 0, 0)),
-            pl.BlockSpec((2, C, M), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((K, C, Bb, M), lambda b, t: (t, 0, b, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, Bb, M), lambda b, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((K, Bb, M), lambda b, t: (t, b, 0)),
         out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, M), f32),
@@ -386,7 +394,7 @@ def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary")
         ),
     )(Yp, wq_planes, bm_planes, ta_planes)
     return out[:Tf, :B, :]
@@ -413,7 +421,7 @@ def gsc_rls_zelinski_pallas(
     pf_alpha: float = 0.6,
     pf_type: int = 1,
     pf_min_frames: int = 0,
-    frame_tile: int = 4,
+    frame_tile: int = 1,
     batch_tile: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
@@ -427,13 +435,25 @@ def gsc_rls_zelinski_pallas(
     `adaptive_gsc.gsc_postfilter_fused(real_packed=True)` with energy=None.
     """
     Tf, B, C, M = Yp.shape
+    Yp = jnp.moveaxis(Yp, 2, 1)  # [Tf, C, B, M]: see x_ref layout note
     wq = np.asarray(wqH)
     bm = np.moveaxis(np.asarray(BmH), 0, 0)  # [F, Bc, C]
     ta = np.asarray(wq_manifold)
-    wq_planes = jnp.asarray(_aligned_planes(wq, M))          # [2, C, M]
-    bm_planes = jnp.asarray(_aligned_planes(bm, M))          # [2, Bc, C, M]
-    ta_planes = jnp.asarray(_aligned_planes(ta, M))          # [2, C, M]
     Bb = min(batch_tile, B)
+    # weight planes pre-tiled to the batch block: [2, ..., Bb, M].  Keeping
+    # them single-row and broadcasting inside the kernel leaves
+    # sublane-REPLICATED operands in the vector program, and the Mosaic
+    # vreg slicer faults on them at batch tiles > 8 ("Check failed:
+    # limits[i] <= dim(i) (8 vs. 1)"); materializing the Bb rows host-side
+    # sidesteps the relayout entirely for ~2.5 MB of VMEM.
+    def tiled(w):
+        p = _aligned_planes(w, M)  # [2, ..., M]
+        p = np.broadcast_to(p[..., None, :], p.shape[:-1] + (Bb, M))
+        return jnp.asarray(np.ascontiguousarray(p))
+
+    wq_planes = tiled(wq)          # [2, C, Bb, M]
+    bm_planes = tiled(bm)          # [2, Bc, C, Bb, M]
+    ta_planes = tiled(ta)          # [2, C, Bb, M]
     return _call(
         Yp, wq_planes, bm_planes, ta_planes, cfg, float(pf_alpha),
         int(pf_type), int(pf_min_frames), int(frame_tile), Bb, interpret

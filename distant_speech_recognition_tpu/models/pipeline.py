@@ -60,7 +60,12 @@ PALLAS_FB = os.environ.get("DSR_PALLAS_FB", "1") == "1"
 # stays resident in VMEM across the whole utterance instead of being
 # re-read/re-written from HBM every frame by lax.scan.  Bit-compatible with
 # the XLA fused scan (same operand order); requires TPU + M % 256 == 0.
-PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "1") == "1"
+# OPT-IN (default off): the Mosaic lowering of this kernel crashes the
+# remote TPU compiler at batch tiles > 8 on the current toolchain
+# ("Check failed: limits[i] <= dim(i) (8 vs. 1)"); it is correct in
+# interpret mode and on-device at small batch blocks (verified), but until
+# the full bench shape compiles it must not be the driver-default path.
+PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "0") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
