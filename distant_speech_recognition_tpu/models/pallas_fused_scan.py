@@ -99,7 +99,8 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
         out_ref [K, Bb, M]      packed output frames
         scratch: per-(batch-block) VMEM state, persists over the frame grid:
         war/wai [Bc, Bb, M], d [Bc, Bb, M], offr/offi [P, Bb, M],
-        en [Bb, 1], ppr/ppi [Bb, M], pd [Bb, M]
+        en [Bb, M] (full-width, see energy note below), ppr/ppi [Bb, M],
+        pd [Bb, M]
         """
         from jax.experimental import pallas as pl
 

@@ -70,7 +70,7 @@ from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
 
-__all__ = ["PipelineConfig", "build_pipeline", "enhance"]
+__all__ = ["PipelineConfig", "build_pipeline", "enhance", "path_flags"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +100,43 @@ class PipelineConfig:
     wpe_upper: int = 6
     wpe_iterations: int = 2
     wpe_band_width: float = 0.0  # >0: reference band limit (dereverberation.h:38)
+
+
+def path_flags(cfg: "PipelineConfig", n_chan: int) -> dict:
+    """The exact lowering predicates ``build_pipeline`` uses, in one place.
+
+    Returns {"fused", "time_major", "pallas_fb", "pallas_scan"} for the
+    single-chip (unsharded) build.  bench.py derives its selfcheck gate from
+    this instead of re-approximating the conditions (they drifted once).
+    """
+    fused = cfg.beamformer in ("gsc_lms", "gsc_rls") and cfg.postfilter == "zelinski"
+    tm_ok = (
+        TIME_MAJOR
+        and HALF_BAND
+        and cfg.aec == "none"
+        and not cfg.wpe
+        and cfg.fb.M <= dft.MATMUL_MAX_M
+    )
+    time_major = tm_ok and fused
+    on_tpu = jax.default_backend() not in ("cpu",)
+    pallas_fb = time_major and PALLAS_FB and cfg.fb.D % 128 == 0 and on_tpu
+    pallas_scan = (
+        time_major
+        and PALLAS_SCAN
+        and cfg.beamformer == "gsc_rls"
+        and cfg.postfilter == "zelinski"
+        and on_tpu
+    )
+    if pallas_scan:
+        from .pallas_fused_scan import pallas_scan_supported
+
+        pallas_scan = pallas_scan_supported(cfg.fb.M, n_chan)
+    return {
+        "fused": fused,
+        "time_major": time_major,
+        "pallas_fb": pallas_fb,
+        "pallas_scan": pallas_scan,
+    }
 
 
 def _tm_shardings(bin_sharding):
@@ -225,7 +262,8 @@ def build_pipeline(
     h = jnp.asarray(h, jnp.float32)
     g = jnp.asarray(g, jnp.float32)
 
-    fused = cfg.beamformer in ("gsc_lms", "gsc_rls") and cfg.postfilter == "zelinski"
+    flags = path_flags(cfg, len(delays))
+    fused = flags["fused"]
 
     def _one(x, play=None):
         """x: [C, T] (+ optional far-end playback [T]) -> enhanced [T_out]."""
@@ -297,19 +335,12 @@ def build_pipeline(
             return synthesis_half(Y, g, cfg.fb)
         return synthesis(hermitian_mirror(Y, M), g, cfg.fb)
 
-    tm_ok = (
-        TIME_MAJOR
-        and HALF_BAND
-        and cfg.aec == "none"
-        and not cfg.wpe
-        and M <= dft.MATMUL_MAX_M
-    )
     # Time-major only pays for the fused adaptive scans (it removes the
     # [B,T]<->[T,B] transposes vmap-of-scan forces); for fixed-weight
     # pipelines the vmap layout measured faster under fetch-synced timing
     # (ds 60.8k vs 55.7k, sd_mvdr+zelinski 44.8k vs 40.8k audio-s/s on
     # v5e), so they keep it.
-    time_major = tm_ok and fused
+    time_major = flags["time_major"]
 
     # Freq-sharded flagship: the packed [Re | Im] lane layout cannot be
     # split over bins (Re and Im of one bin live M/2 lanes apart), so the
@@ -364,26 +395,12 @@ def build_pipeline(
         kind = "lms" if cfg.beamformer == "gsc_lms" else "rls"
         gcfg = cfg.lms if kind == "lms" else cfg.rls
         F = M // 2 + 1
-        pallas_fb = (
-            PALLAS_FB
-            and cfg.fb.D % 128 == 0
-            and jax.default_backend() not in ("cpu",)
-        )
+        pallas_fb = flags["pallas_fb"]
         if pallas_fb:
             from ..ops.pallas_kernels import analysis_tm_fused, synthesis_tm_fused
-        pallas_scan = (
-            PALLAS_SCAN
-            and kind == "rls"
-            and cfg.postfilter == "zelinski"
-            and jax.default_backend() not in ("cpu",)
-        )
+        pallas_scan = flags["pallas_scan"]
         if pallas_scan:
-            from .pallas_fused_scan import (
-                gsc_rls_zelinski_pallas,
-                pallas_scan_supported,
-            )
-
-            pallas_scan = pallas_scan_supported(M, len(delays))
+            from .pallas_fused_scan import gsc_rls_zelinski_pallas
 
         @jax.jit
         def enhance(x):

@@ -100,6 +100,18 @@ def accumulate_sos_timesharded(mesh: Mesh, X, weights, time_axis: str = "batch")
     """
     from ..models.beamforming import accumulate_sos
 
+    X = np.asarray(X)
+    weights = np.asarray(weights)
+    # Real utterance frame counts are rarely divisible by the axis size;
+    # pad with zero-weight frames (masked out of both R and counts).
+    n = mesh.shape[time_axis]
+    pad = (-X.shape[0]) % n
+    if pad:
+        X = np.concatenate([X, np.zeros((pad,) + X.shape[1:], X.dtype)])
+        weights = np.concatenate(
+            [weights, np.zeros((pad,) + weights.shape[1:], weights.dtype)]
+        )
+
     def local(Xl, wl):
         R, counts = accumulate_sos(Xl, wl)
         R = jax.lax.psum(R, time_axis)
@@ -114,6 +126,6 @@ def accumulate_sos_timesharded(mesh: Mesh, X, weights, time_axis: str = "batch")
         check_vma=False,
     )
     with jax.set_mesh(mesh):
-        Xs = jax.device_put(np.asarray(X), NamedSharding(mesh, P(time_axis)))
-        ws = jax.device_put(np.asarray(weights), NamedSharding(mesh, P(time_axis)))
+        Xs = jax.device_put(X, NamedSharding(mesh, P(time_axis)))
+        ws = jax.device_put(weights, NamedSharding(mesh, P(time_axis)))
         return fn(Xs, ws)

@@ -65,29 +65,40 @@ def _parse(path: str):
     info = {"us_per_frame": 0, "total_frames": 0, "width": 0, "height": 0,
             "compression": "", "bit_count": 24}
     movi_frames: list[tuple[int, int]] = []  # (start, size) of 00db/00dc
-    vids_seen = False
+    # Stream context: each strl LIST holds a strh (type) then its strf; the
+    # video strf must be matched to the 'vids' strh, not keyed on parse
+    # state — an audio WAVEFORMATEX strf would otherwise clobber the video
+    # fields (or be misread as a BITMAPINFOHEADER).
+    last_strh_type = b""
+    strf_parsed = False
+
+    def collect_movi(pos, end):
+        for cfcc, cp, csize in _chunks(buf, pos, end):
+            # first video stream's data chunks: ##db (uncompressed) or
+            # ##dc (compressed); ignore audio (##wb) and index.  Interleaved
+            # AVIs may group chunks inside 'rec ' LISTs — recurse into them.
+            if cfcc == b"LIST" and bytes(buf[cp : cp + 4]) == b"rec ":
+                collect_movi(cp + 4, cp + csize)
+            elif cfcc[2:4] in (b"db", b"dc"):
+                movi_frames.append((cp, csize))
 
     def walk(pos, end):
-        nonlocal vids_seen
+        nonlocal last_strh_type, strf_parsed
         for fcc, p, size in _chunks(buf, pos, end):
             if fcc == b"LIST":
                 ltype = bytes(buf[p : p + 4])
                 if ltype == b"movi":
-                    for cfcc, cp, csize in _chunks(buf, p + 4, p + size):
-                        # first video stream's data chunks: ##db (uncompressed)
-                        # or ##dc (compressed); ignore audio (##wb) and index
-                        if cfcc[2:4] in (b"db", b"dc"):
-                            movi_frames.append((cp, csize))
+                    collect_movi(p + 4, p + size)
                 else:
                     walk(p + 4, p + size)
             elif fcc == b"avih":
                 (info["us_per_frame"],) = struct.unpack_from("<I", buf, p)
                 (info["total_frames"],) = struct.unpack_from("<I", buf, p + 16)
                 info["width"], info["height"] = struct.unpack_from("<II", buf, p + 32)
-            elif fcc == b"strh" and not vids_seen:
-                if bytes(buf[p : p + 4]) == b"vids":
-                    vids_seen = True
-            elif fcc == b"strf" and vids_seen and info["compression"] == "":
+            elif fcc == b"strh":
+                last_strh_type = bytes(buf[p : p + 4])
+            elif fcc == b"strf" and last_strh_type == b"vids" and not strf_parsed:
+                strf_parsed = True
                 # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes,
                 # biBitCount, biCompression
                 _, w, hgt, _, bits, comp = struct.unpack_from("<IiihhI", buf, p)
