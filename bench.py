@@ -145,7 +145,10 @@ PEAK_HBM_GBPS = 819.0
 PEAK_MXU_TFLOPS_BF16 = 197.0
 
 
-def _time_fetch_synced(fn, args, reduce, iters=3):
+def _time_fetch_synced(fn, args, reduce, iters=2):
+    # iters=2: each in-flight iteration holds a full-size result on device
+    # (3.3 GB for the analysis stage at bench shapes); 3 concurrent results
+    # plus the pipeline tensors exhausted the 16 GB HBM.
     import time as _t
 
     float(reduce(fn(*args)))  # compile + warm
@@ -153,7 +156,9 @@ def _time_fetch_synced(fn, args, reduce, iters=3):
     ys = [fn(*args) for _ in range(iters)]
     for y in ys:
         float(reduce(y))
-    return (_t.perf_counter() - t0) / iters
+    dt = (_t.perf_counter() - t0) / iters
+    del ys
+    return dt
 
 
 def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
@@ -180,11 +185,14 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
     fb = cfg.fb
     M, m, fs = fb.M, fb.m, cfg.samplerate
     B, C, T = xd.shape
-    # weight math under jit: the axon backend rejects some eager-mode ops
-    # (complex exp) that compile fine
-    wqH, BmH = jax.jit(lambda: gsc_weights(M, fs, delays, cfg.Nc))()
-    ta = jax.jit(lambda: array_manifold(M, fs, delays))()
-    wqH, BmH, ta = np.asarray(wqH), np.asarray(BmH), np.asarray(ta)
+    # Weight math on the CPU backend: the axon TPU backend both rejects some
+    # eager complex ops AND cannot fetch complex arrays back to the host
+    # (UNIMPLEMENTED on device_get), so the tables are built host-side like
+    # build_pipeline does and embedded as jit constants.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
+        ta = array_manifold(M, fs, delays)
+        wqH, BmH, ta = np.asarray(wqH), np.asarray(BmH), np.asarray(ta)
     Bc = BmH.shape[1]
 
     pallas_fb = plmod.PALLAS_FB and fb.D % 128 == 0 and jax.default_backend() != "cpu"
@@ -223,9 +231,9 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
             )
         )
 
-    Yr = jax.block_until_ready(ana(xd))
-    Yp = jax.block_until_ready(scan(Yr))
-    Tf = Yr.shape[0]
+    from distant_speech_recognition_tpu.ops.filterbank import num_analysis_frames
+
+    Tf = num_analysis_frames(fb, T)
 
     # analytic minimum HBM bytes + matmul FLOPs per stage (f32 everywhere)
     nP = C * (C - 1) // 2
@@ -250,11 +258,18 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
         },
     }
 
-    times = {
-        "analysis": _time_fetch_synced(ana, (xd,), reduce),
-        "gsc_rls_zelinski_scan": _time_fetch_synced(scan, (Yr,), reduce),
-        "synthesis": _time_fetch_synced(syn, (Yp,), reduce),
-    }
+    # Stage tensors are materialized one at a time and dropped as soon as the
+    # next stage's timing no longer needs them — holding Yr (3.3 GB) and Yp
+    # alongside two in-flight analysis outputs exhausted HBM.
+    times = {}
+    times["analysis"] = _time_fetch_synced(ana, (xd,), reduce)
+    Yr = jax.block_until_ready(ana(xd))
+    assert Yr.shape[0] == Tf, (Yr.shape, Tf)
+    times["gsc_rls_zelinski_scan"] = _time_fetch_synced(scan, (Yr,), reduce)
+    Yp = jax.block_until_ready(scan(Yr))
+    del Yr
+    times["synthesis"] = _time_fetch_synced(syn, (Yp,), reduce)
+    del Yp
 
     out = {"pallas_fb": bool(pallas_fb), "pallas_scan": bool(pallas_scan)}
     for name, dt in times.items():

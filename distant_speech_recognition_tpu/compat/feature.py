@@ -238,12 +238,16 @@ class MelFeature(_UnaryFeature):
 
 
 class LogFeature(_UnaryFeature):
-    def __init__(self, samp, floor: float = 1.0):
+    def __init__(self, samp, m: float = 1.0, a: float = 1.0,
+                 sphinx_flooring: bool = False):
         super().__init__(samp, samp.size(), "LogFeature")
-        self._floor = float(floor)
+        self._m, self._a = float(m), float(a)
+        self._sphinx = bool(sphinx_flooring)
 
     def _map(self, frame):
-        return np.asarray(_feat.log_feature(_jnp.asarray(frame[None]), self._floor))[0]
+        return np.asarray(
+            _feat.log_feature(_jnp.asarray(frame[None]), self._m, self._a, self._sphinx)
+        )[0]
 
 
 class CepstralFeature(_UnaryFeature):

@@ -110,12 +110,15 @@ class CCTDE(FeatureStream):
                 cs[i] = 0.0
                 cs[N - 1 - i] = 0.0
         cc = np.real(np.fft.ifft(cs))
-        # N-best peak pick over all lags (tde.cc:190-247)
+        # N-best peak pick over all lags (tde.cc:190-247).  sample_delays_
+        # holds the RAW cc indices (0..N-1, tde.cc:212); only the returned
+        # vector converts to signed seconds (tde.cc:225-233) — verified
+        # against the compiled reference (tests/test_cpp_golden_tail.py).
         order = np.argsort(-cc)[: self._n_held]
-        self._sample_delays = np.where(order < N // 2, order, -(N - order)).astype(np.int64)
+        self._sample_delays = order.astype(np.int64)
         self._cc_values = cc[order]
-        delays = self._sample_delays.astype(np.float64) / self._samplerate
-        return delays
+        signed = np.where(order < N // 2, order, -(N - order).astype(np.int64))
+        return signed.astype(np.float64) / self._samplerate
 
     def _produce(self) -> np.ndarray:
         specs = []

@@ -132,9 +132,20 @@ def mel_feature(power: jax.Array, mel_mat) -> jax.Array:
     return jnp.einsum("fp,...tp->...tf", jnp.asarray(mel_mat, power.dtype), power)
 
 
-def log_feature(x: jax.Array, floor: float = 1.0) -> jax.Array:
-    """Natural log with flooring (LogFeature::next, feature.cc:2332-2350)."""
-    return jnp.log(jnp.maximum(x, floor))
+def log_feature(x: jax.Array, m: float = 1.0, a: float = 1.0,
+                sphinx_flooring: bool = False) -> jax.Array:
+    """``m * log10(x + a)`` with the reference's flooring (LogFeature::next,
+    feature.cc:2342-2358): sphinx mode floors the raw value at 1e-5 (no
+    offset); otherwise ``x + a <= 0`` is replaced by 1 (log -> 0).
+
+    (Round-3 parity fix: this was previously ``ln(max(x, 1))`` — caught by
+    the compiled-golden MFCC test, tests/test_cpp_golden_tail.py.)"""
+    if sphinx_flooring:
+        val = jnp.maximum(x, 1.0e-5)
+    else:
+        val = x + a
+        val = jnp.where(val <= 0.0, 1.0, val)
+    return m * jnp.log10(val)
 
 
 def dct_matrix(ncep: int, nmel: int, dct_type: int = 1) -> np.ndarray:

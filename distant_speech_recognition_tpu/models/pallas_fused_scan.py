@@ -422,8 +422,8 @@ def gsc_rls_zelinski_pallas(
     pf_alpha: float = 0.6,
     pf_type: int = 1,
     pf_min_frames: int = 0,
-    frame_tile: int = 1,
-    batch_tile: int = 64,
+    frame_tile: int = 16,
+    batch_tile: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused GSC-RLS + Zelinski over packed time-major frames, one kernel.
@@ -434,6 +434,15 @@ def gsc_rls_zelinski_pallas(
     [F, Bc, C] complex; ``wq_manifold`` [F, C] complex (the C++ ta_).
     ``cfg``: adaptive_gsc.GSCRLSConfig.  Returns packed [Tf, B, M], equal to
     `adaptive_gsc.gsc_postfilter_fused(real_packed=True)` with energy=None.
+
+    Tile defaults: ``batch_tile`` MUST stay <= 8 on the current Mosaic
+    toolchain — the vreg slicer faults at batch tiles needing more than one
+    f32 sublane tile ("Check failed: limits[i] <= dim(i)", reproduced at 16
+    with fully pre-tiled operands); 8 rows is exactly one (8, 128) vreg
+    sublane group, verified on device.  Throughput comes from the grid over
+    batch blocks, not the tile.  ``frame_tile=16`` amortizes grid overhead;
+    32 sends Mosaic compile time super-linear for ~no gain (measured:
+    65.7 ms for Tf=1248, B=640 at (8, 16) vs 95.1 ms for the XLA scan).
     """
     Tf, B, C, M = Yp.shape
     Yp = jnp.moveaxis(Yp, 2, 1)  # [Tf, C, B, M]: see x_ref layout note

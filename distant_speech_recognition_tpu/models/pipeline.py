@@ -60,12 +60,12 @@ PALLAS_FB = os.environ.get("DSR_PALLAS_FB", "1") == "1"
 # stays resident in VMEM across the whole utterance instead of being
 # re-read/re-written from HBM every frame by lax.scan.  Bit-compatible with
 # the XLA fused scan (same operand order); requires TPU + M % 256 == 0.
-# OPT-IN (default off): the Mosaic lowering of this kernel crashes the
-# remote TPU compiler at batch tiles > 8 on the current toolchain
-# ("Check failed: limits[i] <= dim(i) (8 vs. 1)"); it is correct in
-# interpret mode and on-device at small batch blocks (verified), but until
-# the full bench shape compiles it must not be the driver-default path.
-PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "0") == "1"
+# DEFAULT ON since round 3: the Mosaic batch-tile>8 crash is sidestepped by
+# pinning the batch tile to one (8, 128) sublane group and gridding over
+# batch blocks instead (pallas_fused_scan.gsc_rls_zelinski_pallas tile
+# notes); measured 65.7 ms vs the XLA scan's 95.1 ms at the bench shape
+# (Tf=1248, B=640) on v5e.  DSR_PALLAS_SCAN=0 restores the XLA scan.
+PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "1") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights

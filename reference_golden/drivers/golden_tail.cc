@@ -1,0 +1,292 @@
+/* Golden-output generator for the long-tail reference subsystems (round 3):
+ * MFCC feature chain, CCTDE, GCC family, spectral subtraction, OverlapAdd/
+ * OverlapSave, FastBlockLMS — the UNMODIFIED reference C++ (see
+ * golden_main.cc for the harness rationale and ../shim for the GSL shim).
+ *
+ * File formats (little-endian, headerless):
+ *   .f32  float32    .f64  float64    .c128 complex128 interleaved
+ *
+ * Subcommands:
+ *   mfcc    D fftLen powN melN low up ncep fs in.f32 ceps.f32 logmel.f32
+ *   cctde   fftLen nheld D in1.f32 in2.f32 out.f64  (per frame: [delay..., cc...])
+ *   gcc     kind fftLen D fs alpha beta q interp nr noiseN \
+ *           in1.f32 in2.f32 out.f64
+ *           (kind: raw|gnnsub|phat|gnnsubphat|mlrraw|mlrgnnsub; the first
+ *            noiseN frames accumulate noise statistics (sad=false, no
+ *            output row), the rest compute the GCC: [delay,maxcorr,ratio])
+ *   specsub h.f64 g.f64 M m r dc alpha floorv trainN in.f32 out.f32
+ *   oadd    irlen fftLen L ir.f64 in.f32 out.f32        (OverlapAdd)
+ *   osave   irlen L ir.f64 in.f32 out.f32               (OverlapSave)
+ *   fblms   N alpha gamma desired.f32 in.f32 out.f32    (FastBlockLMS)
+ */
+
+#include "golden_util.h"
+
+#include "feature/feature.h"
+#include "modulated/modulated.h"
+#include "postfilter/spectralsubtraction.h"
+#include "convolution/convolution.h"
+#include "lms/lms.h"
+#include "localization/localization.h"
+#include "tde/tde.h"
+
+jpython_error::jpython_error() : j_error() {}
+
+int main(int argc, char** argv) {
+  if (argc < 2) { fprintf(stderr, "usage: %s <subcommand> ...\n", argv[0]); return 1; }
+  std::string cmd = argv[1];
+
+  if (cmd == "mfcc") {
+    /* mfcc D fftLen powN melN low up ncep fs in.f32 ceps.f32 logmel.f32
+     * The reference MFCC chain (unit_test/mfcc_extractor.py graph, canonical
+     * order): SampleFeature -> Hamming -> FFT -> SpectralPower -> Mel ->
+     * Log -> Cepstral. */
+    unsigned D = atoi(argv[2]), fftLen = atoi(argv[3]), powN = atoi(argv[4]);
+    unsigned melN = atoi(argv[5]);
+    double low = atof(argv[6]), up = atof(argv[7]);
+    unsigned ncep = atoi(argv[8]);
+    double fs = atof(argv[9]);
+    std::vector<float> x = read_f32(argv[10]);
+
+    SampleFeaturePtr samp = new SampleFeature("", D, D, false);
+    gsl_vector* xs = gsl_vector_calloc(x.size());
+    for (size_t i = 0; i < x.size(); i++) gsl_vector_set(xs, i, x[i]);
+    samp->setSamples(xs, (unsigned)fs);
+
+    HammingFeaturePtr ham = new HammingFeature((VectorFloatFeatureStreamPtr&)samp);
+    FFTFeaturePtr fft = new FFTFeature((VectorFloatFeatureStreamPtr&)ham, fftLen);
+    SpectralPowerFeaturePtr pow_ =
+        new SpectralPowerFeature((VectorComplexFeatureStreamPtr&)fft, powN);
+    MelFeaturePtr mel = new MelFeature((VectorFeatureStreamPtr&)pow_, powN,
+                                       (float)fs, (float)low, (float)up, melN, 1);
+    LogFeaturePtr logf = new LogFeature((VectorFeatureStreamPtr&)mel);
+    CepstralFeaturePtr cep =
+        new CepstralFeature((VectorFloatFeatureStreamPtr&)logf, ncep, 1);
+
+    FILE* cfp = fopen(argv[11], "wb");
+    FILE* lfp = fopen(argv[12], "wb");
+    for (;;) {
+      const gsl_vector_float* c;
+      try {
+        c = cep->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned i = 0; i < ncep; i++) {
+        float t = gsl_vector_float_get(c, i);
+        fwrite(&t, sizeof(float), 1, cfp);
+      }
+      const gsl_vector_float* lm = logf->current();
+      for (unsigned i = 0; i < melN; i++) {
+        float t = gsl_vector_float_get(lm, i);
+        fwrite(&t, sizeof(float), 1, lfp);
+      }
+    }
+    fclose(cfp);
+    fclose(lfp);
+    return 0;
+  }
+
+  if (cmd == "cctde") {
+    /* cctde fftLen nheld D in1.f32 in2.f32 out.f64
+     * CCTDE band-limited PHAT-weighted cross-correlation peaks (tde.cc):
+     * per frame dump nheld (delay, cc) pairs. */
+    unsigned fftLen = atoi(argv[2]), nheld = atoi(argv[3]), D = atoi(argv[4]);
+    std::vector<float> x1 = read_f32(argv[5]);
+    std::vector<float> x2 = read_f32(argv[6]);
+
+    SampleFeaturePtr s1 = new SampleFeature("", D, D, false);
+    SampleFeaturePtr s2 = new SampleFeature("", D, D, false);
+    gsl_vector* v1 = gsl_vector_calloc(x1.size());
+    for (size_t i = 0; i < x1.size(); i++) gsl_vector_set(v1, i, x1[i]);
+    gsl_vector* v2 = gsl_vector_calloc(x2.size());
+    for (size_t i = 0; i < x2.size(); i++) gsl_vector_set(v2, i, x2[i]);
+    s1->setSamples(v1, 16000);
+    s2->setSamples(v2, 16000);
+
+    CCTDEPtr tde = new CCTDE(s1, s2, fftLen, nheld);
+    FILE* fp = fopen(argv[7], "wb");
+    for (;;) {
+      const gsl_vector* d;
+      try {
+        d = tde->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      const unsigned* delays = tde->sample_delays();
+      const double* ccs = tde->cc_values();
+      for (unsigned i = 0; i < nheld; i++) {
+        double row[2] = {(double)delays[i], ccs[i]};
+        write_f64_buf(fp, row, 2);
+      }
+      (void)d;
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "gcc") {
+    /* gcc kind fftLen D fs alpha beta q interp nr noiseN in1 in2 out.f64
+     * GCC family (localization.cc): per frame Hamming+FFT both channels;
+     * first noiseN frames feed the noise power/cross spectra (sad=false),
+     * then calculate() the weighted cross-spectrum + findMaximum() ->
+     * [delay, maxcorr, ratio]. */
+    std::string kind = argv[2];
+    unsigned fftLen = atoi(argv[3]), D = atoi(argv[4]);
+    double fs = atof(argv[5]);
+    double alpha = atof(argv[6]), beta = atof(argv[7]), q = atof(argv[8]);
+    bool interp = atoi(argv[9]) != 0, nr = atoi(argv[10]) != 0;
+    unsigned noiseN = atoi(argv[11]);
+    std::vector<float> x1 = read_f32(argv[12]);
+    std::vector<float> x2 = read_f32(argv[13]);
+
+    RawSampleFeaturePtr s1 = new RawSampleFeature(x1, D);
+    RawSampleFeaturePtr s2 = new RawSampleFeature(x2, D);
+    HammingFeaturePtr h1 = new HammingFeature((VectorFloatFeatureStreamPtr&)s1);
+    HammingFeaturePtr h2 = new HammingFeature((VectorFloatFeatureStreamPtr&)s2);
+    FFTFeaturePtr f1 = new FFTFeature((VectorFloatFeatureStreamPtr&)h1, fftLen);
+    FFTFeaturePtr f2 = new FFTFeature((VectorFloatFeatureStreamPtr&)h2, fftLen);
+
+    GCC* gcc;
+    if (kind == "raw") gcc = new GCCRaw(fs, fftLen, 2, 1, alpha, beta, q, interp, nr);
+    else if (kind == "gnnsub") gcc = new GCCGnnSub(fs, fftLen, 2, 1, alpha, beta, q, interp, nr);
+    else if (kind == "phat") gcc = new GCCPhat(fs, fftLen, 2, 1, alpha, beta, q, interp, nr);
+    else if (kind == "gnnsubphat") gcc = new GCCGnnSubPhat(fs, fftLen, 2, 1, alpha, beta, q, interp, nr);
+    else if (kind == "mlrraw") gcc = new GCCMLRRaw(fs, fftLen, 2, 1, alpha, beta, q, interp, nr);
+    else if (kind == "mlrgnnsub") gcc = new GCCMLRGnnSub(fs, fftLen, 2, 1, alpha, beta, q, interp, nr);
+    else { fprintf(stderr, "unknown gcc kind %s\n", kind.c_str()); return 1; }
+
+    const char* noisefn = (argc > 15) ? argv[15] : NULL;
+    FILE* fp = fopen(argv[14], "wb");
+    unsigned frame = 0;
+    for (;;) {
+      const gsl_vector_complex *X1, *X2;
+      try {
+        X1 = f1->next();
+        X2 = f2->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      double ts = frame * (double)D / fs;
+      /* the sad flag selects GCC computation (true) vs noise-statistics
+       * accumulation (false), localization.cc:1244-1275 */
+      bool is_speech = frame >= noiseN;
+      gcc->calculate(X1, 0, X2, 1, 0, ts, is_speech, true);
+      if (is_speech && frame == noiseN && noisefn) {
+        /* dump the trained noise statistics: N1 [len], N2 [len],
+         * Gn1n2 [len] complex (len = fftLen/2+1) */
+        FILE* nf = fopen(noisefn, "wb");
+        const gsl_vector* N1 = gcc->getNoisePowerSpectrum(0);
+        const gsl_vector* N2 = gcc->getNoisePowerSpectrum(1);
+        const gsl_vector_complex* G12 = gcc->getNoiseCrossSpectrum(0);
+        for (unsigned i = 0; i < N1->size; i++) {
+          double v = gsl_vector_get(N1, i);
+          fwrite(&v, sizeof(double), 1, nf);
+        }
+        for (unsigned i = 0; i < N2->size; i++) {
+          double v = gsl_vector_get(N2, i);
+          fwrite(&v, sizeof(double), 1, nf);
+        }
+        for (unsigned i = 0; i < G12->size; i++) {
+          gsl_complex z = gsl_vector_complex_get(G12, i);
+          fwrite(z.dat, sizeof(double), 2, nf);
+        }
+        fclose(nf);
+      }
+      if (is_speech) {
+        gcc->findMaximum(-HUGE_VAL, HUGE_VAL);
+        double row[3] = {gcc->getPeakDelay(), gcc->getPeakCorr(), gcc->getRatio()};
+        write_f64_buf(fp, row, 3);
+      }
+      frame++;
+    }
+    fclose(fp);
+    delete gcc;
+    return 0;
+  }
+
+  if (cmd == "specsub") {
+    /* specsub h.f64 g.f64 M m r dc alpha floorv trainN in.f32 out.f32
+     * Spectral subtraction chain (src/ss.cc protocol): drain trainN frames
+     * in training mode, stop_training (turns subtraction on), keep
+     * draining; all frames written. */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    gsl_vector* g = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double alpha = atof(argv[8]), floorv = atof(argv[9]);
+    unsigned trainN = atoi(argv[10]);
+    std::vector<float> x = read_f32(argv[11]);
+    unsigned D = M >> r;
+
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+    SpectralSubtractorPtr ss = new SpectralSubtractor(M, false, 1.0, (float)floorv);
+    VectorComplexFeatureStreamPtr afbc = (VectorComplexFeatureStreamPtr&)afb;
+    ss->set_channel(afbc, alpha);
+    OverSampledDFTSynthesisBankPtr sfb = new OverSampledDFTSynthesisBank(
+        (VectorComplexFeatureStreamPtr&)ss, g, M, m, r, dc);
+
+    FILE* fp = fopen(argv[12], "wb");
+    unsigned frame = 0;
+    for (;;) {
+      const gsl_vector_float* data;
+      try {
+        data = sfb->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      if (frame == trainN) {
+        ss->stop_training();
+        ss->start_noise_subtraction();
+      }
+      for (unsigned i = 0; i < D; i++) {
+        float t = gsl_vector_float_get(data, i);
+        fwrite(&t, sizeof(float), 1, fp);
+      }
+      frame++;
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "oadd" || cmd == "osave") {
+    /* oadd  irlen fftLen L ir.f64 in.f32 out.f32
+     * osave irlen L ir.f64 in.f32 out.f32
+     * FFT-domain FIR filtering of a stream (convolution.cc). */
+    int argp = 2;
+    unsigned irlen = atoi(argv[argp++]);
+    unsigned fftLen = (cmd == "oadd") ? atoi(argv[argp++]) : 0;
+    unsigned L = atoi(argv[argp++]);
+    std::vector<double> ir = read_f64(argv[argp++]);
+    std::vector<float> x = read_f32(argv[argp++]);
+    const char* outfn = argv[argp++];
+
+    gsl_vector* irv = gsl_vector_calloc(irlen);
+    for (unsigned i = 0; i < irlen; i++) gsl_vector_set(irv, i, ir[i]);
+
+    RawSampleFeaturePtr src = new RawSampleFeature(x, L);
+    if (cmd == "oadd") {
+      OverlapAddPtr oa = new OverlapAdd((VectorFloatFeatureStreamPtr&)src, irv, fftLen);
+      drain_to_f32((VectorFloatFeatureStreamPtr&)oa, L, outfn);
+    } else {
+      OverlapSavePtr os = new OverlapSave((VectorFloatFeatureStreamPtr&)src, irv);
+      /* the stream's frame size is L - P (check_output_size_,
+       * convolution.cc:179-185) */
+      drain_to_f32((VectorFloatFeatureStreamPtr&)os, L - irlen, outfn);
+    }
+    return 0;
+  }
+
+  /* NOTE on FastBlockLMSFeature (lms/lms.cc): no golden subcommand is
+   * possible for it — the shipped constructor builds `new OverlapSave(samp)`
+   * with the default NULL impulse response, and OverlapSave's initializer
+   * list dereferences `impulseResponse->size` (convolution.cc:146-148)
+   * before the NULL check in set_impulse_response_ can run, so ANY
+   * construction of FastBlockLMSFeature segfaults (its update() would also
+   * overflow the L/2+1-entry frequencyResponse_ buffer with an L-entry
+   * delta).  The class is unrunnable as shipped; see PARITY.md. */
+
+  fprintf(stderr, "unknown subcommand %s\n", cmd.c_str());
+  return 1;
+}

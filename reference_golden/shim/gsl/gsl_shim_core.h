@@ -918,8 +918,7 @@ static inline gsl_eigen_symmv_workspace *gsl_eigen_symmv_alloc(size_t n) {
   return w;
 }
 static inline void gsl_eigen_symmv_free(gsl_eigen_symmv_workspace *w) { free(w); }
-int gsl_eigen_symmv(gsl_matrix *A, gsl_vector *eval, gsl_matrix *evec,
-                    gsl_eigen_symmv_workspace *w);  /* prototype only */
+/* gsl_eigen_symmv is defined in gsl_shim_real_ext.h (real Jacobi) */
 
 static inline gsl_eigen_hermv_workspace *gsl_eigen_hermv_alloc(size_t n) {
   gsl_eigen_hermv_workspace *w =
@@ -1001,5 +1000,7 @@ static inline double gsl_sf_sinc(double x) {
   double px = M_PI * x;
   return sin(px) / px;
 }
+
+#include "gsl/gsl_shim_real_ext.h"
 
 #endif /* GSL_SHIM_CORE_H */

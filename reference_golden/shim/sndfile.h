@@ -41,18 +41,68 @@ enum {
   SF_ERR_NO_ERROR = 0
 };
 
-SNDFILE* sf_open(const char* path, int mode, SF_INFO* sfinfo);
-int sf_close(SNDFILE* sndfile);
-int sf_error(SNDFILE* sndfile);
-const char* sf_strerror(SNDFILE* sndfile);
-int sf_perror(SNDFILE* sndfile);
-int sf_command(SNDFILE* sndfile, int cmd, void* data, int datasize);
-sf_count_t sf_seek(SNDFILE* sndfile, sf_count_t frames, int whence);
-sf_count_t sf_readf_float(SNDFILE* sndfile, float* ptr, sf_count_t frames);
-sf_count_t sf_writef_float(SNDFILE* sndfile, const float* ptr, sf_count_t frames);
-sf_count_t sf_readf_short(SNDFILE* sndfile, short* ptr, sf_count_t frames);
-sf_count_t sf_writef_short(SNDFILE* sndfile, const short* ptr, sf_count_t frames);
-sf_count_t sf_read_float(SNDFILE* sndfile, float* ptr, sf_count_t items);
-sf_count_t sf_write_float(SNDFILE* sndfile, const float* ptr, sf_count_t items);
+/* Definitions abort if reached: the golden drivers feed samples from memory
+ * (RawSampleFeature), so no sndfile entry point ever executes — these exist
+ * so TUs that reference them (feature.cc) can LINK. */
+static inline void sf_shim_unreachable_(const char* fn) {
+  fprintf(stderr, "sndfile shim: %s called (unsupported in golden harness)\n", fn);
+  abort();
+}
+static inline SNDFILE* sf_open(const char* path, int mode, SF_INFO* sfinfo) {
+  (void)path; (void)mode; (void)sfinfo;
+  sf_shim_unreachable_("sf_open");
+  return 0;
+}
+static inline int sf_close(SNDFILE* sndfile) { (void)sndfile; return 0; }
+static inline int sf_error(SNDFILE* sndfile) { (void)sndfile; return 0; }
+static inline const char* sf_strerror(SNDFILE* sndfile) {
+  (void)sndfile;
+  return "sndfile shim";
+}
+static inline int sf_perror(SNDFILE* sndfile) { (void)sndfile; return 0; }
+static inline int sf_command(SNDFILE* sndfile, int cmd, void* data, int datasize) {
+  (void)sndfile; (void)cmd; (void)data; (void)datasize;
+  return 0;
+}
+static inline sf_count_t sf_seek(SNDFILE* sndfile, sf_count_t frames, int whence) {
+  (void)sndfile; (void)frames; (void)whence;
+  sf_shim_unreachable_("sf_seek");
+  return 0;
+}
+static inline sf_count_t sf_readf_float(SNDFILE* sndfile, float* ptr, sf_count_t frames) {
+  (void)sndfile; (void)ptr; (void)frames;
+  sf_shim_unreachable_("sf_readf_float");
+  return 0;
+}
+static inline sf_count_t sf_writef_float(SNDFILE* sndfile, const float* ptr, sf_count_t frames) {
+  (void)sndfile; (void)ptr; (void)frames;
+  sf_shim_unreachable_("sf_writef_float");
+  return 0;
+}
+static inline sf_count_t sf_readf_short(SNDFILE* sndfile, short* ptr, sf_count_t frames) {
+  (void)sndfile; (void)ptr; (void)frames;
+  sf_shim_unreachable_("sf_readf_short");
+  return 0;
+}
+static inline sf_count_t sf_writef_short(SNDFILE* sndfile, const short* ptr, sf_count_t frames) {
+  (void)sndfile; (void)ptr; (void)frames;
+  sf_shim_unreachable_("sf_writef_short");
+  return 0;
+}
+static inline sf_count_t sf_writef_int(SNDFILE* sndfile, const int* ptr, sf_count_t frames) {
+  (void)sndfile; (void)ptr; (void)frames;
+  sf_shim_unreachable_("sf_writef_int");
+  return 0;
+}
+static inline sf_count_t sf_read_float(SNDFILE* sndfile, float* ptr, sf_count_t items) {
+  (void)sndfile; (void)ptr; (void)items;
+  sf_shim_unreachable_("sf_read_float");
+  return 0;
+}
+static inline sf_count_t sf_write_float(SNDFILE* sndfile, const float* ptr, sf_count_t items) {
+  (void)sndfile; (void)ptr; (void)items;
+  sf_shim_unreachable_("sf_write_float");
+  return 0;
+}
 
 #endif /* SNDFILE_SHIM_H */

@@ -1,0 +1,363 @@
+"""Round-3 compiled-golden tests for the long-tail subsystems.
+
+Same contract as tests/test_cpp_golden.py (allclose vs the UNMODIFIED
+reference C++ compiled against the GSL shim), extended to: the MFCC feature
+chain (feature/feature.cc), CCTDE (tde/tde.cc), the GCC weighting family
+(localization/localization.cc), the spectral-subtraction chain
+(postfilter/spectralsubtraction.cc), and OverlapAdd/OverlapSave
+(convolution/convolution.cc).
+
+FastBlockLMSFeature (lms/lms.cc) has NO golden here by documented
+impossibility: the shipped class segfaults on construction (NULL
+impulse-response dereference in OverlapSave's initializer list,
+convolution.cc:146-148) — see the note in golden_tail.cc and PARITY.md.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/btk20_src"
+TBIN = os.path.join(REPO, "reference_golden", "build", "golden_tail")
+DATA = os.path.join(REF, "unit_test", "data")
+
+FS = 16000.0
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available"
+)
+
+
+@pytest.fixture(scope="module")
+def tbin():
+    if not os.path.exists(TBIN):
+        r = subprocess.run(
+            [os.path.join(REPO, "reference_golden", "build.sh")],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"golden generator build failed: {r.stderr[-800:]}")
+    return TBIN
+
+
+@pytest.fixture(scope="module")
+def speech(tmp_path_factory):
+    """First 4 s of the mono speech fixture + f32 dump."""
+    from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+    d = tmp_path_factory.mktemp("speech")
+    x, _ = read_wav(f"{DATA}/speech_at_20sec.wav")
+    # the fixture's speech starts ~20 s in; the head is silence
+    x = x[0][20 * 16000 : 24 * 16000].astype(np.float32)
+    p = str(d / "speech.f32")
+    x.tofile(p)
+    return x, p
+
+
+@pytest.fixture(scope="module")
+def cmu2(tmp_path_factory):
+    """Two channels of the CMU Kinect utterance (for TDE) + f32 dumps."""
+    from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+    d = tmp_path_factory.mktemp("cmu2")
+    chans, paths = [], []
+    for c in (1, 4):
+        x, _ = read_wav(
+            f"{DATA}/CMU/R1/M1005/KINECT/RAW/segmented/U1001_1M_16k_b16_c{c}.wav"
+        )
+        chans.append(x[0][:48000].astype(np.float32))
+    T = min(len(c) for c in chans)
+    chans = [c[:T] for c in chans]
+    for i, c in enumerate(chans):
+        p = str(d / f"ch{i}.f32")
+        c.tofile(p)
+        paths.append(p)
+    return chans, paths
+
+
+def test_mfcc_chain_matches_cpp(tbin, speech, tmp_path):
+    """SampleFeature -> Hamming -> FFT -> SpectralPower -> Mel -> Log ->
+    Cepstral vs the batched TPU chain (models/features.py)."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import features as feat
+
+    x, path = speech
+    D, fftlen, ncep, meln = 160, 256, 13, 30
+    pown = fftlen // 2 + 1
+    low, up = 100.0, 6800.0
+    ceps_f = str(tmp_path / "ceps.f32")
+    logmel_f = str(tmp_path / "logmel.f32")
+    subprocess.run(
+        [tbin, "mfcc", str(D), str(fftlen), str(pown), str(meln), str(low),
+         str(up), str(ncep), str(int(FS)), path, ceps_f, logmel_f],
+        check=True, capture_output=True,
+    )
+    ceps_cpp = np.fromfile(ceps_f, np.float32).reshape(-1, ncep)
+    logmel_cpp = np.fromfile(logmel_f, np.float32).reshape(-1, meln)
+
+    frames = feat.frame_signal(jnp.asarray(x), D, D)
+    w = feat.hamming_window(frames)
+    spec = jnp.fft.rfft(w, n=fftlen, axis=-1)
+    power = feat.spectral_power(spec, pown)
+    mel = feat.mel_feature(power, feat.mel_matrix(pown, FS, low, up, meln))
+    logmel = feat.log_feature(mel)
+    ceps = np.asarray(feat.cepstral_feature(logmel, ncep, dct_type=1))
+
+    n = min(len(ceps), len(ceps_cpp))
+    assert n >= len(ceps_cpp) - 1  # reference may emit one fewer tail frame
+    scale = np.abs(logmel_cpp).max()
+    np.testing.assert_allclose(
+        np.asarray(logmel)[:n], logmel_cpp[:n], atol=2e-4 * scale
+    )
+    scale = np.abs(ceps_cpp).max()
+    np.testing.assert_allclose(ceps[:n], ceps_cpp[:n], atol=3e-4 * scale)
+
+
+def test_cctde_matches_cpp(tbin, cmu2, tmp_path):
+    """compat CCTDE per-frame peaks vs the compiled reference."""
+    from distant_speech_recognition_tpu.compat.feature import SampleFeature
+    from distant_speech_recognition_tpu.compat.tde import CCTDE
+
+    chans, paths = cmu2
+    D, nheld = 512, 3
+    out = str(tmp_path / "tde.f64")
+    subprocess.run(
+        [tbin, "cctde", "512", str(nheld), str(D), paths[0], paths[1], out],
+        check=True, capture_output=True,
+    )
+    rows = np.fromfile(out, np.float64).reshape(-1, nheld, 2)
+
+    s1 = SampleFeature(D, D)
+    s1.set_samples(chans[0], int(FS))
+    s2 = SampleFeature(D, D)
+    s2.set_samples(chans[1], int(FS))
+    tde = CCTDE(s1, s2, 512, nheld)
+    got_delays, got_ccs = [], []
+    while True:
+        try:
+            tde.next()
+        except StopIteration:
+            break
+        got_delays.append(np.array(tde.sample_delays(), np.float64))
+        got_ccs.append(np.array(tde.cc_values()))
+    got_delays = np.stack(got_delays)
+    got_ccs = np.stack(got_ccs)
+
+    n = min(len(rows), len(got_delays))
+    assert n >= len(rows) - 1
+    np.testing.assert_array_equal(got_delays[:n], rows[:n, :, 0])
+    np.testing.assert_allclose(got_ccs[:n], rows[:n, :, 1], rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "kind,mode",
+    [
+        ("raw", "raw"),
+        ("gnnsub", "gnn_sub"),
+        ("phat", "phat"),
+        ("gnnsubphat", "gnn_sub_phat"),
+        ("mlrraw", "mlr_raw"),
+        ("mlrgnnsub", "mlr_gnn_sub"),
+    ],
+)
+def test_gcc_family_matches_cpp(tbin, cmu2, kind, mode, tmp_path):
+    """GCC weighting family: per-frame [delay, maxcorr] vs compiled C++."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import features as feat
+    from distant_speech_recognition_tpu.models.localization import (
+        find_cc_peak,
+        gcc_weighted,
+    )
+
+    from distant_speech_recognition_tpu.models.localization import noise_spectra
+
+    chans, paths = cmu2
+    fftlen, D = 512, 512
+    alpha, beta, q = 0.95, 0.5, 0.3
+    # kinds that read the noise statistics need them initialized (the
+    # reference NULL-derefs otherwise); train them on the first noiseN frames
+    noiseN = 20 if mode in ("gnn_sub", "gnn_sub_phat", "mlr_raw", "mlr_gnn_sub") else 0
+    out = str(tmp_path / "gcc.f64")
+    subprocess.run(
+        [tbin, "gcc", kind, str(fftlen), str(D), str(int(FS)), str(alpha),
+         str(beta), str(q), "1", "1", str(noiseN), paths[0], paths[1], out],
+        check=True, capture_output=True,
+    )
+    rows = np.fromfile(out, np.float64).reshape(-1, 3)
+
+    X = []
+    for c in chans:
+        frames = feat.frame_signal(jnp.asarray(c), D, D)
+        w = feat.hamming_window(frames)
+        X.append(jnp.fft.rfft(w, n=fftlen, axis=-1))
+    kw = {}
+    if noiseN:
+        # Reference quirk: NoisePowerSpectrum dedupes adds by timestamp and
+        # initializes its timestamp to 0.0 (localization.cc:1136-1141), so
+        # the frame-0 add (timestamp 0.0) is silently SKIPPED for the power
+        # spectra; NoiseCrossSpectrum has no timestamp and keeps frame 0.
+        _, _, Gn1n2 = noise_spectra(
+            X[0][:noiseN], X[1][:noiseN], np.ones(noiseN, bool), alpha=alpha
+        )
+        N1, N2, _ = noise_spectra(
+            X[0][1:noiseN], X[1][1:noiseN], np.ones(noiseN - 1, bool), alpha=alpha
+        )
+        if mode in ("gnn_sub", "gnn_sub_phat", "mlr_gnn_sub"):
+            kw["Gn1n2"] = Gn1n2
+        if mode in ("mlr_raw", "mlr_gnn_sub"):
+            kw["N1"] = N1
+            kw["N2"] = N2
+    Xa, Xb = X[0][noiseN:], X[1][noiseN:]
+    cc = gcc_weighted(Xa, Xb, fftlen, mode=mode, q=q, smooth_beta=beta, **kw)
+    delay, peak = find_cc_peak(cc, FS, interpolate=True)
+    delay, peak = np.asarray(delay, np.float64), np.asarray(peak, np.float64)
+
+    n = min(len(rows), len(delay))
+    assert n >= len(rows) - 1
+    scale = np.abs(rows[:n, 1]).max()
+    # MLR weights form 4th-power products (X1^2 X2^2): a bit more float32
+    # rounding than the other kinds — exact semantics verified below in f64
+    peak_tol = 2e-3 * scale if mode.startswith("mlr") else 1e-4 * scale
+    delay_tol = 1e-5 if mode.startswith("mlr") else 2e-6
+    np.testing.assert_allclose(peak[:n], rows[:n, 1], atol=peak_tol)
+    # delays: same peak bin required; interpolated offset agrees closely
+    np.testing.assert_allclose(delay[:n], rows[:n, 0], atol=delay_tol)
+
+    if mode.startswith("mlr"):
+        # float64 semantic check of the same weighting, tight tolerance
+        X1 = np.asarray(Xa, np.complex128)
+        X2 = np.asarray(Xb, np.complex128)
+        cross = X1 * np.conj(X2)
+        X12 = np.abs(X1) ** 2
+        X22 = np.abs(X2) ** 2
+        q1, q2 = 1.0 - q, 2.0 * q
+        N1d = np.asarray(kw["N1"], np.float64) if "N1" in kw else 0.0
+        N2d = np.asarray(kw["N2"], np.float64) if "N2" in kw else 0.0
+        den = q2 * X12 * X22 + q1 * (N2d * X12 + N1d * X22)
+        w = np.sqrt(X12 * X22) / np.maximum(den, 1e-300)
+        num = cross
+        if mode == "mlr_gnn_sub" and "Gn1n2" in kw:
+            num = cross - np.asarray(kw["Gn1n2"], np.complex128)
+        G = num * w
+        sm = np.zeros_like(G[0])
+        out64 = np.empty_like(G)
+        for t in range(len(G)):
+            sm = beta * sm + (1 - beta) * G[t]
+            out64[t] = sm
+        cc64 = np.fft.irfft(out64, n=fftlen, axis=-1)
+        peak64 = cc64.max(axis=-1)
+        np.testing.assert_allclose(peak64[:n], rows[:n, 1], rtol=1e-6)
+
+
+def test_spectral_subtraction_matches_cpp(tbin, speech, tmp_path):
+    """Analysis -> SpectralSubtractor (trainN frames of noise stats, then
+    subtraction) -> synthesis vs the batched TPU chain."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.postfilter import (
+        average_noise_psd,
+        spectral_subtract,
+    )
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    M, m_, r_, DC = 256, 4, 1, 2
+    D = M >> r_
+    F = M // 2 + 1
+    alpha, floorv, trainN = -1.0, 0.001, 50
+    x, path = speech
+
+    h, g = load_pair(M, m_, r_)
+    d = tmp_path
+    hf, gf = str(d / "h.f64"), str(d / "g.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    np.asarray(g, np.float64).tofile(gf)
+    out = str(d / "ss.f32")
+    subprocess.run(
+        [tbin, "specsub", hf, gf, str(M), str(m_), str(r_), str(DC),
+         str(alpha), str(floorv), str(trainN), path, out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+
+    p = ops.FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=DC)
+    Y = ops.analysis(jnp.asarray(x), h, p)  # [T, M] full band
+    Yh = Y[:, :F]
+    # The driver flips training off after SYNTHESIS frame trainN; by then the
+    # subtractor has consumed analysis frames 0..trainN+synthesis_delay
+    # (the synthesis bank primes synthesis_delay subband frames,
+    # modulated.cc:574-578), so the effective noise-average window is
+    # trainN + synthesis_delay + 1 analysis frames.
+    trainN_eff = trainN + p.synthesis_delay + 1
+    npsd = average_noise_psd(Yh[:trainN_eff], alpha=alpha)
+    sub = spectral_subtract(Yh, npsd, ft=1.0, flooring=floorv)
+    # training frames pass through unsubtracted (start_noise_subtraction
+    # stays false until then)
+    Yout_h = jnp.concatenate([Yh[:trainN_eff], sub[trainN_eff:]], axis=0)
+    Yfull = ops.hermitian_mirror(Yout_h, M)
+    yj = np.asarray(ops.synthesis(Yfull, g, p))
+
+    n = min(len(ycpp), len(yj))
+    err = ycpp[:n] - yj[:n]
+    snr = 10 * np.log10((ycpp[:n] ** 2).mean() / max((err**2).mean(), 1e-30))
+    assert snr > 60, snr
+
+
+def test_overlap_add_matches_cpp(tbin, speech, tmp_path):
+    from distant_speech_recognition_tpu.models.lti import overlap_add_filter
+    import jax.numpy as jnp
+
+    x, path = speech
+    rng = np.random.default_rng(7)
+    P, L, fftlen = 64, 256, 512
+    ir = rng.standard_normal(P)
+    irf = str(tmp_path / "ir.f64")
+    ir.astype(np.float64).tofile(irf)
+    out = str(tmp_path / "oa.f32")
+    subprocess.run(
+        [tbin, "oadd", str(P), str(fftlen), str(L), irf, path, out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+    yj = np.asarray(
+        overlap_add_filter(jnp.asarray(x, jnp.float64), jnp.asarray(ir), fftlen)
+    )
+    n = min(len(ycpp), len(yj))
+    scale = np.abs(ycpp).max()
+    np.testing.assert_allclose(yj[:n], ycpp[:n], atol=2e-5 * scale)
+
+
+def test_overlap_save_matches_cpp(tbin, speech, tmp_path):
+    """The reference OverlapSave streams non-overlapping L-blocks and emits
+    only outputs P..L-1 of each (convolution.cc:196-227): the head P samples
+    of every block are skipped.  Compare against the linear convolution at
+    exactly those positions."""
+    from distant_speech_recognition_tpu.models.lti import overlap_save_filter
+    import jax.numpy as jnp
+
+    x, path = speech
+    rng = np.random.default_rng(8)
+    P, L = 64, 512
+    ir = rng.standard_normal(P)
+    irf = str(tmp_path / "ir.f64")
+    ir.astype(np.float64).tofile(irf)
+    out = str(tmp_path / "os.f32")
+    subprocess.run(
+        [tbin, "osave", str(P), str(L), irf, path, out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32).reshape(-1, L - P)
+    yfull = np.asarray(
+        overlap_save_filter(jnp.asarray(x, jnp.float64), jnp.asarray(ir))
+    )
+    scale = np.abs(ycpp).max()
+    for j in range(len(ycpp)):
+        seg = yfull[j * L + P : (j + 1) * L]
+        if len(seg) < L - P:
+            break
+        np.testing.assert_allclose(ycpp[j], seg, atol=2e-5 * scale)
