@@ -33,7 +33,8 @@ __all__ = [
 
 class ZelinskiPostFilter(FeatureStream):
     def __init__(self, samp, fftlen: int, alpha: float = 0.6, type: int = 2,
-                 min_frames: int = 0, name: str = "ZelinskiPostFilter"):
+                 min_frames: int = 0, name: str = "ZelinskiPostFilter",
+                 csd_dtype=jnp.complex64):
         super().__init__(fftlen, name)
         self.samp = samp
         self._M = int(fftlen)
@@ -43,6 +44,11 @@ class ZelinskiPostFilter(FeatureStream):
         # pass the reference's raw bit flags for exact control
         self._type = int(type)
         self._min_frames = int(min_frames)
+        # csd_dtype=complex128 (under jax.experimental.enable_x64) runs the
+        # CSD recursion at the reference's double precision — the
+        # error-budget mode that shows the ~55-60 dB float32 golden agreement
+        # is pure accumulation rounding (tests/test_cpp_golden.py)
+        self._csd_dtype = csd_dtype
         self._bf = None
         self._step = None
         self._state = None
@@ -59,7 +65,8 @@ class ZelinskiPostFilter(FeatureStream):
         )
         C = wq.shape[-1]
         self._state = _CSDState(
-            phi=jnp.zeros((self._F, C, C), jnp.complex64), t=jnp.asarray(0, jnp.int32)
+            phi=jnp.zeros((self._F, C, C), self._csd_dtype),
+            t=jnp.asarray(0, jnp.int32),
         )
 
     def set_snapshot_source(self, beamformer) -> None:  # explicit-setter path
@@ -139,7 +146,16 @@ class _BufferedCoherencePostFilter(FeatureStream):
                 jnp.asarray(X), jnp.asarray(Y),
                 jnp.asarray(np.asarray(self._bf.wq_manifold)), jnp.asarray(Gamma),
             )
-            self._out = np.asarray(hermitian_mirror(out, self._M))
+            full = np.array(hermitian_mirror(out, self._M))
+            # Reference quirk (verified vs the compiled C++): McCowan/
+            # Lefkimmiatis copy only bins 0..M/2 of the beamformer output
+            # into their frame and write the conjugate mirror ONLY on
+            # applied frames (postfilter.cc:926-927, 889-894), so during
+            # the warm-up (t <= min_frames) the upper half is the stale
+            # vector_ content — zeros at stream start.
+            warm = min(self._min_frames + 1, full.shape[0])
+            full[:warm, self._F :] = 0.0
+            self._out = full
             self._i = 0
         if self._i >= self._out.shape[0]:
             raise StopIteration

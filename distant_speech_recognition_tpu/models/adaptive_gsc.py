@@ -444,13 +444,16 @@ def gsc_postfilter_fused(
         aligned = jnp.conj(wq_manifold) * Xt  # [..., F, C]
         pair_sum = sum(aligned[..., i] * jnp.conj(aligned[..., j]) for i, j in pairs)
         diag_sum = jnp.sum(jnp.abs(aligned) ** 2, axis=-1)
-        phi_pair = jnp.where(t > 0, pf_alpha * phi_pair + (1.0 - pf_alpha) * pair_sum, pair_sum)
-        phi_diag = jnp.where(t > 0, pf_alpha * phi_diag + (1.0 - pf_alpha) * diag_sum, diag_sum)
+        # the reference smooths from its THIRD call and applies from
+        # min_frames+1 (pre-increment frame_no_ checks, postfilter.cc:
+        # 424-473) — round-3 parity fix, verified vs the compiled C++
+        phi_pair = jnp.where(t > 1, pf_alpha * phi_pair + (1.0 - pf_alpha) * pair_sum, pair_sum)
+        phi_diag = jnp.where(t > 1, pf_alpha * phi_diag + (1.0 - pf_alpha) * diag_sum, diag_sum)
 
         num = jnp.maximum(jnp.real(phi_pair), 0.0) if real_mode else jnp.abs(phi_pair)
         ratio = jnp.where(phi_diag > 0, num / jnp.where(phi_diag > 0, phi_diag, 1.0), 0.0)
         W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
-        out = jnp.where(t >= pf_min_frames, Y * W.astype(Y.dtype), Y)
+        out = jnp.where(t > pf_min_frames, Y * W.astype(Y.dtype), Y)
         if real_packed:
             # emit the packed real layout (synthesis ignores Im(DC)/Im(Nyq))
             out = jnp.concatenate(

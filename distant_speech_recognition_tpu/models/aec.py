@@ -37,16 +37,29 @@ __all__ = [
 
 def play_taps(V: jax.Array, sampleN: int, amp4play: float = 1.0) -> jax.Array:
     """Stack the played signal into tap vectors, newest first:
-    ``taps[t, f, n] = amp * V[t - n, f]`` (zero history)."""
-    T = V.shape[-2]
-    lead = V.ndim - 2
-    pad = [(0, 0)] * lead + [(sampleN - 1, 0), (0, 0)]
+    ``taps[t, ..., n] = amp * V[t - n, ...]`` (zero history).  Time is the
+    LEADING axis (scan order), any trailing dims ride along."""
+    T = V.shape[0]
+    pad = [(sampleN - 1, 0)] + [(0, 0)] * (V.ndim - 1)
     Vp = jnp.pad(V, pad) * amp4play
     slices = [
-        jax.lax.slice_in_dim(Vp, sampleN - 1 - n, sampleN - 1 - n + T, axis=lead)
+        jax.lax.slice_in_dim(Vp, sampleN - 1 - n, sampleN - 1 - n + T, axis=0)
         for n in range(sampleN)
     ]
     return jnp.stack(slices, axis=-1)
+
+
+def _aec_state_shape(V, A):
+    """Broadcast per-frame state shape from ``V [T, *Sv]`` / ``A [T, *Sa]``.
+
+    The scans are elementwise per bin, so they generalize to any broadcast-
+    compatible leading dims — the time-major batched pipeline passes
+    ``V [T, B, 1, F]`` against ``A [T, B, C, F]`` (one far-end reference
+    cancelling every channel, like the reference's per-channel feature
+    sharing one played stream)."""
+    import numpy as _np
+
+    return tuple(_np.broadcast_shapes(V.shape[1:], A.shape[1:]))
 
 
 @partial(jax.jit, static_argnums=())
@@ -63,9 +76,10 @@ def nlms_aec(
         E = A - R V
         R <- R - eps |V|^2/(delta + |A|^2) (R - A/V)   if |V|^2 > threshold
 
-    Returns ``(E [T, F], R_final [F])``.
+    ``V``/``A``: ``[T, *S]`` with broadcastable ``*S`` (classically
+    ``[T, F]``).  Returns ``(E [T, *S], R_final [*S])``.
     """
-    F = V.shape[-1]
+    shape = _aec_state_shape(V, A)
 
     def step(R, inputs):
         Vk, Ak = inputs
@@ -77,7 +91,7 @@ def nlms_aec(
         R_new = jnp.where(gate, R - deltaC, R)
         return R_new, Ek
 
-    R0 = jnp.zeros((F,), V.dtype)
+    R0 = jnp.zeros(shape, V.dtype)
     R, E = jax.lax.scan(step, R0, (V, A))
     return E, R
 
@@ -93,9 +107,10 @@ def kalman_aec(
     """Scalar Kalman echo canceller per bin
     (KalmanFilterEchoCancellationFeature, aec.cc:118-164).
 
-    Returns ``(E [T, F], R_final [F])``.
+    ``V``/``A``: ``[T, *S]`` broadcastable (see `_aec_state_shape`).
+    Returns ``(E [T, *S], R_final [*S])``.
     """
-    F = V.shape[-1]
+    shape = _aec_state_shape(V, A)
 
     class S(NamedTuple):
         R: jax.Array
@@ -122,9 +137,9 @@ def kalman_aec(
         return s_new, Ek
 
     s0 = S(
-        R=jnp.zeros((F,), V.dtype),
-        sigma2_v=jnp.full((F,), sigma2, jnp.float32),
-        K_k=jnp.full((F,), sigma2, jnp.float32),
+        R=jnp.zeros(shape, V.dtype),
+        sigma2_v=jnp.full(shape, sigma2, jnp.float32),
+        K_k=jnp.full(shape, sigma2, jnp.float32),
     )
     s, E = jax.lax.scan(step, s0, (V, A))
     return E, s.R
@@ -149,43 +164,44 @@ def block_kalman_aec(
         G  = Kp conj(V) / (V . Kp conj(V) + sigma_v)
         R += E G;   K = (I - G V^T) Kp
 
-    Returns ``(E [T, F], R_final [F, N])``.
+    ``V``/``A``: ``[T, *S]`` broadcastable (see `_aec_state_shape`).
+    Returns ``(E [T, *S], R_final [*S, N])``.
     """
-    F = V.shape[-1]
     N = sampleN
-    taps = play_taps(V, N, amp4play)  # [T, F, N]
+    shape = _aec_state_shape(V, A)
+    taps = play_taps(V, N, amp4play)  # [T, *Sv, N]
     eye = jnp.eye(N, dtype=V.dtype)
 
     class S(NamedTuple):
-        R: jax.Array  # [F, N]
-        sigma2_v: jax.Array  # [F]
-        K_k: jax.Array  # [F, N, N]
+        R: jax.Array  # [*S, N]
+        sigma2_v: jax.Array  # [*S]
+        K_k: jax.Array  # [*S, N, N]
 
     def step(s, inputs):
-        Vk, Ak = inputs  # [F, N], [F]
-        Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
-        gate = jnp.abs(Vk[..., 0]) ** 2 > threshold
+        Vk, Ak = inputs  # [*Sv, N], [*Sa]
+        Ek = Ak - ceinsum("...n,...n->...", s.R, Vk)
+        gate = jnp.broadcast_to(jnp.abs(Vk[..., 0]) ** 2 > threshold, Ek.shape)
 
         sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
         K_k_k1 = s.K_k + sigmau2 * eye
-        scr = ceinsum("fnm,fm->fn", K_k_k1, jnp.conj(Vk))
-        sigma2_s = jnp.real(ceinsum("fn,fn->f", Vk, scr)) + sigma2_v
-        Gk = scr / sigma2_s[:, None]
-        R_new = s.R + Ek[:, None] * Gk
-        IGV = eye - Gk[:, :, None] * Vk[:, None, :]
-        K_new = ceinsum("fnm,fml->fnl", IGV, K_k_k1)
+        scr = ceinsum("...nm,...m->...n", K_k_k1, jnp.conj(Vk))
+        sigma2_s = jnp.real(ceinsum("...n,...n->...", Vk, scr)) + sigma2_v
+        Gk = scr / sigma2_s[..., None]
+        R_new = s.R + Ek[..., None] * Gk
+        IGV = eye - Gk[..., :, None] * Vk[..., None, :]
+        K_new = ceinsum("...nm,...ml->...nl", IGV, K_k_k1)
 
         s_new = S(
-            R=jnp.where(gate[:, None], R_new, s.R),
+            R=jnp.where(gate[..., None], R_new, s.R),
             sigma2_v=jnp.where(gate, sigma2_v, s.sigma2_v),
-            K_k=jnp.where(gate[:, None, None], K_new, s.K_k),
+            K_k=jnp.where(gate[..., None, None], K_new, s.K_k),
         )
         return s_new, Ek
 
     s0 = S(
-        R=jnp.zeros((F, N), V.dtype),
-        sigma2_v=jnp.full((F,), sigmau2, jnp.float32),
-        K_k=jnp.broadcast_to(sigmak2 * jnp.eye(N, dtype=V.dtype), (F, N, N)),
+        R=jnp.zeros(shape + (N,), V.dtype),
+        sigma2_v=jnp.full(shape, sigmau2, jnp.float32),
+        K_k=jnp.broadcast_to(sigmak2 * jnp.eye(N, dtype=V.dtype), shape + (N, N)),
     )
     s, E = jax.lax.scan(step, s0, (taps, A))
     return E, s.R

@@ -326,9 +326,11 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             dsum = 0.0
             for c in range(C):
                 dsum = dsum + alr[c] * alr[c] + ali[c] * ali[c]
-            ppr = jnp.where(t > 0, pf_alpha * ppr_s[...] + (1.0 - pf_alpha) * psr, psr)
-            ppi = jnp.where(t > 0, pf_alpha * ppi_s[...] + (1.0 - pf_alpha) * psi, psi)
-            pd = jnp.where(t > 0, pf_alpha * pd_s[...] + (1.0 - pf_alpha) * dsum, dsum)
+            # smoothing starts at the reference's THIRD call; apply gate is
+            # min_frames+1 (pre-increment frame_no_, postfilter.cc:424-473)
+            ppr = jnp.where(t > 1, pf_alpha * ppr_s[...] + (1.0 - pf_alpha) * psr, psr)
+            ppi = jnp.where(t > 1, pf_alpha * ppi_s[...] + (1.0 - pf_alpha) * psi, psi)
+            pd = jnp.where(t > 1, pf_alpha * pd_s[...] + (1.0 - pf_alpha) * dsum, dsum)
             ppr_s[...] = ppr
             ppi_s[...] = ppi
             pd_s[...] = pd
@@ -338,7 +340,7 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
                 num = jnp.sqrt(ppr * ppr + ppi * ppi)
             ratio = jnp.where(pd > 0, num / jnp.where(pd > 0, pd, 1.0), 0.0)
             W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
-            apply_pf = t >= pf_min_frames
+            apply_pf = t > pf_min_frames
             Yr_o = jnp.where(apply_pf, Yr * W, Yr)
             Yi_o = jnp.where(apply_pf, Yi * W, Yi)
 

@@ -100,6 +100,10 @@ class PipelineConfig:
     wpe_upper: int = 6
     wpe_iterations: int = 2
     wpe_band_width: float = 0.0  # >0: reference band limit (dereverberation.h:38)
+    # Batched WPE materializes a [bc, C, T, F, C*P] lag tensor; chunking the
+    # batch axis (sequential lax.map of vmapped chunks) bounds it to
+    # ~chunk x 26 MB at the bench shape instead of B x 26 MB (16+ GB).
+    wpe_batch_chunk: int = 64
 
 
 def path_flags(cfg: "PipelineConfig", n_chan: int) -> dict:
@@ -110,14 +114,16 @@ def path_flags(cfg: "PipelineConfig", n_chan: int) -> dict:
     this instead of re-approximating the conditions (they drifted once).
     """
     fused = cfg.beamformer in ("gsc_lms", "gsc_rls") and cfg.postfilter == "zelinski"
-    tm_ok = (
-        TIME_MAJOR
-        and HALF_BAND
-        and cfg.aec == "none"
-        and not cfg.wpe
-        and cfg.fb.M <= dft.MATMUL_MAX_M
+    tm_base = TIME_MAJOR and HALF_BAND and cfg.fb.M <= dft.MATMUL_MAX_M
+    # AEC/WPE joined the time-major path in round 3: the AEC scans are
+    # shape-generic over [T, B, C, F] (aec._aec_state_shape) and WPE is a
+    # dense batched estimate+apply; both slot between analysis and the fused
+    # adaptive scan (BASELINE config 4).  block_kalman with >1 tap stays on
+    # the vmap path (per-utterance tap stacking).
+    tm_full_ok = cfg.aec in ("none", "nlms", "kalman") or (
+        cfg.aec == "block_kalman" and cfg.aec_taps == 1
     )
-    time_major = tm_ok and fused
+    time_major = tm_base and fused and tm_full_ok
     on_tpu = jax.default_backend() not in ("cpu",)
     pallas_fb = time_major and PALLAS_FB and cfg.fb.D % 128 == 0 and on_tpu
     pallas_scan = (
@@ -134,6 +140,7 @@ def path_flags(cfg: "PipelineConfig", n_chan: int) -> dict:
     return {
         "fused": fused,
         "time_major": time_major,
+        "tm_chain": time_major and (cfg.aec != "none" or cfg.wpe),
         "pallas_fb": pallas_fb,
         "pallas_scan": pallas_scan,
     }
@@ -354,8 +361,10 @@ def build_pipeline(
         tm_shardings = _tm_shardings(bin_sharding)
         if tm_shardings is None:
             time_major = False  # un-derivable layout: fall back to vmap path
+    if flags["tm_chain"] and bin_sharding is not None:
+        time_major = False  # sharded full chain not yet laid out: vmap path
 
-    if cfg.aec != "none":
+    if cfg.aec != "none" and not time_major:
 
         @jax.jit
         def enhance(x, play):
@@ -401,19 +410,73 @@ def build_pipeline(
         pallas_scan = flags["pallas_scan"]
         if pallas_scan:
             from .pallas_fused_scan import gsc_rls_zelinski_pallas
+        tm_chain = flags["tm_chain"]
+        if tm_chain:
+            from .aec import block_kalman_aec, kalman_aec, nlms_aec
+            from .dereverberation import wpe_multichannel
 
-        @jax.jit
-        def enhance(x):
+        def _analyze(sig):
+            if pallas_fb:
+                return analysis_tm_fused(sig, h, cfg.fb, packed=True)
+            return analysis_half_real_tm(sig, h, cfg.fb, packed=True)
+
+        def _unpack(Yr):
+            # packed [.., M] -> complex [.., F] (Im of DC/Nyquist are
+            # structurally zero in the packed lane layout)
+            zero = jnp.zeros_like(Yr[..., :1])
+            im = jnp.concatenate([zero, Yr[..., F:], zero], axis=-1)
+            return jax.lax.complex(Yr[..., :F], im)
+
+        def _chain(Yr, play):
+            """AEC -> WPE between analysis and the adaptive scan, all in the
+            time-major layout (config 4; the reference chains the same
+            feature nodes per channel, aec.cc:41-81 ->
+            dereverberation.cc:214-275)."""
+            X = _unpack(Yr)  # [Tf, B, C, F] complex
+            if cfg.aec != "none":
+                V = _unpack(_analyze(play[:, None, :]))  # [Tf, B, 1, F]
+                if cfg.aec == "nlms":
+                    X, _ = nlms_aec(
+                        V, X, cfg.aec_delta, cfg.aec_epsilon, cfg.aec_threshold
+                    )
+                elif cfg.aec == "kalman":
+                    X, _ = kalman_aec(
+                        V, X, cfg.aec_delta, cfg.aec_epsilon, cfg.aec_threshold
+                    )
+                else:  # block_kalman, taps == 1 (path_flags gate)
+                    X, _ = block_kalman_aec(
+                        V, X, cfg.aec_taps, cfg.aec_delta, cfg.aec_epsilon,
+                        threshold=cfg.aec_threshold,
+                    )
+            if cfg.wpe:
+                Yb = jnp.moveaxis(X, 0, 2)  # [B, C, Tf, F]
+                wpe_fn = lambda yb: wpe_multichannel(
+                    yb, cfg.wpe_lower, cfg.wpe_upper, cfg.wpe_iterations,
+                    band_width=cfg.wpe_band_width, samplerate=cfg.samplerate,
+                )
+                Bn = Yb.shape[0]
+                bc = max(1, min(cfg.wpe_batch_chunk, Bn))
+                if Bn > bc and Bn % bc == 0:
+                    Yc = Yb.reshape((Bn // bc, bc) + Yb.shape[1:])
+                    Yb = jax.lax.map(jax.vmap(wpe_fn), Yc).reshape(Yb.shape)
+                else:
+                    Yb = jax.vmap(wpe_fn)(Yb)
+                X = jnp.moveaxis(Yb, 2, 0)
+            # repack [Re(0..Mh) | Im(1..Mh-1)]
+            return jnp.concatenate(
+                [jnp.real(X), jnp.imag(X)[..., 1 : F - 1]], axis=-1
+            )
+
+        def _enhance_tm(x, play=None):
             """x: [B, C, T] -> [B, T_out] (time-major packed fast path).
 
             Everything between the two square [M, M] DFT matmuls moves in
             the packed real ``[Re(0..M/2) | Im(1..M/2-1)]`` lane layout —
             no ragged 2F padding, no complex split/concat in HBM.
             """
-            if pallas_fb:
-                Yr = analysis_tm_fused(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
-            else:
-                Yr = analysis_half_real_tm(x, h, cfg.fb, packed=True)
+            Yr = _analyze(x)  # [Tf, B, C, M]
+            if tm_chain:
+                Yr = _chain(Yr, play)
             if pallas_scan:
                 # VMEM-resident adaptive state across the whole utterance
                 Yp = gsc_rls_zelinski_pallas(
@@ -431,6 +494,11 @@ def build_pipeline(
             if pallas_fb:
                 return synthesis_tm_fused(Yp, g, cfg.fb)
             return synthesis_half_real_tm(Yp, g, cfg.fb)
+
+        if cfg.aec != "none":
+            enhance = jax.jit(_enhance_tm)
+        else:
+            enhance = jax.jit(lambda x: _enhance_tm(x))
 
     else:
 

@@ -55,8 +55,14 @@ def _time_align(wq: jax.Array, X: jax.Array) -> jax.Array:
 
 def _ema_scan(seq: jax.Array, alpha: float):
     """``s_t = alpha s_{t-1} + (1-alpha) x_t`` over axis 0 with
-    ``s_0 = x_0`` (frame-0 alpha=0 per postfilter.cc:869-872)."""
+    ``s_0 = x_0`` AND ``s_1 = x_1``: the reference keeps alpha at 0 for its
+    first TWO calls — the ``frame_no_ > 0`` check reads the pre-increment
+    counter, which is -1 then 0 (postfilter.cc:424-463).  Verified against
+    the compiled reference, which round 3's subband-domain localization
+    traced to exactly this off-by-one (tests/test_cpp_golden.py)."""
     if alpha <= 0.0:
+        return seq
+    if seq.shape[0] <= 2:
         return seq
     # Linear recurrence: O(log T)-depth associative scan where it compiles
     # well (CPU); the experimental axon TPU backend stalls compiling large
@@ -64,14 +70,15 @@ def _ema_scan(seq: jax.Array, alpha: float):
     if jax.default_backend() == "cpu":
         from ..ops.recursions import ema
 
-        return ema(seq, alpha, axis=0, first_direct=True)
+        rest = ema(seq[1:], alpha, axis=0, first_direct=True)
+        return jnp.concatenate([seq[:1], rest], axis=0)
 
     def step(phi, p):
         phi = alpha * phi + (1.0 - alpha) * p
         return phi, phi
 
-    _, rest = jax.lax.scan(step, seq[0], seq[1:])
-    return jnp.concatenate([seq[:1], rest], axis=0)
+    _, rest = jax.lax.scan(step, seq[1], seq[2:])
+    return jnp.concatenate([seq[:2], rest], axis=0)
 
 
 def _csd_scan(aligned: jax.Array, alpha: float):
@@ -130,9 +137,11 @@ def zelinski_postfilter(
     ratio = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
     # Frame index runs along axis 0 (works for [T, F] and the time-major
-    # batched [T, B, F] layout alike).
+    # batched [T, B, F] layout alike).  The reference's NO_USE gate reads
+    # the pre-increment frame counter, so the filter engages one frame
+    # LATER than min_frames (postfilter.cc:468-473): apply iff t > min.
     t = jnp.arange(W.shape[0]).reshape((-1,) + (1,) * (W.ndim - 1))
-    W = jnp.where(t >= min_frames, W, 1.0)
+    W = jnp.where(t > min_frames, W, 1.0)
     return Y * W.astype(Y.dtype)
 
 
@@ -183,19 +192,31 @@ def mccowan_postfilter(
     weight = clip(phi_ss / (sum_i phi_ii / C), 1e-4, 1).
     """
     aligned = _time_align(wq, X)
-    Phi = _csd_scan(aligned, alpha)
     C = X.shape[-1]
 
     R = _clamp_Rij_mccowan(Gamma, threshold_Rij)
 
-    def term(phi, phi_ii, phi_jj):
-        return (phi - 0.5 * R * (phi_ii + phi_jj)) / (1.0 - R)
-
-    nu = _avg_pair_psd(Phi, term, bool(pf_type & PostFilterType.ZELINSKI1_REAL))
-    de = jnp.sum(jnp.real(jnp.diagonal(Phi, axis1=-2, axis2=-1)), axis=-1) / C
+    # The pair sum and trace are LINEAR in the CSD entries, so they commute
+    # with the EMA: smooth two reduced [T, F] series instead of the
+    # [T, F, C, C] matrices (identical math, C^2/2 x less scan state —
+    # the scan is the launch-bound stage on TPU).
+    pairs = [(i, j) for i in range(C) for j in range(C) if i < j]
+    d = jnp.abs(aligned) ** 2  # [T, F, C] per-channel PSDs
+    nu_seq = sum(
+        (aligned[..., i] * jnp.conj(aligned[..., j])
+         - 0.5 * R[..., i, j] * (d[..., i] + d[..., j]))
+        / (1.0 - R[..., i, j])
+        for i, j in pairs
+    )
+    de_seq = jnp.sum(d, axis=-1) / C
+    nu_s = _ema_scan(nu_seq, alpha)
+    nu = jnp.real(nu_s) if pf_type & PostFilterType.ZELINSKI1_REAL else jnp.abs(nu_s)
+    nu = 2.0 * nu / (C * (C - 1.0))
+    de = _ema_scan(de_seq, alpha)
     W = jnp.clip(nu / de, SPECTRAL_FLOOR, 1.0)
+    # pre-increment counter gate: apply iff t > min (postfilter.cc:889)
     t = jnp.arange(Y.shape[-2])
-    W = jnp.where((t >= min_frames)[:, None], W, 1.0)
+    W = jnp.where((t > min_frames)[:, None], W, 1.0)
     return Y * W.astype(Y.dtype)
 
 
@@ -220,21 +241,33 @@ def lefkimmiatis_postfilter(
     from .beamforming import _pinv_hermitian
 
     aligned = _time_align(wq, X)
-    Phi = _csd_scan(aligned, alpha)
+    C = X.shape[-1]
 
     Rc = _clamp_Rij_mccowan(Gamma, threshold_Rij)
-
-    def clean_term(phi, phi_ii, phi_jj):
-        return (phi - 0.5 * Rc * (phi_ii + phi_jj)) / (1.0 - Rc)
-
     Rn = _clamp_Rij_lefk(Gamma, threshold_Rij)
 
-    def noise_term(phi, phi_ii, phi_jj):
-        return (0.5 * (phi_ii + phi_jj) - phi) / (1.0 - Rn)
-
+    # reduced-series EMA (see mccowan_postfilter): both PSD estimates are
+    # linear functionals of the CSD matrix
+    pairs = [(i, j) for i in range(C) for j in range(C) if i < j]
+    d = jnp.abs(aligned) ** 2
+    ss_seq = sum(
+        (aligned[..., i] * jnp.conj(aligned[..., j])
+         - 0.5 * Rc[..., i, j] * (d[..., i] + d[..., j]))
+        / (1.0 - Rc[..., i, j])
+        for i, j in pairs
+    )
+    vv_seq = sum(
+        (0.5 * (d[..., i] + d[..., j])
+         - aligned[..., i] * jnp.conj(aligned[..., j]))
+        / (1.0 - Rn[..., i, j])
+        for i, j in pairs
+    )
     real_mode = bool(pf_type & PostFilterType.ZELINSKI1_REAL)
-    phi_ss = _avg_pair_psd(Phi, clean_term, real_mode)
-    phi_vv = _avg_pair_psd(Phi, noise_term, real_mode)
+    norm = 2.0 / (C * (C - 1.0))
+    ss_s = _ema_scan(ss_seq, alpha)
+    vv_s = _ema_scan(vv_seq, alpha)
+    phi_ss = (jnp.real(ss_s) if real_mode else jnp.abs(ss_s)) * norm
+    phi_vv = (jnp.real(vv_s) if real_mode else jnp.abs(vv_s)) * norm
 
     invR = _pinv_hermitian(Gamma, min_sv)
     tmp = ceinsum("fji,fj->fi", jnp.conj(invR), wq)
@@ -245,8 +278,9 @@ def lefkimmiatis_postfilter(
     use_lambda = jnp.arange(F) >= fbin_no1
     phi_nn = jnp.where(use_lambda, phi_vv / lam_v, phi_vv)
     W = jnp.clip(phi_ss / (phi_ss + phi_nn), SPECTRAL_FLOOR, 1.0)
+    # pre-increment counter gate: apply iff t > min (postfilter.cc:1148)
     t = jnp.arange(Y.shape[-2])
-    W = jnp.where((t >= min_frames)[:, None], W, 1.0)
+    W = jnp.where((t > min_frames)[:, None], W, 1.0)
     return Y * W.astype(Y.dtype)
 
 
@@ -346,9 +380,12 @@ def wiener_filter(
             pn = alpha * pn_prev + (1 - alpha) * pn_t
             return (ps, pn), (ps, pn)
 
-        (_, _), (Ps_s, Pn_s) = jax.lax.scan(step, (Ps[0], Pn[0]), (Ps[1:], Pn[1:]))
-        Ps = jnp.concatenate([Ps[:1], Ps_s], axis=0)
-        Pn = jnp.concatenate([Pn[:1], Pn_s], axis=0)
+        # smoothing engages on the THIRD frame: the reference's
+        # ``frame_no_ > 0`` reads the pre-increment counter
+        # (spectralsubtraction.cc:323-326) — round-3 parity fix
+        (_, _), (Ps_s, Pn_s) = jax.lax.scan(step, (Ps[1], Pn[1]), (Ps[2:], Pn[2:]))
+        Ps = jnp.concatenate([Ps[:2], Ps_s], axis=0)
+        Pn = jnp.concatenate([Pn[:2], Pn_s], axis=0)
 
     H = Ps / (Ps + beta * Pn)
     out = St * H.astype(St.dtype)

@@ -110,11 +110,22 @@ def _i_pow(n: int) -> complex:
     return (1j) ** (n % 4)
 
 
+def _dc_weights(w: np.ndarray) -> np.ndarray:
+    """Bin 0 carries the fixed DC weights [1, 0, ...] — calc_steering_unit_
+    computes every modal beamformer's bin-0 weights with calcDCWeights
+    (modalbeamformer.cc:226-239, 744-745), not calc_weights_."""
+    w[0] = 0.0
+    w[0, 0] = 1.0
+    return w
+
+
 def spherical_ds_weights(max_order: int, b: np.ndarray, theta: float, phi: float,
-                         normalize: bool = False, wgain: float = 1.0) -> np.ndarray:
+                         normalize: bool = False, wgain: float = 1.0,
+                         dc_bin0: bool = True) -> np.ndarray:
     """Spherical D&S weights per bin
     (SphericalDSBeamformer::calc_weights_, modalbeamformer.cc:1045-1082):
-    ``w = conj(4 pi Y_n^m(look) conj(i^n b_n))``.  ``b``: [F, max_order].
+    ``w = conj(4 pi Y_n^m(look) conj(i^n b_n))``.  ``b``: [F, max_order];
+    row 0 is the DC bin and gets the fixed calcDCWeights row.
     Returns [F, dim]."""
     F = b.shape[0]
     dim = max_order * max_order
@@ -124,12 +135,13 @@ def spherical_ds_weights(max_order: int, b: np.ndarray, theta: float, phi: float
         w[:, idx] = np.conj(4 * np.pi * Y * np.conj(_i_pow(n) * b[:, n]))
     if normalize:
         w *= wgain / np.maximum(np.linalg.norm(w, axis=-1, keepdims=True), 1e-20)
-    return w
+    return _dc_weights(w) if dc_bin0 else w
 
 
 def eigen_weights(max_order: int, b: np.ndarray, theta: float, phi: float,
                   num_sensors: int, sigma2: float = 0.01,
-                  normalize: bool = False, wgain: float = 1.0) -> np.ndarray:
+                  normalize: bool = False, wgain: float = 1.0,
+                  dc_bin0: bool = True) -> np.ndarray:
     """HMDI eigenbeamformer weights (EigenBeamformer::calc_weights_,
     modalbeamformer.cc:330-374; S. Yan):
     ``w = 4 pi conj(Y(look)) i^n b_n / (dim C (|b_n|^2 + sigma^2))``."""
@@ -143,7 +155,7 @@ def eigen_weights(max_order: int, b: np.ndarray, theta: float, phi: float,
         w[:, idx] = 4 * np.pi * YmnA * (_i_pow(n) * bn) / (norm * (np.abs(bn) ** 2 + sigma2))
     if normalize:
         w *= wgain / np.maximum(np.linalg.norm(w, axis=-1, keepdims=True), 1e-20)
-    return w
+    return _dc_weights(w) if dc_bin0 else w
 
 
 def hwnc_weights(max_order: int, b: np.ndarray, theta: float, phi: float,

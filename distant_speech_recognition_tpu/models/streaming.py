@@ -162,6 +162,15 @@ class _AECState(NamedTuple):
     R: jax.Array  # [C, F] complex64
 
 
+class _KalmanAECState(NamedTuple):
+    """Per-channel scalar-Kalman echo-canceller state
+    (KalmanFilterEchoCancellationFeature, aec.cc:118-164)."""
+
+    R: jax.Array  # [C, F] complex64
+    sigma2_v: jax.Array  # [C, F] float32
+    K_k: jax.Array  # [C, F] float32
+
+
 class _WPEState(NamedTuple):
     """WPE streaming-apply state: the last ``P-1`` input (post-AEC) frames —
     the lag-window reach of the reference's apply ring
@@ -181,13 +190,15 @@ def _zelinski_step_factory(wq_manifold, pf_alpha, pf_type, pf_min_frames):
         Xt, Y = inputs
         aligned = jnp.conj(wq_manifold) * Xt
         P = aligned[:, :, None] * jnp.conj(aligned)[:, None, :]
-        phi = jnp.where(state.t > 0, pf_alpha * state.phi + (1.0 - pf_alpha) * P, P)
+        # reference: smoothing from the third call, apply from min+1
+        # (pre-increment frame_no_, postfilter.cc:424-473)
+        phi = jnp.where(state.t > 1, pf_alpha * state.phi + (1.0 - pf_alpha) * P, P)
         csd_sum = jnp.sum(jnp.where(pair, phi, 0), axis=(-2, -1))
         num = jnp.maximum(jnp.real(csd_sum), 0.0) if real_mode else jnp.abs(csd_sum)
         den = jnp.sum(jnp.real(jnp.diagonal(phi, axis1=-2, axis2=-1)), axis=-1)
         ratio = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
         W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
-        out = jnp.where(state.t >= pf_min_frames, Y * W.astype(Y.dtype), Y)
+        out = jnp.where(state.t > pf_min_frames, Y * W.astype(Y.dtype), Y)
         return _CSDState(phi=phi, t=state.t + 1), out
 
     return step
@@ -210,8 +221,8 @@ class StreamingEnhancer:
             raise ValueError(f"streaming supports none|zelinski, got {cfg.postfilter}")
         if cfg.beamformer not in ("ds", "sd_mvdr", "gsc_lms", "gsc_rls"):
             raise ValueError(f"unsupported streaming beamformer {cfg.beamformer}")
-        if cfg.aec not in ("none", "nlms"):
-            raise ValueError(f"streaming supports aec none|nlms, got {cfg.aec}")
+        if cfg.aec not in ("none", "nlms", "kalman"):
+            raise ValueError(f"streaming supports aec none|nlms|kalman, got {cfg.aec}")
         self.cfg = cfg
         self.p = cfg.fb
         self.h = np.asarray(h, np.float32)
@@ -266,16 +277,28 @@ class StreamingEnhancer:
             if cfg.postfilter == "zelinski"
             else None
         )
-        self.aec_state = (
-            _AECState(R=jnp.zeros((C, F), jnp.complex64))
-            if cfg.aec == "nlms"
-            else None
-        )
-        # WPE streaming is APPLY-ONLY, like the reference: filters must be
+        if cfg.aec == "nlms":
+            self.aec_state = _AECState(R=jnp.zeros((C, F), jnp.complex64))
+        elif cfg.aec == "kalman":
+            # (beta, sigma2) ride the same config fields the pipeline maps
+            # them to (PipelineConfig.aec_delta / aec_epsilon)
+            self.aec_state = _KalmanAECState(
+                R=jnp.zeros((C, F), jnp.complex64),
+                sigma2_v=jnp.full((C, F), cfg.aec_epsilon, jnp.float32),
+                K_k=jnp.full((C, F), cfg.aec_epsilon, jnp.float32),
+            )
+        else:
+            self.aec_state = None
+        # WPE streaming default is APPLY-ONLY, like the reference: filters
         # estimated beforehand (estimate_filter() protocol,
         # test_subband_dereverberator.py:73-84) and set via set_wpe_filters.
+        # enable_wpe_reestimation() adds the TPU-native block-online upgrade:
+        # periodic re-estimation from a carried context of recent frames.
         self._wpe_G = None
         self.wpe_state = None
+        self._wpe_reest = None  # (context_frames, every_chunks) when enabled
+        self._wpe_ctx = None  # np [C, n, F] recent post-AEC frames
+        self._wpe_chunks = 0
         if cfg.wpe:
             P = cfg.wpe_upper - cfg.wpe_lower + 1
             self._wpe_P = P
@@ -283,7 +306,7 @@ class StreamingEnhancer:
                 hist=jnp.zeros((C, max(P - 1, 1), F), jnp.complex64),
                 t=jnp.asarray(0, jnp.int32),
             )
-        if cfg.aec == "nlms":
+        if cfg.aec in ("nlms", "kalman"):
             self.pa_state = analysis_init(self.p)  # far-end analysis history
             self._psample_buf = np.zeros(0, np.float32)
             self._pframe_buf = None
@@ -300,8 +323,10 @@ class StreamingEnhancer:
 
     # ------------------------------------------------------------------
     def set_wpe_filters(self, G) -> None:
-        """Set pre-estimated WPE prediction filters ``G [C, F, C*P]``
-        (models.dereverberation.wpe_estimate) for the streaming apply."""
+        """Set (or replace) WPE prediction filters ``G [C, F, C*P]``
+        (models.dereverberation.wpe_estimate) for the streaming apply.  The
+        filters are a traced argument of the jitted chunk function, so
+        swapping them (e.g. block-online re-estimation) does NOT recompile."""
         if not self.cfg.wpe:
             raise ValueError("cfg.wpe is off")
         G = jnp.asarray(G, jnp.complex64)
@@ -309,30 +334,48 @@ class StreamingEnhancer:
         if CP != self._C * self._wpe_P or C != self._C or F != self._F:
             raise ValueError(f"expected G [{self._C}, {self._F}, "
                              f"{self._C * self._wpe_P}], got {G.shape}")
+        # reference apply-ring quirk: taps p >= P - lowerN never contribute
+        # (models.dereverberation.wpe_apply)
+        lower, P = self.cfg.wpe_lower, self._wpe_P
+        if lower > 0:
+            tap_ok = np.tile(np.arange(P) < P - lower, self._C)
+            G = G * jnp.asarray(tap_ok.astype(np.complex64))
         self._wpe_G = G
-        self._mid = self._build_mid()
+
+    def enable_wpe_reestimation(self, context_frames: int = 512,
+                                every_chunks: int = 4) -> None:
+        """Block-online WPE (TPU-native upgrade over the reference's
+        buffer-then-apply design, dereverberation.cc:214-275): every
+        ``every_chunks`` chunks, re-estimate the prediction filters from the
+        last ``context_frames`` post-AEC subband frames and swap them into
+        the (unchanged, already-compiled) apply path.  At a re-estimation
+        boundary the new filters equal ``wpe_estimate`` on exactly the
+        context window (tests/test_streaming.py)."""
+        if not self.cfg.wpe:
+            raise ValueError("cfg.wpe is off")
+        self._wpe_reest = (int(context_frames), int(every_chunks))
+        self._wpe_ctx = np.zeros((self._C, 0, self._F), np.complex64)
+        if self._wpe_G is None:
+            # start from zero filters (pure passthrough apply) until the
+            # first re-estimation boundary
+            self._wpe_G = jnp.zeros(
+                (self._C, self._F, self._C * self._wpe_P), jnp.complex64
+            )
 
     def _front_steps(self):
         """AEC + WPE half-band stages shared by both mid variants.
 
-        Returns ``front(aec_state, wpe_state, frames, pframes) ->
-        (aec_state, wpe_state, subh [C, T, F])``.
+        Returns ``front(aec_state, wpe_state, Gq, frames, pframes) ->
+        (aec_state, wpe_state, subh [C, T, F])`` where ``subh`` is the
+        post-AEC, post-WPE half-band chunk and ``Gq`` the (possibly zero)
+        apply filters.
         """
         cfg = self.cfg
         F = self._F
         lower = cfg.wpe_lower
         P = getattr(self, "_wpe_P", 1)
-        G = self._wpe_G
-        if G is not None:
-            # reference apply-ring quirk: taps p >= P - lowerN never
-            # contribute (models.dereverberation.wpe_apply)
-            Gq = np.asarray(G)
-            if lower > 0:
-                tap_ok = np.tile(np.arange(P) < P - lower, self._C)
-                Gq = Gq * tap_ok.astype(Gq.dtype)
-            Gq = jnp.asarray(Gq)
 
-        def front(aec_state, wpe_state, frames, pframes):
+        def front(aec_state, wpe_state, Gq, frames, pframes):
             subh = frames[..., :F]  # [C, T, F]
             if cfg.aec == "nlms":
                 Vh = pframes[..., :F]  # [T, F]
@@ -352,7 +395,34 @@ class StreamingEnhancer:
                 )
                 aec_state = _AECState(R=R)
                 subh = jnp.moveaxis(E, 0, 1)  # [C, T, F]
-            if cfg.wpe and G is not None:
+            elif cfg.aec == "kalman":
+                Vh = pframes[..., :F]  # [T, F]
+                beta, sigma2 = cfg.aec_delta, cfg.aec_epsilon
+                thr = cfg.aec_threshold
+
+                def kstep(s, inputs):
+                    Vk, Ak = inputs  # [F], [C, F]
+                    Ek = Ak - s.R * Vk
+                    gate = jnp.abs(Vk) ** 2 > thr
+                    sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
+                    K_k_k1 = s.K_k + sigma2
+                    sigma2_s = jnp.abs(Vk) ** 2 * K_k_k1 + sigma2_v
+                    Gk = jnp.conj(Vk) * (K_k_k1 / sigma2_s)
+                    R_new = s.R + Gk * Ek
+                    K_new = (1.0 - K_k_k1 * jnp.abs(Vk) ** 2 / sigma2_s) * K_k_k1
+                    s_new = _KalmanAECState(
+                        R=jnp.where(gate, R_new, s.R),
+                        sigma2_v=jnp.where(gate, sigma2_v, s.sigma2_v),
+                        K_k=jnp.where(gate, K_new, s.K_k),
+                    )
+                    return s_new, Ek
+
+                aec_state, E = jax.lax.scan(
+                    kstep, aec_state, (Vh, jnp.moveaxis(subh, 1, 0))
+                )
+                subh = jnp.moveaxis(E, 0, 1)  # [C, T, F]
+            subh_pre = subh  # post-AEC, pre-WPE (the re-estimation context)
+            if cfg.wpe:
                 C = subh.shape[0]
                 T = subh.shape[1]
                 yy = jnp.concatenate([wpe_state.hist, subh], axis=1)
@@ -377,7 +447,7 @@ class StreamingEnhancer:
                 wpe_state = _WPEState(
                     hist=yy[:, -max(P - 1, 1):], t=wpe_state.t + T
                 )
-            return aec_state, wpe_state, subh
+            return aec_state, wpe_state, subh, subh_pre
 
         return front
 
@@ -400,9 +470,12 @@ class StreamingEnhancer:
                 else _rls_step_factory(cfg.rls, wqH, BmH)
             )
 
-            def mid(g_state, pf_state, s_state, aec_state, wpe_state, frames, pframes):
+            def mid(g_state, pf_state, s_state, aec_state, wpe_state, Gq,
+                    frames, pframes):
                 # frames: [C, T, M] -> Y blocks [T * D]
-                aec_state, wpe_state, subh = front(aec_state, wpe_state, frames, pframes)
+                aec_state, wpe_state, subh, subh_pre = front(
+                    aec_state, wpe_state, Gq, frames, pframes
+                )
                 X = jnp.moveaxis(subh, 0, -1)  # [T, F, C]
                 energy = bf.frame_energy_half(X[..., 0], M).astype(jnp.float32)
 
@@ -417,11 +490,14 @@ class StreamingEnhancer:
                 (g_state, pf_state), Y = jax.lax.scan(step, (g_state, pf_state), (X, energy))
                 Yfull = hermitian_mirror(Y, M)
                 s_state, y = streaming_synthesis(s_state, Yfull, self.g, self.p)
-                return g_state, pf_state, s_state, aec_state, wpe_state, y
+                return g_state, pf_state, s_state, aec_state, wpe_state, y, subh_pre
         else:
 
-            def mid(g_state, pf_state, s_state, aec_state, wpe_state, frames, pframes):
-                aec_state, wpe_state, subh = front(aec_state, wpe_state, frames, pframes)
+            def mid(g_state, pf_state, s_state, aec_state, wpe_state, Gq,
+                    frames, pframes):
+                aec_state, wpe_state, subh, subh_pre = front(
+                    aec_state, wpe_state, Gq, frames, pframes
+                )
                 X = jnp.moveaxis(subh, 0, -1)  # [T, F, C]
                 Y = bf.apply_weights(wqH, X)
                 if pf_step is not None:
@@ -432,7 +508,7 @@ class StreamingEnhancer:
                     pf_state, Y = jax.lax.scan(step, pf_state, (X, Y))
                 Yfull = hermitian_mirror(Y, M)
                 s_state, y = streaming_synthesis(s_state, Yfull, self.g, self.p)
-                return g_state, pf_state, s_state, aec_state, wpe_state, y
+                return g_state, pf_state, s_state, aec_state, wpe_state, y, subh_pre
 
         return jax.jit(mid)
 
@@ -444,7 +520,38 @@ class StreamingEnhancer:
         D = self.p.D
         outs = []
         valid = 0
-        use_play = self.cfg.aec == "nlms"
+        use_play = self.cfg.aec in ("nlms", "kalman")
+        # wpe off: a scalar dummy keeps the jitted signature stable
+        Gq = self._wpe_G if self.cfg.wpe else jnp.zeros((), jnp.complex64)
+
+        def run_chunk(chunk, pchunk):
+            nonlocal Gq
+            (self.g_state, self.pf_state, self.s_state, self.aec_state,
+             self.wpe_state, y, subh_pre) = self._mid(
+                self.g_state, self.pf_state, self.s_state, self.aec_state,
+                self.wpe_state, Gq, chunk, pchunk
+            )
+            if self._wpe_reest is not None:
+                ctx_n, every = self._wpe_reest
+                self._wpe_ctx = np.concatenate(
+                    [self._wpe_ctx, np.asarray(subh_pre)], axis=1
+                )[:, -ctx_n:]
+                self._wpe_chunks += 1
+                lower = self.cfg.wpe_lower
+                if (self._wpe_chunks % every == 0
+                        and self._wpe_ctx.shape[1] > 4 * self._wpe_P + lower):
+                    from .dereverberation import _mask_G, wpe_estimate
+
+                    G = wpe_estimate(
+                        jnp.asarray(self._wpe_ctx), lower, self.cfg.wpe_upper,
+                        self.cfg.wpe_iterations,
+                    )
+                    if self.cfg.wpe_band_width > 0:
+                        G = _mask_G(G, self._F, self.cfg.wpe_band_width,
+                                    self.cfg.samplerate)
+                    self.set_wpe_filters(G)
+                    Gq = self._wpe_G
+            return y
 
         def n_ready():
             n = 0 if self._frame_buf is None else self._frame_buf.shape[1]
@@ -476,22 +583,12 @@ class StreamingEnhancer:
 
         while n_ready() >= self.Tc:
             chunk, pchunk = pop(self.Tc)
-            (self.g_state, self.pf_state, self.s_state, self.aec_state,
-             self.wpe_state, y) = self._mid(
-                self.g_state, self.pf_state, self.s_state, self.aec_state,
-                self.wpe_state, chunk, pchunk
-            )
-            outs.append(np.asarray(y))
+            outs.append(np.asarray(run_chunk(chunk, pchunk)))
             valid += self.Tc * D
         n_left = n_ready()
         if force and n_left:
             chunk, pchunk = pop(n_left, pad_to=self.Tc)
-            (self.g_state, self.pf_state, self.s_state, self.aec_state,
-             self.wpe_state, y) = self._mid(
-                self.g_state, self.pf_state, self.s_state, self.aec_state,
-                self.wpe_state, chunk, pchunk
-            )
-            outs.append(np.asarray(y))
+            outs.append(np.asarray(run_chunk(chunk, pchunk)))
             valid += n_left * D
         if not outs:
             return np.zeros(0, np.float32)
@@ -512,9 +609,9 @@ class StreamingEnhancer:
                 "estimate_filter() protocol — streaming WPE is apply-only)"
             )
         x = np.asarray(x, np.float32)
-        if self.cfg.aec == "nlms":
+        if self.cfg.aec in ("nlms", "kalman"):
             if play is None:
-                raise ValueError("cfg.aec='nlms' requires the far-end `play`")
+                raise ValueError(f"cfg.aec={self.cfg.aec!r} requires the far-end `play`")
             play = np.asarray(play, np.float32).ravel()
             if play.shape[0] != x.shape[1]:
                 raise ValueError("play must have the same length as x")
@@ -537,7 +634,7 @@ class StreamingEnhancer:
                     if self._frame_buf is None
                     else np.concatenate([self._frame_buf, frames], axis=1)
                 )
-            if self.cfg.aec == "nlms":
+            if self.cfg.aec in ("nlms", "kalman"):
                 pchunk = self._psample_buf[: n_blocks * D]
                 self._psample_buf = self._psample_buf[n_blocks * D :]
                 self.pa_state, pframes = streaming_analysis(
@@ -565,7 +662,8 @@ class StreamingEnhancer:
         D = self.p.D
         resid = self._sample_buf.shape[1]
         pad = (D - resid % D) % D + self.p.analysis_delay * D
-        pplay = np.zeros(pad, np.float32) if self.cfg.aec == "nlms" else None
+        pplay = (np.zeros(pad, np.float32)
+                 if self.cfg.aec in ("nlms", "kalman") else None)
         out = self.process(np.zeros((self._C, pad), np.float32), pplay)
         self._flushed = True
         tail = self._run_frames(force=True)
@@ -587,10 +685,13 @@ class StreamingEnhancer:
             "skip_blocks": self._skip_blocks,
             "aec_state": dev(self.aec_state) if self.aec_state is not None else None,
             "wpe_state": dev(self.wpe_state) if self.wpe_state is not None else None,
-            "pa_state": dev(self.pa_state) if self.cfg.aec == "nlms" else None,
-            "psample_buf": self._psample_buf if self.cfg.aec == "nlms" else None,
-            "pframe_buf": self._pframe_buf if self.cfg.aec == "nlms" else None,
-            "pskip_frames": self._pskip_frames if self.cfg.aec == "nlms" else None,
+            "pa_state": dev(self.pa_state) if self.cfg.aec in ("nlms", "kalman") else None,
+            "psample_buf": self._psample_buf if self.cfg.aec in ("nlms", "kalman") else None,
+            "pframe_buf": self._pframe_buf if self.cfg.aec in ("nlms", "kalman") else None,
+            "pskip_frames": self._pskip_frames if self.cfg.aec in ("nlms", "kalman") else None,
+            "wpe_G": None if self._wpe_G is None else np.asarray(self._wpe_G),
+            "wpe_ctx": self._wpe_ctx,
+            "wpe_chunks": self._wpe_chunks,
         }
 
     def restore(self, snap: dict) -> None:
@@ -607,7 +708,8 @@ class StreamingEnhancer:
         self._skip_frames = int(snap["skip_frames"])
         self._skip_blocks = int(snap["skip_blocks"])
         if snap.get("aec_state") is not None:
-            self.aec_state = _AECState(*map(jnp.asarray, snap["aec_state"]))
+            acls = type(self.aec_state)
+            self.aec_state = acls(*map(jnp.asarray, snap["aec_state"]))
         if snap.get("wpe_state") is not None:
             self.wpe_state = _WPEState(*map(jnp.asarray, snap["wpe_state"]))
         if snap.get("pa_state") is not None:
@@ -616,4 +718,9 @@ class StreamingEnhancer:
             pf = snap["pframe_buf"]
             self._pframe_buf = None if pf is None else np.asarray(pf)
             self._pskip_frames = int(snap["pskip_frames"])
+        if snap.get("wpe_G") is not None:
+            self._wpe_G = jnp.asarray(snap["wpe_G"])
+        if snap.get("wpe_ctx") is not None:
+            self._wpe_ctx = np.asarray(snap["wpe_ctx"])
+            self._wpe_chunks = int(snap.get("wpe_chunks", 0))
         self._flushed = False

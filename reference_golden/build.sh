@@ -25,6 +25,7 @@ COMMON_SRCS="$REF/stream/stream.cc \
 g++ $CXXFLAGS -o "$OUT/golden_main" \
   drivers/golden_main.cc \
   $REF/beamformer/beamformer.cc \
+  $REF/beamformer/modalbeamformer.cc \
   $REF/beamformer/taylorseries.cc \
   $REF/beamformer/coefficients.cc \
   $REF/postfilter/postfilter.cc \

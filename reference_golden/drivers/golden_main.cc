@@ -31,6 +31,7 @@
 #include "beamformer/beamformer.h"
 #include "postfilter/postfilter.h"
 #include "dereverberation/dereverberation.h"
+#include "beamformer/modalbeamformer.h"
 #include "aec/aec.h"
 
 /* The python error bridge (common/jpython_error.cc) needs libpython; the
@@ -315,6 +316,186 @@ int main(int argc, char** argv) {
     OverSampledDFTSynthesisBankPtr sfb =
         new OverSampledDFTSynthesisBank(bfout, g, M, m, r, dc);
     drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
+  if (cmd == "mmi") {
+    /* mmi h.f64 g.f64 M m r dc fs delays2.f64 avgfactor fwidth masktype \
+     *     out.f32 in1.f32 [...]
+     * SubbandMMI, 2 sources, target 0 (beamformer.cc:1704-2278):
+     * calc_weights (per-source D&S mainlobes + blocking matrices),
+     * use_binary_mask, drain through synthesis.  delays2.f64 is [2, C]
+     * row-major. */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    gsl_vector* g = to_gsl(read_f64(argv[3]));
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double fs = atof(argv[8]);
+    std::vector<double> dl = read_f64(argv[9]);
+    double avgfactor = atof(argv[10]);
+    unsigned fwidth = atoi(argv[11]);
+    unsigned masktype = atoi(argv[12]);
+    const char* outfn = argv[13];
+    unsigned D = M >> r;
+    int argp = 14;
+    unsigned chanN = argc - argp;
+
+    gsl_matrix* delayMat = gsl_matrix_calloc(2, chanN);
+    for (unsigned srcX = 0; srcX < 2; srcX++)
+      for (unsigned c = 0; c < chanN; c++)
+        gsl_matrix_set(delayMat, srcX, c, dl[srcX * chanN + c]);
+
+    SubbandMMIPtr mmi = new SubbandMMI(M, false, 0, 2, 0, 0.9f);
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      mmi->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    mmi->calc_weights((float)fs, delayMat);
+    mmi->use_binary_mask((float)avgfactor, fwidth, masktype);
+
+    OverSampledDFTSynthesisBankPtr sfb = new OverSampledDFTSynthesisBank(
+        (VectorComplexFeatureStreamPtr&)mmi, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
+  if (cmd == "modal" || cmd == "modal_sub") {
+    /* modal     kind h.f64 g.f64 M m r dc fs maxorder sigma2 wgain theta phi \
+     *           out.f32 in1.f32 [... 32 channels]
+     * modal_sub kind h.f64 M m r dc fs maxorder sigma2 wgain theta phi \
+     *           out.c128 in1.f32 [...]
+     * Spherical-harmonic beamformers on the Eigenmike geometry
+     * (modalbeamformer.cc): kind = eigen | sphds (EigenBeamformer /
+     * SphericalDSBeamformer). */
+    std::string kind = argv[2];
+    int argp = 3;
+    gsl_vector* h = to_gsl(read_f64(argv[argp++]));
+    gsl_vector* g = NULL;
+    bool subband = (cmd == "modal_sub");
+    if (!subband) g = to_gsl(read_f64(argv[argp++]));
+    unsigned M = atoi(argv[argp]), m = atoi(argv[argp + 1]), r = atoi(argv[argp + 2]),
+             dc = atoi(argv[argp + 3]);
+    argp += 4;
+    double fs = atof(argv[argp++]);
+    unsigned maxorder = atoi(argv[argp++]);
+    double sigma2 = atof(argv[argp++]);
+    double wgain = atof(argv[argp++]);
+    double theta = atof(argv[argp++]);
+    double phi = atof(argv[argp++]);
+    const char* outfn = argv[argp++];
+    unsigned D = M >> r;
+
+    EigenBeamformerPtr bf;
+    if (kind == "eigen")
+      bf = new EigenBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+    else if (kind == "sphds")
+      bf = (EigenBeamformerPtr)new SphericalDSBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+    else { fprintf(stderr, "unknown modal kind %s\n", kind.c_str()); return 1; }
+    bf->set_sigma2((float)sigma2);
+    bf->set_weight_gain((float)wgain);
+
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      bf->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    bf->set_eigenmike_geometry();
+    bf->set_look_direction(theta, phi);
+
+    if (subband) {
+      FILE* fp = fopen(outfn, "wb");
+      for (;;) {
+        const gsl_vector_complex* Y;
+        try {
+          Y = bf->next();
+        } catch (jiterator_error&) {
+          break;
+        }
+        for (unsigned k = 0; k < M; k++) {
+          gsl_complex z = gsl_vector_complex_get(Y, k);
+          fwrite(z.dat, sizeof(double), 2, fp);
+        }
+      }
+      fclose(fp);
+      return 0;
+    }
+    OverSampledDFTSynthesisBankPtr sfb = new OverSampledDFTSynthesisBank(
+        (VectorComplexFeatureStreamPtr&)bf, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
+  if (cmd == "zelinski_sub") {
+    /* zelinski_sub h.f64 M m r dc fs delays.f64 alpha pftype minframes \
+     *             out.c128 in1.f32 [...]
+     * GSC + Zelinski postfilter SUBBAND output (no synthesis bank):
+     * localizes postfilter-domain deviations per frame/bin. */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned M = atoi(argv[3]), m = atoi(argv[4]), r = atoi(argv[5]), dc = atoi(argv[6]);
+    double fs = atof(argv[7]);
+    gsl_vector* delays = to_gsl(read_f64(argv[8]));
+    double alpha = atof(argv[9]); int pftype = atoi(argv[10]), minframes = atoi(argv[11]);
+    const char* outfn = argv[12];
+    unsigned D = M >> r;
+    int argp = 13;
+
+    SubbandGSCPtr beamformer = new SubbandGSC(M, false);
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      beamformer->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    beamformer->calc_gsc_weights((float)fs, delays);
+    VectorComplexFeatureStreamPtr bfout = (VectorComplexFeatureStreamPtr&)beamformer;
+    ZelinskiPostFilterPtr pf = new ZelinskiPostFilter(bfout, M, alpha, pftype, minframes);
+    SubbandDSPtr bfds = (SubbandDSPtr&)beamformer;
+    pf->set_beamformer(bfds);
+    FILE* fp = fopen(outfn, "wb");
+    /* optional: dump the snapshot array the postfilter reads (all bins x
+     * channels per frame) to <outfn>.snap for deviation localization */
+    char snapfn[4096];
+    snprintf(snapfn, sizeof(snapfn), "%s.snap", outfn);
+    FILE* sfp = fopen(snapfn, "wb");
+    unsigned chanN = beamformer->chanN();
+    for (;;) {
+      const gsl_vector_complex* Y;
+      try {
+        Y = pf->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned k = 0; k < M; k++) {
+        gsl_complex z = gsl_vector_complex_get(Y, k);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+      (void)chanN;
+      const gsl_vector_complex* wp1 =
+          beamformer->beamformer_weight_object(0)->wp1();
+      for (unsigned k = 0; k < M; k++) {
+        gsl_complex z = gsl_vector_complex_get(wp1, k);
+        fwrite(z.dat, sizeof(double), 2, sfp);
+      }
+    }
+    fclose(fp);
+    fclose(sfp);
     return 0;
   }
 

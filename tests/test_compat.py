@@ -264,7 +264,14 @@ def test_mccowan_compat_matches_batch_pipeline():
 
     assert y_compat.shape == y_batch.shape
     scale = max(1.0, np.max(np.abs(y_batch)))
-    np.testing.assert_allclose(y_compat / scale, y_batch / scale, atol=5e-4)
+    # The compat node replicates the reference's warm-up quirk (the upper
+    # half of non-applied frames stays zero, postfilter.cc:926-927) which
+    # the batch kernel deliberately does not; skip the synthesis reach of
+    # the single warm-up frame.
+    skip = (1 + P.m * P.R) * P.D
+    np.testing.assert_allclose(
+        y_compat[skip:] / scale, y_batch[skip:] / scale, atol=5e-4
+    )
 
 
 def test_mfcc_chain_compat():

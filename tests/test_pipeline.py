@@ -594,3 +594,38 @@ def test_sos_accumulation_timesharded_psum(rng):
     wq_ref = np.asarray(gev_weights(Rt_ref / T, Rn))
     wq_sh = np.asarray(gev_weights(Rt_sh / T, Rn))
     np.testing.assert_allclose(wq_sh, wq_ref, atol=1e-4)
+
+
+def test_time_major_chain_matches_vmap_path(protos, array_setup, rng):
+    """Round 3: the full-chain config (AEC -> WPE -> GSC-RLS -> Zelinski,
+    BASELINE config 4) now lowers through the time-major packed path; it must
+    match the vmap-of-per-utterance path (same step code, different layout)."""
+    import distant_speech_recognition_tpu.models.pipeline as pl
+
+    h, g = protos
+    mpos, delays = array_setup
+    x = (rng.standard_normal((2, C, 5000)) * 1500.0).astype(np.float32)
+    play = (rng.standard_normal((2, 5000)) * 1500.0).astype(np.float32)
+    for aec, wpe in (("nlms", True), ("kalman", False), ("none", True)):
+        cfg = PipelineConfig(
+            fb=FilterbankParams(M=M, m=m_, r=r_, delay_compensation_type=2),
+            beamformer="gsc_rls",
+            postfilter="zelinski",
+            pf_min_frames=2,
+            aec=aec,
+            wpe=wpe,
+            wpe_iterations=1,
+        )
+        from distant_speech_recognition_tpu.models.pipeline import path_flags
+
+        assert path_flags(cfg, C)["tm_chain"], (aec, wpe)
+        args = (x, play) if aec != "none" else (x,)
+        y_tm = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(*args))
+        pl.TIME_MAJOR = False
+        try:
+            y_vm = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(*args))
+        finally:
+            pl.TIME_MAJOR = True
+        np.testing.assert_allclose(
+            y_tm, y_vm, rtol=0, atol=2e-3 * np.abs(y_vm).max(), err_msg=f"{aec},{wpe}"
+        )

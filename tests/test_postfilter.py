@@ -24,7 +24,7 @@ def _golden_zelinski(X, wq, Y, alpha, real_mode, min_frames):
     out = Y.astype(complex).copy()
     csd = np.zeros((F, C, C), complex)  # upper triangle CSDs + diag PSDs
     for t in range(T):
-        a = alpha if t > 0 else 0.0
+        a = alpha if t > 1 else 0.0  # pre-increment frame_no_ > 0
         for f in range(F):
             y = np.conj(wq[f]) * X[t, f]
             ssum = 0.0 + 0j
@@ -44,7 +44,7 @@ def _golden_zelinski(X, wq, Y, alpha, real_mode, min_frames):
                 csd[f, i, i] = est
                 den += est
             W = np.clip((num / den) * 2.0 / (C - 1.0), SPECTRAL_FLOOR, 1.0)
-            if t >= min_frames:
+            if t > min_frames:  # NO_USE gate reads frame_no_ = t-1
                 out[t, f] = Y[t, f] * W
     return out
 
@@ -72,7 +72,7 @@ def test_mccowan_matches_golden(rng):
     out = Y.astype(complex).copy()
     csd = np.zeros((F, C, C), complex)
     for t in range(T):
-        a = alpha if t > 0 else 0.0
+        a = alpha if t > 1 else 0.0  # pre-increment frame_no_ > 0
         for f in range(F):
             y = np.conj(wq[f]) * X[t, f]
             for i in range(C - 1):
@@ -100,7 +100,8 @@ def test_mccowan_matches_golden(rng):
                     ssum += nu / (1 - Rij)
             nu_avg = 2.0 * ssum.real / (C * (C - 1.0))
             W = np.clip(nu_avg / den, SPECTRAL_FLOOR, 1.0)
-            out[t, f] = Y[t, f] * W
+            if t > 0:  # apply gate reads frame_no_ = t-1 (min_frames=0)
+                out[t, f] = Y[t, f] * W
     np.testing.assert_allclose(ours, out, atol=3e-5)
 
 
@@ -133,7 +134,7 @@ def test_wiener_filter_golden(rng):
     ps = np.zeros(F); pn = np.zeros(F)
     golden = np.zeros((T, F), complex)
     for t in range(T):
-        a = alpha if t > 0 else 0.0
+        a = alpha if t > 1 else 0.0  # pre-increment frame_no_ > 0
         cps = np.abs(St[t]) ** 2
         cpn = np.maximum(np.abs(Nt[t]) ** 2, floor)
         ps = a * ps + (1 - a) * cps

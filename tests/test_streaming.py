@@ -189,3 +189,88 @@ def test_streaming_full_chain_aec_wpe_matches_batch():
     n = min(len(stream), len(batch))
     assert n >= len(batch) - P.D
     np.testing.assert_allclose(stream[:n], batch[:n], atol=2e-4)
+
+
+def test_streaming_kalman_aec_matches_batch():
+    """Round 3: the scalar-Kalman echo canceller carried in the chunk scan
+    matches the batch pipeline, chunk-size independently (the per-frame
+    recursion is identical, aec.cc:118-164)."""
+    h, g = _protos()
+    C, T = 3, 3500
+    x = _signal(C=C, T=T)
+    rng = np.random.default_rng(13)
+    play = (rng.standard_normal(T) * 0.5).astype(np.float32)
+    x = x + 0.6 * np.roll(play, 5)[None, :]
+    mpos = np.stack([np.arange(C) * 100.0, np.zeros(C), np.zeros(C)], axis=1)
+    delays = np.arange(C) * 1e-5
+    cfg = PipelineConfig(
+        fb=P, beamformer="gsc_rls", postfilter="zelinski",
+        aec="kalman", aec_delta=0.95, aec_epsilon=1e-3, aec_threshold=1e-6,
+    )
+    batch = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(
+        jnp.asarray(x[None]), jnp.asarray(play[None])
+    ))[0]
+
+    for chunks in ([900, 2600], [333, 17, 2000, 64, 1086]):
+        se = StreamingEnhancer(cfg, mpos, delays, h, g, frames_per_chunk=16)
+        outs = []
+        pos = 0
+        for n in chunks:
+            outs.append(se.process(x[:, pos : pos + n], play[pos : pos + n]))
+            pos += n
+        outs.append(se.process(x[:, pos:], play[pos:]))
+        outs.append(se.flush())
+        stream = np.concatenate(outs)
+        n = min(len(stream), len(batch))
+        assert n >= len(batch) - P.D
+        np.testing.assert_allclose(stream[:n], batch[:n], atol=2e-4)
+
+
+def test_streaming_wpe_reestimation():
+    """Block-online WPE: at a re-estimation boundary the swapped-in filters
+    equal wpe_estimate on exactly the carried context window, and the
+    enhanced stream stays finite/valid."""
+    from distant_speech_recognition_tpu.models.dereverberation import wpe_estimate
+
+    h, g = _protos()
+    C, T = 2, 4096
+    x = _signal(C=C, T=T, seed=21)
+    # synthetic reverberation so WPE has something to estimate
+    tail = np.zeros(200)
+    tail[60] = 0.5
+    tail[120] = 0.3
+    x = np.stack([
+        np.convolve(xi, np.r_[1.0, tail])[: T] for xi in x
+    ]).astype(np.float32)
+    mpos = np.stack([np.arange(C) * 100.0, np.zeros(C), np.zeros(C)], axis=1)
+    delays = np.arange(C) * 1e-5
+    cfg = PipelineConfig(
+        fb=P, beamformer="ds", postfilter="none",
+        wpe=True, wpe_lower=1, wpe_upper=3, wpe_iterations=2,
+    )
+
+    every, ctx_frames, tc = 3, 96, 16
+    se = StreamingEnhancer(cfg, mpos, delays, h, g, frames_per_chunk=tc)
+    se.enable_wpe_reestimation(context_frames=ctx_frames, every_chunks=every)
+    outs = [se.process(x)]
+    outs.append(se.flush())
+    stream = np.concatenate(outs)
+    assert np.isfinite(stream).all() and len(stream) > 0
+
+    # the last filters must equal a direct wpe_estimate on the final context
+    assert se._wpe_ctx.shape[1] == ctx_frames
+    n_boundary_chunks = (se._wpe_chunks // every) * every
+    # reconstruct the context at the LAST boundary: frames seen in the first
+    # n_boundary_chunks chunks, tail ctx_frames of them
+    from distant_speech_recognition_tpu.ops.filterbank import analysis_half
+
+    subh = np.asarray(analysis_half(jnp.asarray(x), jnp.asarray(h, jnp.float32), P))
+    n_seen = n_boundary_chunks * tc
+    ctx = subh[:, max(0, n_seen - ctx_frames) : n_seen, :]
+    G_direct = np.asarray(wpe_estimate(jnp.asarray(ctx), 1, 3, 2))
+    # apply the same tap-quirk mask set_wpe_filters applies
+    Pn = 3 - 1 + 1
+    tap_ok = np.tile(np.arange(Pn) < Pn - 1, C)
+    G_direct = G_direct * tap_ok
+    # float32 streamed-analysis vs batch-analysis rounding
+    np.testing.assert_allclose(np.asarray(se._wpe_G), G_direct, rtol=2e-4, atol=3e-5)
