@@ -137,6 +137,35 @@ def main():
     if stages is not None:
         out["stages"] = stages
 
+    # Freq-sharded layout cost (VERDICT r2 weakness #4): the multi-chip TM
+    # branch runs the complex [Tf, B, F, C] snapshot layout without the
+    # packed Pallas kernels; measuring it on ONE chip records the per-chip
+    # penalty the multi-chip path pays relative to the packed path.
+    # BENCH_SHARDED=0 skips it.
+    if os.environ.get("BENCH_SHARDED", "1") != "0":
+        from jax.sharding import Mesh
+
+        from distant_speech_recognition_tpu.parallel import tm_snapshot_sharding
+
+        Bs = int(os.environ.get("BENCH_SHARDED_BATCH", "512"))
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("batch", "freq"))
+        fns = build_pipeline(
+            cfg, mpos, delays, h, g, bin_sharding=tm_snapshot_sharding(mesh1)
+        )
+        xs_ = jax.device_put(x[:Bs])
+        float(reduce(fns(xs_)))  # compile + warm
+        t0 = time.perf_counter()
+        ys = [fns(xs_) for _ in range(3)]
+        for y in ys:
+            float(reduce(y))
+        dts = (time.perf_counter() - t0) / 3
+        del ys, fns, xs_
+        out["sharded_layout"] = {
+            "value": round(Bs * secs / dts / n_chips, 2),
+            "batch": Bs,
+            "note": "freq-sharded TM branch (complex snapshots, no Pallas) on 1 chip",
+        }
+
     # Config-4 (the hardest chain: NLMS-AEC -> multichannel WPE -> GSC-RLS ->
     # Zelinski), on the same time-major fast path — recorded alongside the
     # north-star number so the full chain has a driver-captured figure
@@ -212,6 +241,12 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
 
     fb = cfg.fb
     M, m, fs = fb.M, fb.m, cfg.samplerate
+    # Cap the stage batch: stage timing holds one full-size intermediate plus
+    # two in-flight results; at B=1024 the analysis output alone is 5.2 GB
+    # and the timing loop exhausted HBM.  Roofline FRACTIONS are what this
+    # records; 512 utterances keep every stage well past the latency floor.
+    if int(xd.shape[0]) > 512:
+        xd = xd[:512]
     B, C, T = xd.shape
     # Weight math on the CPU backend: the axon TPU backend both rejects some
     # eager complex ops AND cannot fetch complex arrays back to the host

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,7 @@ __all__ = [
     "energy_hangover_machine",
     "power_spectrum_metric",
     "normalized_energy_metric",
+    "energy_vad_metric",
     "brightness",
     "energy_diffusion",
     "band_energy_ratio",
@@ -121,6 +123,81 @@ def energy_hangover_machine(above: jax.Array, head_n: int = 4, tail_n: int = 10)
     init = (jnp.asarray(False), jnp.asarray(0), jnp.asarray(0))
     _, out = jax.lax.scan(step, init, above)
     return out
+
+
+def energy_vad_metric(
+    frames: jax.Array,
+    initial_energy: float = 5.0e7,
+    threshold: float = 0.5,
+    head_n: int = 4,
+    tail_n: int = 10,
+    energies_n: int = 200,
+):
+    """EnergyVADMetric: percentile-tracked noise-floor energy detector with
+    the head/tail hangover machine (sad.cc:301-366, 555-600).
+
+    Per frame: energy = sum of squares; compare against the
+    ``threshold``-quantile of a sliding buffer of ``energies_n`` past noise
+    energies (initialized to ``initial_energy``); the buffer only absorbs
+    frames while fully out of speech (recognizing false AND no head count),
+    exactly as ``above_threshold_`` does.  ``frames``: [T, D] float sample
+    blocks.  Returns the per-frame metric (1.0 / 0.0, sad.cc:555-600).
+    """
+    median_x = int(threshold * energies_n)
+    e = jnp.sum(jnp.asarray(frames, jnp.float32) ** 2, axis=-1)
+
+    class S(NamedTuple):
+        energies: jax.Array  # [energies_n]
+        above_n: jax.Array  # int32
+        below_n: jax.Array  # int32
+        recognizing: jax.Array  # bool
+
+    def step(s, sum_t):
+        thr = jnp.sort(s.energies)[median_x]
+        above = sum_t > thr
+        absorb = jnp.logical_and(jnp.logical_not(s.recognizing), s.above_n == 0)
+        energies = jnp.where(
+            absorb, jnp.concatenate([s.energies[1:], sum_t[None]]), s.energies
+        )
+
+        # state machine (sad.cc:562-600)
+        def rec_case():
+            below_new = jnp.where(above, 0, s.below_n + 1)
+            stop = jnp.logical_and(jnp.logical_not(above), below_new == tail_n)
+            return S(
+                energies=energies,
+                above_n=jnp.where(stop, 0, s.above_n),
+                below_n=below_new,
+                recognizing=jnp.logical_not(stop),
+            ), jnp.where(above, 1.0, 0.0)
+
+        def idle_case():
+            # the idle branch scores 1.0 on EVERY above-threshold frame,
+            # not only when the head count completes (sad.cc:577-586)
+            above_new = jnp.where(above, s.above_n + 1, 0)
+            start = above_new == head_n
+            return S(
+                energies=energies,
+                above_n=above_new,
+                below_n=jnp.where(start, 0, s.below_n),
+                recognizing=start,
+            ), jnp.where(above, 1.0, 0.0)
+
+        s_rec, m_rec = rec_case()
+        s_idle, m_idle = idle_case()
+        pick = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(s.recognizing, x, y), a, b
+        )
+        return pick(s_rec, s_idle), jnp.where(s.recognizing, m_rec, m_idle)
+
+    s0 = S(
+        energies=jnp.full((energies_n,), initial_energy, jnp.float32),
+        above_n=jnp.asarray(0, jnp.int32),
+        below_n=jnp.asarray(0, jnp.int32),
+        recognizing=jnp.asarray(False),
+    )
+    _, metric = jax.lax.scan(step, s0, e)
+    return metric
 
 
 def _band_power(spec: jax.Array, fftlen: int, low_x: int, high_x: int):

@@ -48,6 +48,10 @@ g++ $CXXFLAGS -o "$OUT/golden_tail" \
   $REF/lms/lms.cc \
   $REF/postfilter/spectralsubtraction.cc \
   $REF/square_root/square_root.cc \
+  $REF/sad/sad.cc \
+  $REF/sad/sad_feature.cc \
+  $REF/sad/ica.cc \
+  $REF/sad/neural_spnsp_det.c \
   $COMMON_SRCS
 
 echo "built $OUT/golden_tail"

@@ -28,6 +28,7 @@
 #include "convolution/convolution.h"
 #include "lms/lms.h"
 #include "localization/localization.h"
+#include "sad/sad.h"
 #include "tde/tde.h"
 
 jpython_error::jpython_error() : j_error() {}
@@ -275,6 +276,85 @@ int main(int argc, char** argv) {
        * convolution.cc:179-185) */
       drain_to_f32((VectorFloatFeatureStreamPtr&)os, L - irlen, outfn);
     }
+    return 0;
+  }
+
+  if (cmd == "sadenergy") {
+    /* sadenergy initial threshold headN tailN energiesN D in.f32 out.f64
+     * EnergyVADMetric: percentile noise-floor energy detector + hangover
+     * machine (sad.cc:301-366, 555-600), per-frame metric dump. */
+    double initial = atof(argv[2]), threshold = atof(argv[3]);
+    unsigned headN = atoi(argv[4]), tailN = atoi(argv[5]), energiesN = atoi(argv[6]);
+    unsigned D = atoi(argv[7]);
+    std::vector<float> x = read_f32(argv[8]);
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    EnergyVADMetricPtr metric = new EnergyVADMetric(
+        (VectorFloatFeatureStreamPtr&)src, initial, threshold, headN, tailN,
+        energiesN);
+    FILE* fp = fopen(argv[9], "wb");
+    for (;;) {
+      double v;
+      try {
+        v = metric->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      write_f64_buf(fp, &v, 1);
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "sadpower") {
+    /* sadpower kind fftLen D fs lowcut highcut E0 out.f64 in1.f32 in2.f32...
+     * PowerSpectrumVADMetric (kind=power) / NormalizedEnergyMetric
+     * (kind=normenergy) over per-channel Hamming+FFT power spectra
+     * (sad.cc:665-830). */
+    std::string kind = argv[2];
+    unsigned fftLen = atoi(argv[3]), D = atoi(argv[4]);
+    double fs = atof(argv[5]);
+    double lowcut = atof(argv[6]), highcut = atof(argv[7]);
+    double E0 = atof(argv[8]);
+    const char* outfn = argv[9];
+    int argp = 10;
+
+    PowerSpectrumVADMetricPtr metric;
+    if (kind == "power")
+      metric = new PowerSpectrumVADMetric(fftLen, fs, lowcut, highcut);
+    else if (kind == "normenergy")
+      metric = (PowerSpectrumVADMetricPtr)new NormalizedEnergyMetric(
+          fftLen, fs, lowcut, highcut);
+    else { fprintf(stderr, "unknown sadpower kind %s\n", kind.c_str()); return 1; }
+    metric->set_E0( E0 );
+
+    std::vector<RawSampleFeaturePtr> srcs;
+    std::vector<HammingFeaturePtr> hams;
+    std::vector<FFTFeaturePtr> ffts;
+    std::vector<SpectralPowerFloatFeaturePtr> pows;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      HammingFeaturePtr ham = new HammingFeature((VectorFloatFeatureStreamPtr&)src);
+      FFTFeaturePtr fft = new FFTFeature((VectorFloatFeatureStreamPtr&)ham, fftLen);
+      SpectralPowerFloatFeaturePtr pw =
+          new SpectralPowerFloatFeature((VectorComplexFeatureStreamPtr&)fft, fftLen);
+      metric->set_channel((VectorFloatFeatureStreamPtr&)pw);
+      srcs.push_back(src);
+      hams.push_back(ham);
+      ffts.push_back(fft);
+      pows.push_back(pw);
+    }
+    FILE* fp = fopen(outfn, "wb");
+    for (;;) {
+      double v;
+      try {
+        v = metric->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      write_f64_buf(fp, &v, 1);
+    }
+    fclose(fp);
     return 0;
   }
 

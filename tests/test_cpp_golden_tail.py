@@ -361,3 +361,68 @@ def test_overlap_save_matches_cpp(tbin, speech, tmp_path):
         if len(seg) < L - P:
             break
         np.testing.assert_allclose(ycpp[j], seg, atol=2e-5 * scale)
+
+
+def test_energy_vad_metric_matches_cpp(tbin, speech, tmp_path):
+    """EnergyVADMetric (percentile noise floor + hangover machine,
+    sad.cc:301-366, 555-600) vs the compiled reference."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models.sad import energy_vad_metric
+
+    x, path = speech
+    D = 160
+    initial, thresh, headN, tailN, energiesN = 5.0e7, 0.5, 4, 10, 100
+    out = str(tmp_path / "sade.f64")
+    subprocess.run(
+        [tbin, "sadenergy", str(initial), str(thresh), str(headN), str(tailN),
+         str(energiesN), str(D), path, out],
+        check=True, capture_output=True,
+    )
+    mcpp = np.fromfile(out, np.float64)
+
+    T = (len(x) // D) * D
+    frames = x[:T].reshape(-1, D)
+    mj = np.asarray(energy_vad_metric(
+        jnp.asarray(frames), initial, thresh, headN, tailN, energiesN
+    ))
+    n = min(len(mcpp), len(mj))
+    assert n >= len(mcpp) - 1
+    np.testing.assert_array_equal(mj[:n], mcpp[:n])
+
+
+@pytest.mark.parametrize("kind,E0", [("power", 1.2), ("normenergy", 1.0)])
+def test_power_spectrum_vad_metric_matches_cpp(tbin, cmu2, kind, E0, tmp_path):
+    """PowerSpectrumVADMetric / NormalizedEnergyMetric (sad.cc:665-830) vs
+    the compiled reference, over per-channel Hamming+FFT power spectra."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import features as feat
+    from distant_speech_recognition_tpu.models.sad import power_spectrum_metric
+
+    chans, paths = cmu2
+    fftlen, D = 512, 512
+    out = str(tmp_path / "sadp.f64")
+    subprocess.run(
+        [tbin, "sadpower", kind, str(fftlen), str(D), str(int(FS)), "-1", "-1",
+         str(E0), out] + paths,
+        check=True, capture_output=True,
+    )
+    mcpp = np.fromfile(out, np.float64)
+
+    P = []
+    for c in chans:
+        frames = feat.frame_signal(jnp.asarray(c), D, D)
+        w = feat.hamming_window(frames)
+        spec = jnp.fft.rfft(w, n=fftlen, axis=-1)
+        P.append(feat.spectral_power(spec))
+    spectra = jnp.stack(P)  # [C, T, F]
+    if kind == "normenergy":
+        # NormalizedEnergyMetric::next divides by binN (not fftLen) but the
+        # ratio cancels the normalization — same decision function with E0=1
+        mj = np.asarray(power_spectrum_metric(spectra, fftlen, 0, fftlen // 2, 1.0))
+    else:
+        mj = np.asarray(power_spectrum_metric(spectra, fftlen, 0, fftlen // 2, E0))
+    n = min(len(mcpp), len(mj))
+    assert n >= len(mcpp) - 1
+    np.testing.assert_array_equal(mj[:n], mcpp[:n])
