@@ -24,8 +24,10 @@ COMMON_SRCS="$REF/stream/stream.cc \
 
 g++ $CXXFLAGS -o "$OUT/golden_main" \
   drivers/golden_main.cc \
+  $REF/square_root/square_root.cc \
   $REF/beamformer/beamformer.cc \
   $REF/beamformer/modalbeamformer.cc \
+  $REF/beamformer/tracker.cc \
   $REF/beamformer/taylorseries.cc \
   $REF/beamformer/coefficients.cc \
   $REF/postfilter/postfilter.cc \

@@ -32,6 +32,7 @@
 #include "postfilter/postfilter.h"
 #include "dereverberation/dereverberation.h"
 #include "beamformer/modalbeamformer.h"
+#include "beamformer/tracker.h"
 #include "aec/aec.h"
 
 /* The python error bridge (common/jpython_error.cc) needs libpython; the
@@ -434,6 +435,34 @@ int main(int argc, char** argv) {
     OverSampledDFTSynthesisBankPtr sfb = new OverSampledDFTSynthesisBank(
         (VectorComplexFeatureStreamPtr&)bf, g, M, m, r, dc);
     drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, outfn);
+    return 0;
+  }
+
+  if (cmd == "shfuncs") {
+    /* shfuncs maxorder ngrid out.f64
+     * The spherical tracker's static observation-model functions
+     * (BaseDecomposition::harmonic + its theta/phi derivatives,
+     * tracker.cc:305-430) over an (order, degree, theta, phi) grid:
+     * rows [order, degree, theta, phi, reY, imY, reDt, imDt, reDp, imDp]. */
+    int maxorder = atoi(argv[2]);
+    int ngrid = atoi(argv[3]);
+    FILE* fp = fopen(argv[4], "wb");
+    for (int n = 0; n < maxorder; n++) {
+      for (int m = -n; m <= n; m++) {
+        for (int i = 0; i < ngrid; i++) {
+          double theta = 0.15 + (M_PI - 0.3) * i / (double)(ngrid - 1);
+          double phi = -2.5 + 5.0 * i / (double)(ngrid - 1);
+          gsl_complex Y = BaseDecomposition::harmonic(n, m, theta, phi);
+          gsl_complex Dt = BaseDecomposition::harmonic_deriv_polar_angle(n, m, theta, phi);
+          gsl_complex Dp = BaseDecomposition::harmonic_deriv_azimuth(n, m, theta, phi);
+          double row[10] = {(double)n, (double)m, theta, phi,
+                            GSL_REAL(Y), GSL_IMAG(Y), GSL_REAL(Dt), GSL_IMAG(Dt),
+                            GSL_REAL(Dp), GSL_IMAG(Dp)};
+          fwrite(row, sizeof(double), 10, fp);
+        }
+      }
+    }
+    fclose(fp);
     return 0;
   }
 

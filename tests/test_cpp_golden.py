@@ -769,3 +769,50 @@ def _small_protos(Mm, mm, rr):
     from distant_speech_recognition_tpu.design.nyquist import design_nyquist_pair
 
     return design_nyquist_pair(Mm, mm, rr)
+
+
+def test_tracker_sh_observation_model_matches_cpp(gbin, tmp_path):
+    """The spherical tracker's observation-model core — harmonic() and its
+    hand-derived theta/phi derivatives (tracker.cc:305-430) — vs our SH
+    evaluation and jax autodiff gradients (models/spherical_tracker uses
+    jacfwd where the reference hand-derives; this pins them equal)."""
+    import jax
+
+    from distant_speech_recognition_tpu.models import spherical as sph
+
+    maxorder, ngrid = 4, 9
+    out = str(tmp_path / "sh.f64")
+    subprocess.run(
+        [gbin, "shfuncs", str(maxorder), str(ngrid), out],
+        check=True, capture_output=True,
+    )
+    rows = np.fromfile(out, np.float64).reshape(-1, 10)
+
+    from distant_speech_recognition_tpu.models.spherical_tracker import _sh_eval
+    import jax.numpy as jnp
+
+    # The tracker evaluates the CONJUGATE convention Y* = e^{-i m phi} P
+    # (gsl_complex_polar(1, -degree*phi), tracker.cc:309-325) — internally
+    # self-consistent (estimate_Bkl conjugates accordingly); our standard-
+    # convention evaluation must match its conjugate exactly.
+    for row in rows:
+        n, m = int(row[0]), int(row[1])
+        theta, phi = row[2], row[3]
+        idx = sph.sh_index_pairs(maxorder).index((n, m))
+        f = lambda th, ph: jnp.conj(_sh_eval(maxorder, th, ph)[idx])
+        Y = np.asarray(f(theta, phi))
+        Dt = np.asarray(
+            jax.jacfwd(lambda th: jnp.stack([jnp.real(f(th, phi)), jnp.imag(f(th, phi))]))(theta)
+        )
+        Dp = np.asarray(
+            jax.jacfwd(lambda ph: jnp.stack([jnp.real(f(theta, ph)), jnp.imag(f(theta, ph))]))(phi)
+        )
+        np.testing.assert_allclose(
+            [Y.real, Y.imag], row[4:6], atol=1e-5, err_msg=f"Y n={n} m={m}"
+        )
+        np.testing.assert_allclose(
+            Dt, row[6:8], atol=1e-4, err_msg=f"dY/dtheta n={n} m={m}"
+        )
+        np.testing.assert_allclose(
+            Dp, row[8:10], atol=1e-4, err_msg=f"dY/dphi n={n} m={m}"
+        )
