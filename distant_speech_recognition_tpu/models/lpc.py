@@ -278,13 +278,16 @@ def lpc_envelope_frames(frames: jax.Array, order: int, fftlen: int):
 def cepstral_spectrum_estimator(spectra: jax.Array, order: int = 14,
                                 log_padding: float = 1.0) -> jax.Array:
     """Smoothed spectral envelope via truncated cepstrum
-    (CepstralSpectrumEstimator, spectralestimator.h:117-139): cepstrum of
-    log(pad + |X|), lifter to ``order`` coefficients, transform back and
-    exponentiate.  ``spectra``: [..., T, M] full complex spectra."""
+    (CepstralSpectrumEstimator::next, spectralestimator.cc:210-242,
+    verified against the compiled reference): cepstrum of
+    ``log(pad + |X|^2)``, lifter keeping indices [0, order] and
+    [M-order, M) (the reference zeroes [order+1, M-order)), forward
+    transform, then ``exp(|.|)`` of the resulting log-spectrum.
+    ``spectra``: [..., T, M] full complex spectra."""
     M = spectra.shape[-1]
-    logmag = jnp.log(log_padding + jnp.abs(spectra))
+    logmag = jnp.log(log_padding + jnp.abs(spectra) ** 2)
     cep = jnp.fft.ifft(logmag.astype(jnp.complex64), axis=-1)
     k = jnp.arange(M)
-    lifter = (k < order) | (k > M - order)
+    lifter = (k <= order) | (k >= M - order)
     cep = jnp.where(lifter, cep, 0.0)
-    return jnp.exp(jnp.real(jnp.fft.fft(cep, axis=-1)))
+    return jnp.exp(jnp.abs(jnp.fft.fft(cep, axis=-1)))

@@ -49,6 +49,7 @@ g++ $CXXFLAGS -o "$OUT/golden_tail" \
   $REF/convolution/convolution.cc \
   $REF/lms/lms.cc \
   $REF/postfilter/spectralsubtraction.cc \
+  $REF/postfilter/binauralprocessing.cc \
   $REF/square_root/square_root.cc \
   $REF/sad/sad.cc \
   $REF/sad/sad_feature.cc \

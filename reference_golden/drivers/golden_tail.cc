@@ -29,6 +29,8 @@
 #include "lms/lms.h"
 #include "localization/localization.h"
 #include "sad/sad.h"
+#include "postfilter/binauralprocessing.h"
+#include "feature/spectralestimator.h"
 #include "tde/tde.h"
 
 jpython_error::jpython_error() : j_error() {}
@@ -353,6 +355,93 @@ int main(int argc, char** argv) {
         break;
       }
       write_f64_buf(fp, &v, 1);
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "lpcspec" || cmd == "cepspec") {
+    /* lpcspec order fftLen D in.f32 out.f32
+     * cepspec order fftLen logpad D in.f32 out.f32
+     * LPC / cepstral spectral-envelope estimators
+     * (feature/spectralestimator.cc). */
+    int argp = 2;
+    unsigned order = atoi(argv[argp++]);
+    unsigned fftLen = atoi(argv[argp++]);
+    double logpad = 1.0;
+    if (cmd == "cepspec") logpad = atof(argv[argp++]);
+    unsigned D = atoi(argv[argp++]);
+    std::vector<float> x = read_f32(argv[argp++]);
+    const char* outfn = argv[argp++];
+
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    VectorFloatFeatureStreamPtr est;
+    HammingFeaturePtr ham;
+    FFTFeaturePtr fft;
+    if (cmd == "lpcspec") {
+      est = new LPCSpectrumEstimator((VectorFloatFeatureStreamPtr&)src, order, fftLen);
+    } else {
+      ham = new HammingFeature((VectorFloatFeatureStreamPtr&)src);
+      fft = new FFTFeature((VectorFloatFeatureStreamPtr&)ham, fftLen);
+      VectorComplexFeatureStreamPtr fftc = (VectorComplexFeatureStreamPtr&)fft;
+      est = new CepstralSpectrumEstimator(fftc, order, fftLen, logpad);
+    }
+    FILE* fp = fopen(outfn, "wb");
+    unsigned sz = est->size();
+    for (;;) {
+      const gsl_vector_float* v;
+      try {
+        v = est->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned i = 0; i < sz; i++) {
+        float t = gsl_vector_float_get(v, i);
+        fwrite(&t, sizeof(float), 1, fp);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "binaural") {
+    /* binaural chanX M m r dc threshold alpha dEta dpc out.c128 inL inR
+     * KimBinaryMaskFilter (ITD-threshold binary masking, C. Kim
+     * Interspeech'10; binauralprocessing.cc) over two ODFT analysis
+     * streams; needs h.f64 first: binaural h.f64 chanX M m r dc ... */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned chanX = atoi(argv[3]);
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double threshold = atof(argv[8]), alpha = atof(argv[9]);
+    double dEta = atof(argv[10]), dpc = atof(argv[11]);
+    const char* outfn = argv[12];
+    std::vector<float> xl = read_f32(argv[13]);
+    std::vector<float> xr = read_f32(argv[14]);
+    unsigned D = M >> r;
+
+    RawSampleFeaturePtr sl = new RawSampleFeature(xl, D);
+    RawSampleFeaturePtr sr = new RawSampleFeature(xr, D);
+    OverSampledDFTAnalysisBankPtr al = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)sl, h, M, m, r, dc);
+    OverSampledDFTAnalysisBankPtr ar = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)sr, h, M, m, r, dc);
+    VectorComplexFeatureStreamPtr alc = (VectorComplexFeatureStreamPtr&)al;
+    VectorComplexFeatureStreamPtr arc = (VectorComplexFeatureStreamPtr&)ar;
+    KimBinaryMaskFilterPtr mask = new KimBinaryMaskFilter(
+        chanX, alc, arc, M, (float)threshold, (float)alpha, (float)dEta,
+        (float)dpc);
+    FILE* fp = fopen(outfn, "wb");
+    for (;;) {
+      const gsl_vector_complex* Y;
+      try {
+        Y = mask->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned k = 0; k < M; k++) {
+        gsl_complex z = gsl_vector_complex_get(Y, k);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
     }
     fclose(fp);
     return 0;

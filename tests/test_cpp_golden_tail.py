@@ -426,3 +426,110 @@ def test_power_spectrum_vad_metric_matches_cpp(tbin, cmu2, kind, E0, tmp_path):
     n = min(len(mcpp), len(mj))
     assert n >= len(mcpp) - 1
     np.testing.assert_array_equal(mj[:n], mcpp[:n])
+
+
+def test_lpc_spectrum_estimator_matches_cpp(tbin, speech, tmp_path):
+    """LPCSpectrumEstimator (autocorrelation -> Levinson-Durbin -> all-pole
+    envelope, spectralestimator.cc:84-200) vs the batched LPC chain."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models.lpc import lpc_envelope_frames
+
+    x, path = speech
+    order, fftlen, D = 16, 256, 256
+    out = str(tmp_path / "lpc.f32")
+    subprocess.run(
+        [tbin, "lpcspec", str(order), str(fftlen), str(D), path, out],
+        check=True, capture_output=True,
+    )
+    # the reference emits the full symmetric fftLen-wide envelope; ours is
+    # one-sided [.., F] — compare the first half (+ pin the symmetry)
+    ycpp = np.fromfile(out, np.float32).reshape(-1, fftlen)
+    F = fftlen // 2 + 1
+    assert np.allclose(ycpp[:, 1 : F - 1], ycpp[:, -1 : F - 1 : -1], rtol=1e-3)
+
+    T = (len(x) // D) * D
+    frames = x[:T].reshape(-1, D)
+    yj = np.asarray(lpc_envelope_frames(jnp.asarray(frames), order, fftlen))
+    n = min(len(ycpp), len(yj))
+    assert n >= len(ycpp) - 1
+    # float32 autocorrelation + Levinson accumulate a little differently
+    # than the reference's float path; bulk agreement is ~1e-5, with a
+    # low-energy-frame tail up to ~2%
+    np.testing.assert_allclose(yj[:n], ycpp[:n, :F], rtol=3e-2, atol=1e-30)
+    med = np.median(yj[:n] / np.maximum(ycpp[:n, :F], 1e-300))
+    assert abs(med - 1.0) < 1e-4, med
+
+
+def test_cepstral_spectrum_estimator_matches_cpp(tbin, speech, tmp_path):
+    """CepstralSpectrumEstimator (truncated-cepstrum envelope,
+    spectralestimator.cc:210-260) vs the batched implementation."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import features as feat
+    from distant_speech_recognition_tpu.models.lpc import cepstral_spectrum_estimator
+
+    x, path = speech
+    order, fftlen, D, logpad = 14, 256, 160, 1.0
+    out = str(tmp_path / "cep.f32")
+    subprocess.run(
+        [tbin, "cepspec", str(order), str(fftlen), str(logpad), str(D), path, out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32).reshape(-1, fftlen)
+
+    T = (len(x) // D) * D
+    frames = feat.hamming_window(
+        jnp.asarray(x[:T].reshape(-1, D))
+    )
+    spec = feat.fft_feature(frames, fftlen)
+    yj = np.asarray(cepstral_spectrum_estimator(spec, order, logpad))
+    n = min(len(ycpp), len(yj))
+    assert n >= len(ycpp) - 1
+    scale = np.abs(ycpp[:n]).max()
+    np.testing.assert_allclose(yj[:n], ycpp[:n], atol=2e-3 * scale, rtol=5e-3)
+
+
+def test_kim_binary_mask_matches_cpp(tbin, cmu2, tmp_path):
+    """KimBinaryMaskFilter (ITD-threshold binary masking,
+    binauralprocessing.cc:100-180) vs the batched kernel, subband domain."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.binaural import kim_binary_mask
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    Mb, mb, rb, DCb = 256, 4, 1, 2
+    chans, paths = cmu2
+    h, g = load_pair(Mb, mb, rb)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    thresh, alpha, dEta, dpc = 4.0, 0.4, 0.01, 1.0 / 15.0
+    out = str(tmp_path / "kim.c128")
+    subprocess.run(
+        [tbin, "binaural", hf, "0", str(Mb), str(mb), str(rb), str(DCb),
+         str(thresh), str(alpha), str(dEta), str(dpc), out,
+         paths[0], paths[1]],
+        check=True, capture_output=True,
+    )
+    Ycpp = np.fromfile(out, np.complex128).reshape(-1, Mb)
+
+    p = ops.FilterbankParams(M=Mb, m=mb, r=rb, delay_compensation_type=DCb)
+    XL = ops.analysis_half(jnp.asarray(chans[0]), jnp.asarray(h, jnp.float32), p)
+    XR = ops.analysis_half(jnp.asarray(chans[1]), jnp.asarray(h, jnp.float32), p)
+    Yj = np.asarray(kim_binary_mask(XL, XR, 0, thresh, alpha, dEta))
+    n = min(len(Ycpp), len(Yj))
+    ref_h = Ycpp[:n, : Mb // 2 + 1]
+    scale = np.abs(ref_h).max()
+    # The keep/attenuate decision thresholds the per-bin ITD, whose phase is
+    # numerically meaningless on near-silent bins: float32 vs the
+    # reference's double flips ~0.5% of decisions there.  Every deviating
+    # bin must be near-silent (< 1% of peak magnitude); all others match.
+    bad = np.abs(Yj[:n] - ref_h) > 2e-4 * scale
+    XLa = np.abs(np.asarray(XL))[:n]
+    assert bad.mean() < 0.01, bad.mean()
+    if bad.any():
+        assert XLa[bad].max() < 0.01 * XLa.max()
+    np.testing.assert_allclose(
+        np.where(bad, ref_h, Yj[:n]), ref_h, atol=2e-4 * scale
+    )
