@@ -48,8 +48,11 @@ def main():
     cfg = PipelineConfig(
         fb=FilterbankParams(M=M, m=m, r=r, delay_compensation_type=2),
         samplerate=float(fs),
-        beamformer="gsc_rls",
-        postfilter="zelinski",
+        # BENCH_BEAMFORMER switches the measured config (ds | sd_mvdr |
+        # gsc_lms | gsc_rls); the recorded headline stays the flagship
+        # GSC-RLS chain.
+        beamformer=os.environ.get("BENCH_BEAMFORMER", "gsc_rls"),
+        postfilter=os.environ.get("BENCH_POSTFILTER", "zelinski"),
         pf_min_frames=2,
     )
     h, g = load_pair(M, m, r)

@@ -30,6 +30,9 @@ __all__ = [
     "linear_srp_steering_table",
     "linear_srp_doa",
     "mic_pairs",
+    "mcc_localize",
+    "mcc_reference_grid",
+    "mcc_localize_blocks",
 ]
 
 
@@ -441,6 +444,87 @@ def linear_array_delay_grid(mpos_1d, num_points: int = 36, samplerate: float = 1
     mpos = np.asarray(mpos_1d, np.float64).reshape(-1, 1)
     d = np.stack([calc_la_delays(mpos, a, sspeed) for a in az])
     return np.round(d * samplerate).astype(np.int64), az
+
+
+def mcc_reference_grid(num_chan: int, distance_mm: float,
+                       samplerate: float = 16000.0):
+    """SGB4LinearArray's far-field search grid, replicated exactly
+    (mcc_localizer.cc:44-161): microphones at ``micX * distance`` on the
+    y axis, sin-spaced azimuth hypotheses over [0, pi/2] then [3pi/2, 2pi),
+    per-hypothesis truncated integer sample delays
+    ``tau_c = int(fs * (-dist_c sin(az) / c))``.
+
+    Returns ``(tau [G, C] int32, azimuths [G] float, max_sample_delay)``.
+    The float32 sinf/asinf grid arithmetic is reproduced so hypothesis
+    boundaries land on the same integers as the compiled reference.
+    """
+    SSPEED = 343740.0
+    const_v = np.float32(0.99 * SSPEED / ((num_chan - 1) * distance_mm * samplerate))
+    max_time_delay = (num_chan - 1) * distance_mm / SSPEED
+    max_sample_delay = int(samplerate * max_time_delay)
+    dist = np.arange(num_chan) * float(distance_mm)
+
+    azs = []
+    az = np.float32(0.0)
+    while True:
+        azs.append(float(az))
+        s_ = np.float32(np.sin(az))
+        if az < np.float32(np.pi / 2):
+            ns = s_ + const_v
+            az = np.float32(np.pi / 2) if ns >= 1 else np.float32(np.arcsin(ns))
+        elif az < np.float32(3 * np.pi / 2):
+            az = np.float32(3 * np.pi / 2)
+        else:
+            ns = s_ + const_v
+            if ns + const_v / 2 >= 0:
+                break
+            az = np.float32(2 * np.pi + np.arcsin(ns))
+    azs = np.asarray(azs)
+    delays = -dist[None, :] * np.sin(azs.astype(np.float64))[:, None] / SSPEED
+    tau = (samplerate * delays).astype(np.int32)  # C truncation toward zero
+    return tau, azs, max_sample_delay
+
+
+def mcc_localize_blocks(x, block_len: int, tau_grid, max_sample_delay: int,
+                        num_best: int = 1, normalize_variance: bool = True):
+    """The reference's block-online MCC protocol, exactly
+    (MCCLocalizer::next -> calcCovarianceMatrix -> eigen cost,
+    mcc_localizer.cc:306-460): per block, an UNCENTERED covariance over
+    frames [0, L-maxD); ``calcCovarianceMatrix`` refills the SampleHolder
+    with the CURRENT block before its frame loop, so negative lags read
+    the block's own tail — a circular wrap, not the previous block.  Cost
+    = ``sum log eig(R) - sum log diag(R)``, N-best ascending.
+
+    ``x``: [C, T]; ``tau_grid``: [G, C] ints.  Returns per block
+    ``(best_idx [nblocks, num_best], mccc [nblocks, G])``.
+    """
+    x = np.asarray(x, np.float64)
+    C, T = x.shape
+    tau = np.asarray(tau_grid)
+    G = tau.shape[0]
+    maxD = int(max_sample_delay)
+    nblocks = T // block_len
+    best_all, mccc_all = [], []
+    for k in range(nblocks):
+        base = x[:, k * block_len : (k + 1) * block_len]
+        f = np.arange(0, block_len - maxD)
+        # aligned[g, c, n] = base[c, (f_n + tau[g, c]) wrapped]
+        idx = (f[None, None, :] + tau[:, :, None]) % block_len
+        al = np.take_along_axis(
+            np.broadcast_to(base[None], (G, C, base.shape[1])), idx, axis=2
+        )
+        R = np.einsum("gcn,gdn->gcd", al, al) / len(f)
+        ev = np.linalg.eigvalsh(R)
+        cost = np.sum(np.log(np.maximum(np.abs(ev), 1e-300)), axis=-1)
+        if normalize_variance:
+            cost = cost - np.sum(
+                np.log(np.maximum(np.diagonal(R, axis1=1, axis2=2), 1e-300)),
+                axis=-1,
+            )
+        order = np.argsort(cost, kind="stable")[:num_best]
+        best_all.append(order)
+        mccc_all.append(1.0 - np.exp(cost))
+    return np.stack(best_all), np.stack(mccc_all)
 
 
 def mcc_localize(x: jax.Array, delay_grid, num_best: int = 1,

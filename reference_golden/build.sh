@@ -45,6 +45,7 @@ g++ $CXXFLAGS -o "$OUT/golden_tail" \
   $REF/feature/lpc.cc \
   $REF/feature/spectralestimator.cc \
   $REF/localization/localization.cc \
+  $REF/localization/mcc_localizer.cc \
   $REF/tde/tde.cc \
   $REF/convolution/convolution.cc \
   $REF/lms/lms.cc \

@@ -28,6 +28,7 @@
 #include "convolution/convolution.h"
 #include "lms/lms.h"
 #include "localization/localization.h"
+#include "localization/mcc_localizer.h"
 #include "sad/sad.h"
 #include "postfilter/binauralprocessing.h"
 #include "feature/spectralestimator.h"
@@ -278,6 +279,50 @@ int main(int argc, char** argv) {
        * convolution.cc:179-185) */
       drain_to_f32((VectorFloatFeatureStreamPtr&)os, L - irlen, outfn);
     }
+    return 0;
+  }
+
+  if (cmd == "mcc") {
+    /* mcc nbest dist fs blockLen nframes out.f64 in1.f32 [...]
+     * MCCLocalizer over an SGB4LinearArray far-field grid
+     * (mcc_localizer.cc): per frame dump nbest rows of
+     * [mccc, azimuth, tau_0..tau_{C-1}]. */
+    unsigned nbest = atoi(argv[2]);
+    double dist = atof(argv[3]);
+    unsigned fs = atoi(argv[4]);
+    unsigned blockLen = atoi(argv[5]);
+    unsigned nframes = atoi(argv[6]);
+    const char* outfn = argv[7];
+    int argp = 8;
+    unsigned chanN = argc - argp;
+
+    SGB4LinearArrayPtr sgb = new SGB4LinearArray(chanN, true, fs);
+    sgb->setDistanceBtwMicrophones((float)dist);
+    MCCLocalizerPtr loc = new MCCLocalizer((SearchGridBuilderPtr&)sgb, nbest);
+    std::vector<RawSampleFeaturePtr> srcs;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, blockLen);
+      VectorFloatFeatureStreamPtr s = (VectorFloatFeatureStreamPtr&)src;
+      loc->setChannel(s);
+      srcs.push_back(src);
+    }
+    FILE* fp = fopen(outfn, "wb");
+    for (unsigned fr = 0; fr < nframes; fr++) {
+      loc->next(fr);
+      for (unsigned nth = 0; nth < nbest; nth++) {
+        double mccc = loc->getNthBestMCCC(nth);
+        const gsl_vector* pos = loc->getNthBestPosition(nth);
+        double az = gsl_vector_get(pos, 1);
+        write_f64_buf(fp, &mccc, 1);
+        write_f64_buf(fp, &az, 1);
+        for (unsigned c = 0; c < chanN; c++) {
+          double t = (double)loc->getNthBestDelayedSample(nth, c);
+          write_f64_buf(fp, &t, 1);
+        }
+      }
+    }
+    fclose(fp);
     return 0;
   }
 

@@ -442,10 +442,16 @@ static inline int gsl_linalg_SV_decomp(gsl_matrix *A, gsl_matrix *V,
   return GSL_SUCCESS;
 }
 
-/* real symmetric Jacobi eigensolver (values + optional vectors) */
+/* real symmetric Jacobi eigensolver (values + optional vectors).
+ * GSL's symmetric eigensolvers read only the LOWER triangle (callers like
+ * gsl_blas_dsyr(CblasLower) leave the upper half unset) — symmetrize from
+ * the lower triangle first. */
 static inline int gsl_shim_jacobi_symm_(gsl_matrix *A, gsl_vector *eval,
                                         gsl_matrix *evec) {
   size_t n = A->size1;
+  for (size_t i = 0; i < n; i++)
+    for (size_t j = i + 1; j < n; j++)
+      A->data[i * A->tda + j] = A->data[j * A->tda + i];
   if (evec) gsl_matrix_set_identity(evec);
   for (int sweep = 0; sweep < 100; sweep++) {
     double off = 0.0;

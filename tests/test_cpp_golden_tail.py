@@ -533,3 +533,42 @@ def test_kim_binary_mask_matches_cpp(tbin, cmu2, tmp_path):
     np.testing.assert_allclose(
         np.where(bad, ref_h, Yj[:n]), ref_h, atol=2e-4 * scale
     )
+
+
+def test_mcc_localizer_matches_cpp(tbin, cmu2, tmp_path):
+    """MCCLocalizer block protocol over the SGB4LinearArray far-field grid
+    (mcc_localizer.cc:306-460) vs `mcc_localize_blocks` +
+    `mcc_reference_grid`: per-frame N-best MCCC values, azimuths, and
+    truncated integer sample delays."""
+    from distant_speech_recognition_tpu.models.localization import (
+        mcc_localize_blocks,
+        mcc_reference_grid,
+    )
+
+    chans, paths = cmu2
+    nbest, dist, blockLen, nframes, C = 3, 80.0, 4096, 4, 2
+    out = str(tmp_path / "mcc.f64")
+    subprocess.run(
+        [tbin, "mcc", str(nbest), str(dist), str(int(FS)), str(blockLen),
+         str(nframes), out, paths[0], paths[1]],
+        check=True, capture_output=True,
+    )
+    rows = np.fromfile(out, np.float64).reshape(nframes, nbest, 2 + C)
+
+    tau, azs, maxD = mcc_reference_grid(C, dist, FS)
+    x = np.stack(chans)
+    best, mccc = mcc_localize_blocks(
+        x, blockLen, tau, maxD, num_best=nbest
+    )
+    for fr in range(nframes):
+        for nth in range(nbest):
+            g = int(best[fr, nth])
+            np.testing.assert_allclose(
+                mccc[fr, g], rows[fr, nth, 0], rtol=1e-5, atol=1e-9,
+                err_msg=f"mccc frame {fr} nth {nth}",
+            )
+            np.testing.assert_allclose(
+                azs[g], rows[fr, nth, 1], atol=1e-6,
+                err_msg=f"azimuth frame {fr} nth {nth}",
+            )
+            np.testing.assert_array_equal(tau[g], rows[fr, nth, 2:])
