@@ -78,7 +78,7 @@ def main():
 
         # the exact predicates build_pipeline lowers with (not re-derived)
         fl = path_flags(cfg, C)
-        pallas_on = fl["pallas_fb"] or fl["pallas_scan"]
+        pallas_on = fl["pallas_fb"] or fl["pallas_scan"] or fl["pallas_fw"]
         xs = x[: min(B, 8), :, : fs * 2]
         y_pallas = np.asarray(fn(xs)) if pallas_on else None
         old_fb, old_scan = plmod.PALLAS_FB, plmod.PALLAS_SCAN

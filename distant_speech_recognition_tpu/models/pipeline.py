@@ -137,12 +137,31 @@ def path_flags(cfg: "PipelineConfig", n_chan: int) -> dict:
         from .pallas_fused_scan import pallas_scan_supported
 
         pallas_scan = pallas_scan_supported(cfg.fb.M, n_chan)
+    # Fixed-weight + Zelinski on the packed TM path with the fixed-weight
+    # Pallas kernel (round 3): removes the launch-bound sequential CSD scan
+    # that capped the D&S/SD-MVDR/LCMV + postfilter configs.
+    pallas_fw = (
+        tm_base
+        and cfg.beamformer in ("ds", "sd_mvdr", "lcmv")
+        and cfg.postfilter == "zelinski"
+        and cfg.aec == "none"
+        and not cfg.wpe
+        and PALLAS_SCAN
+        and PALLAS_FB
+        and cfg.fb.D % 128 == 0
+        and on_tpu
+    )
+    if pallas_fw:
+        from .pallas_fused_scan import pallas_scan_supported
+
+        pallas_fw = pallas_scan_supported(cfg.fb.M, n_chan)
     return {
         "fused": fused,
         "time_major": time_major,
         "tm_chain": time_major and (cfg.aec != "none" or cfg.wpe),
         "pallas_fb": pallas_fb,
         "pallas_scan": pallas_scan,
+        "pallas_fw": pallas_fw,
     }
 
 
@@ -356,6 +375,16 @@ def build_pipeline(
     # axis — the scan state ([B, F, ...]) inherits the split by
     # propagation, so each chip carries only its bins' RLS/CSD state
     # (the per-bin independence scaled here: beamformer.cc:1142-1152).
+    # Measured single-chip cost of this layout: 33.8k vs the packed path's
+    # 55.3k audio-s/s (bench.py "sharded_layout").  Closing that gap needs a
+    # packed-PER-SHARD layout: each freq shard carrying its own
+    # [Re(bins) | Im(bins)] lane pair so the Pallas kernels run shard-
+    # locally.  That requires (a) shard-local analysis emitting per-shard
+    # packed lanes (a different DFT matrix slice per shard — shard_map over
+    # the bin-partitioned DFT), and (b) a shard-width-templated scan kernel;
+    # neither the filterbank matmul layout nor the kernel's lane masks are
+    # shard-width-generic today, so this is future work rather than a
+    # sharding flag.
     tm_shardings = None
     if time_major and bin_sharding is not None:
         tm_shardings = _tm_shardings(bin_sharding)
@@ -364,7 +393,22 @@ def build_pipeline(
     if flags["tm_chain"] and bin_sharding is not None:
         time_major = False  # sharded full chain not yet laid out: vmap path
 
-    if cfg.aec != "none" and not time_major:
+    if flags["pallas_fw"] and bin_sharding is None:
+        from ..ops.pallas_kernels import analysis_tm_fused, synthesis_tm_fused
+        from .pallas_fused_scan import zelinski_apply_pallas
+
+        @jax.jit
+        def enhance(x):
+            """x: [B, C, T] -> [B, T_out] (fixed-weight packed TM fast path:
+            Pallas filterbanks + fused fixed-weight Zelinski kernel)."""
+            Yr = analysis_tm_fused(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
+            Yp = zelinski_apply_pallas(
+                Yr, wqH, wq_manifold,
+                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+            )
+            return synthesis_tm_fused(Yp, g, cfg.fb)
+
+    elif cfg.aec != "none" and not time_major:
 
         @jax.jit
         def enhance(x, play):

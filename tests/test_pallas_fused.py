@@ -142,3 +142,56 @@ def test_pallas_rls_zelinski_scan_matches_xla(rng, pf_type, min_frames):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
+
+
+def test_zelinski_apply_pallas_matches_xla(rng, protos):
+    """Fixed-weight beamformer + Zelinski Pallas kernel (interpret mode) ==
+    apply_weights + zelinski_postfilter on the same frames."""
+    import jax
+
+    from distant_speech_recognition_tpu.models.beamforming import (
+        apply_weights,
+        array_manifold,
+        superdirective_weights,
+    )
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        zelinski_apply_pallas,
+    )
+    from distant_speech_recognition_tpu.models.postfilter import zelinski_postfilter
+
+    h, _ = protos
+    M, C, Tf, B = 256, 4, 23, 3
+    F = M // 2 + 1
+    fs = 16000.0
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = np.linspace(0, 3e-4, C)
+    ta = np.asarray(array_manifold(M, fs, delays))
+    wqH = np.asarray(superdirective_weights(mpos, delays, M, fs, mu=0.01))
+
+    Yr = (rng.standard_normal((Tf, B, C, M)) * 100).astype(np.float32)
+    out = np.asarray(zelinski_apply_pallas(
+        jnp.asarray(Yr), wqH, ta, 0.6, 1, 2, frame_tile=4, batch_tile=8,
+        interpret=True,
+    ))  # packed [Tf, B, M]
+
+    # reference: complex snapshots -> weights -> postfilter, per batch row
+    zero = np.zeros((Tf, B, C, 1), np.float32)
+    im = np.concatenate([zero, Yr[..., F:], zero], axis=-1)
+    X = (Yr[..., :F] + 1j * im).astype(np.complex64)  # [Tf, B, C, F]
+    X = np.moveaxis(X, 2, 3)  # [Tf, B, F, C]
+    ref = []
+    for b in range(B):
+        Xb = jnp.asarray(X[:, b])
+        Y = apply_weights(jnp.asarray(wqH), Xb)
+        Y = zelinski_postfilter(Xb, Y, jnp.asarray(ta), 0.6, 1, 2)
+        ref.append(np.asarray(Y))
+    ref = np.stack(ref, axis=1)  # [Tf, B, F]
+    # the packed lane layout has no slot for Im(DC)/Im(Nyquist) — synthesis
+    # discards them, so drop them from the complex reference too
+    ref[..., 0] = ref[..., 0].real
+    ref[..., -1] = ref[..., -1].real
+    got = out[..., :F] + 1j * np.concatenate(
+        [np.zeros((Tf, B, 1)), out[..., F:], np.zeros((Tf, B, 1))], axis=-1
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=3e-5 * scale)
