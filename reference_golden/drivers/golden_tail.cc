@@ -282,6 +282,46 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "sadneg") {
+    /* sadneg h.f64 M m r dc fs lpcorder shapedir lowcut highcut \
+     *        out.f64 in.f32
+     * NegentropyVADMetric (per-bin CGGD-vs-Gaussian log-likelihood ratio,
+     * sad.cc:1092-1171) with an LPC spectral-envelope estimator; dumps the
+     * per-frame negentropy metric. */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned M = atoi(argv[3]), m = atoi(argv[4]), r = atoi(argv[5]), dc = atoi(argv[6]);
+    double fs = atof(argv[7]);
+    unsigned lpcorder = atoi(argv[8]);
+    const char* shapedir = argv[9];
+    double lowcut = atof(argv[10]), highcut = atof(argv[11]);
+    const char* outfn = argv[12];
+    std::vector<float> x = read_f32(argv[13]);
+    unsigned D = M >> r;
+
+    RawSampleFeaturePtr src1 = new RawSampleFeature(x, D);
+    OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)src1, h, M, m, r, dc);
+    RawSampleFeaturePtr src2 = new RawSampleFeature(x, D);
+    LPCSpectrumEstimatorPtr lpc = new LPCSpectrumEstimator(
+        (VectorFloatFeatureStreamPtr&)src2, lpcorder, M);
+    VectorComplexFeatureStreamPtr srcc = (VectorComplexFeatureStreamPtr&)afb;
+    VectorFloatFeatureStreamPtr estf = (VectorFloatFeatureStreamPtr&)lpc;
+    NegentropyVADMetricPtr metric = new NegentropyVADMetric(
+        srcc, estf, shapedir, 0.0, fs, lowcut, highcut);
+    FILE* fp = fopen(outfn, "wb");
+    for (int fr = 0;; fr++) {
+      double v;
+      try {
+        v = metric->calc_negentropy(fr);
+      } catch (jiterator_error&) {
+        break;
+      }
+      write_f64_buf(fp, &v, 1);
+    }
+    fclose(fp);
+    return 0;
+  }
+
   if (cmd == "mcc") {
     /* mcc nbest dist fs blockLen nframes out.f64 in1.f32 [...]
      * MCCLocalizer over an SGB4LinearArray far-field grid

@@ -572,3 +572,55 @@ def test_mcc_localizer_matches_cpp(tbin, cmu2, tmp_path):
                 err_msg=f"azimuth frame {fr} nth {nth}",
             )
             np.testing.assert_array_equal(tau[g], rows[fr, nth, 2:])
+
+
+def test_negentropy_vad_metric_matches_cpp(tbin, speech, tmp_path):
+    """NegentropyVADMetric (per-bin CGGD-vs-Gaussian log-likelihood ratio
+    with an LPC spectral envelope, sad.cc:1092-1171) vs the batched
+    negentropy_metric.  Our shape convention acts on |X|^2, so
+    shape_f = shape_factor_cpp / 2."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.lpc import lpc_envelope_frames
+    from distant_speech_recognition_tpu.models.sad import negentropy_metric
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    x, path = speech
+    Mb, mb, rb, DCb = 256, 4, 1, 2
+    D = Mb >> rb
+    F = Mb // 2 + 1
+    lpcorder, shape_cpp = 16, 0.8
+    h, g = load_pair(Mb, mb, rb)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    shapedir = tmp_path / "shapes"
+    shapedir.mkdir()
+    for f in range(F):
+        (shapedir / f"_M-{f:04d}").write_text(f"bin {shape_cpp}\n")
+    out = str(tmp_path / "neg.f64")
+    subprocess.run(
+        [tbin, "sadneg", hf, str(Mb), str(mb), str(rb), str(DCb),
+         str(int(FS)), str(lpcorder), str(shapedir), "-1", "-1", out, path],
+        check=True, capture_output=True,
+    )
+    mcpp = np.fromfile(out, np.float64)
+
+    p = ops.FilterbankParams(M=Mb, m=mb, r=rb, delay_compensation_type=DCb)
+    X = ops.analysis_half(jnp.asarray(x), jnp.asarray(h, jnp.float32), p)
+    # the estimator consumes the SAME framing as the analysis bank's source
+    # (two parallel streams over one file): D-sample blocks, no window —
+    # but the analysis emits ceil(T/D)+delay frames; align on the shorter
+    T = (len(x) // D) * D
+    frames = x[:T].reshape(-1, D)
+    env = lpc_envelope_frames(jnp.asarray(frames), lpcorder, Mb)  # [T, F]
+    n = min(X.shape[0], env.shape[0], len(mcpp))
+    _, mj = negentropy_metric(
+        X[:n], env[:n], Mb, shape_f=shape_cpp / 2.0, low_x=0, high_x=Mb // 2
+    )
+    mj = np.asarray(mj)
+    # float32 envelope/spectrum vs the reference's double through the
+    # CGGD power nonlinearity: bulk agreement ~1e-4 in log-likelihood
+    # units, tail to ~3e-3 on a few frames
+    np.testing.assert_allclose(mj[:n], mcpp[:n], atol=5e-3, rtol=5e-4)
+    assert np.median(np.abs(mj[:n] - mcpp[:n])) < 5e-4
