@@ -20,6 +20,14 @@ import numpy as np
 def main():
     import jax
 
+    t_start = time.perf_counter()
+    # Wall-clock budget for the OPTIONAL sections (selfcheck/stages run
+    # before the main metric and are cheap relative to compiles; sharded +
+    # config4 each cost a full cold compile).  If the budget is exhausted
+    # the section is skipped with a note rather than risking the driver's
+    # bench timeout eating the whole artifact.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+
     # NOTE: cold compile of this pipeline over the axon tunnel takes
     # 5-10 min (remote compile helper, no cross-process cache; the jax
     # persistent compilation cache does not engage because the axon PJRT
@@ -151,7 +159,11 @@ def main():
     # The extra sections below must never take the MAIN metric down with
     # them (an OOM or compile fault would otherwise leave the driver with
     # no artifact at all) — each records its error string on failure.
-    if os.environ.get("BENCH_SHARDED", "1") != "0":
+    if os.environ.get("BENCH_SHARDED", "1") != "0" and (
+        time.perf_counter() - t_start > budget_s
+    ):
+        out["sharded_layout"] = {"skipped": "time budget"}
+    elif os.environ.get("BENCH_SHARDED", "1") != "0":
         try:
             from jax.sharding import Mesh
 
@@ -182,7 +194,11 @@ def main():
     # Zelinski), on the same time-major fast path — recorded alongside the
     # north-star number so the full chain has a driver-captured figure
     # (VERDICT r2 weakness #5).  BENCH_CONFIG4=0 skips it.
-    if os.environ.get("BENCH_CONFIG4", "1") != "0":
+    if os.environ.get("BENCH_CONFIG4", "1") != "0" and (
+        time.perf_counter() - t_start > budget_s
+    ):
+        out["config4"] = {"skipped": "time budget"}
+    elif os.environ.get("BENCH_CONFIG4", "1") != "0":
         try:
             del fn
             B4 = int(os.environ.get("BENCH_CONFIG4_BATCH", "256"))
