@@ -34,6 +34,29 @@ SUBBAND_FLOOR = 1.0e-3  # dereverberation.cc:144
 __all__ = ["wpe_estimate", "wpe_apply", "wpe", "wpe_multichannel", "band_limit_mask"]
 
 
+def _gj_solve(R: jax.Array, r: jax.Array) -> jax.Array:
+    """Batched HPD solve ``R x = r`` by unrolled Gauss-Jordan elimination.
+
+    XLA's batched ``cholesky`` lowers tiny matrices (here 20x20) to a
+    sequential per-column loop with dynamic slicing that dominates the WPE
+    estimate on TPU (measured 92 ms of a 164 ms EM step at B=64 utterances,
+    33k systems); this elimination is ``n`` static steps of pure elementwise
+    ops over the whole batch — VPU-parallel, no dynamic slicing — and timed
+    ~3x faster end to end.  Diagonal pivoting without row swaps is safe for
+    the diagonally-loaded Hermitian positive-definite systems WPE builds
+    (``load_R_`` adds ``max(diag)*10^(load_db/10)``).
+
+    ``R``: [..., n, n], ``r``: [..., n] -> [..., n].
+    """
+    n = R.shape[-1]
+    A = jnp.concatenate([R, r[..., None]], axis=-1)  # [..., n, n+1]
+    for k in range(n):
+        piv = A[..., k : k + 1, :] / A[..., k : k + 1, k : k + 1]
+        A = A - A[..., :, k : k + 1] * piv
+        A = A.at[..., k, :].set(piv[..., 0, :])
+    return A[..., :, n]
+
+
 def band_limit_mask(F: int, band_width: float, samplerate: float):
     """Active-bin mask for the WPE ``bandWidth`` option, or ``None`` for all.
 
@@ -116,9 +139,9 @@ def wpe_estimate(
         R = R * (1.0 - eye) + jnp.einsum(
             "cfp,pq->cfpq", new_diag.astype(R.dtype), eye
         )
-        # Hermitian solve per (channel, bin).
-        Lc = jnp.linalg.cholesky(R)
-        G_new = jax.scipy.linalg.cho_solve((Lc, True), r[..., None])[..., 0]
+        # Hermitian solve per (channel, bin); Gauss-Jordan instead of
+        # cholesky/cho_solve — see _gj_solve for the TPU rationale.
+        G_new = _gj_solve(R, r)
         return G_new, None
 
     G0 = jnp.zeros((C, F, C * P), Y.dtype)
