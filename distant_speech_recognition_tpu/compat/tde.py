@@ -72,20 +72,31 @@ class CCTDE(FeatureStream):
         return self._cc_values
 
     def allsamples(self, fftLen: int = -1) -> np.ndarray:
-        """Estimate from the whole remaining signal at once (tde.cc:70-125):
-        drain both channels, one big windowed FFT, same peak pick."""
-        blocks = [[], []]
-        for i, ch in enumerate(self._channels):
-            while True:
-                try:
-                    blocks[i].append(np.asarray(ch.next(), np.float64))
-                except StopIteration:
-                    break
-        x = [np.concatenate(b) if b else np.zeros(1) for b in blocks]
-        n = min(len(x[0]), len(x[1]))
-        N = _next_pow2_at_least(n) if fftLen <= 0 else int(fftLen)
+        """Estimate from the whole signal at once (tde.cc:70-125): one big
+        windowed FFT per channel, same peak pick.
+
+        The reference reads each channel's ENTIRE buffer directly
+        (``data()``/``samplesN()``, tde.cc:108-109) — not the block
+        iterator — so no partial tail block is lost; channels may differ in
+        length (each windows ``min(len, fftLen)`` of its own samples)."""
+        x = []
+        for ch in self._channels:
+            if hasattr(ch, "data"):
+                x.append(np.asarray(ch.data(), np.float64))
+            else:  # non-SampleFeature source: fall back to draining blocks
+                blocks = []
+                while True:
+                    try:
+                        blocks.append(np.asarray(ch.next(), np.float64))
+                    except StopIteration:
+                        break
+                x.append(np.concatenate(blocks) if blocks else np.zeros(1))
+        N = _next_pow2_at_least(max(len(xi) for xi in x)) if fftLen <= 0 else int(fftLen)
         win = np.asarray(get_window(2, N))
-        specs = [np.fft.fft(win * np.pad(xi[:n], (0, N - n))) for xi in x]
+        specs = []
+        for xi in x:
+            n = min(len(xi), N)
+            specs.append(np.fft.fft(win * np.pad(xi[:n], (0, N - n))))
         return self._detect_cc_peaks(specs, N)
 
     # -- machinery ------------------------------------------------------------

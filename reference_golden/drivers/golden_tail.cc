@@ -9,6 +9,11 @@
  * Subcommands:
  *   mfcc    D fftLen powN melN low up ncep fs in.f32 ceps.f32 logmel.f32
  *   cctde   fftLen nheld D in1.f32 in2.f32 out.f64  (per frame: [delay..., cc...])
+ *   cctde_all fftLen nheld in1.f32 in2.f32 out.f64  (whole-utterance mode:
+ *             CCTDE::allsamples, one row of nheld [delay, cc] pairs)
+ *   pca     N dim in.f64 basis.f64 sv.f64 whiten.f64 (PCA::pca_svd of the
+ *             row-major [N, dim] input: right basis V, singular values,
+ *             whitening 1/sqrt(sv))
  *   gcc     kind fftLen D fs alpha beta q interp nr noiseN \
  *           in1.f32 in2.f32 out.f64
  *           (kind: raw|gnnsub|phat|gnnsubphat|mlrraw|mlrgnnsub; the first
@@ -33,6 +38,7 @@
 #include "postfilter/binauralprocessing.h"
 #include "feature/spectralestimator.h"
 #include "tde/tde.h"
+#include "sad/ica.h"
 
 jpython_error::jpython_error() : j_error() {}
 
@@ -126,6 +132,78 @@ int main(int argc, char** argv) {
       (void)d;
     }
     fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "cctde_all") {
+    /* cctde_all fftLen nheld in1.f32 in2.f32 out.f64
+     * Whole-utterance CCTDE (tde.cc:70-125): one Hanning-windowed FFT over
+     * everything, PHAT cross-correlation, nheld peaks -> [delay, cc] rows.
+     * fftLen < 0 lets allsamples() pick the next power of two. */
+    int fftLen = atoi(argv[2]);
+    unsigned nheld = atoi(argv[3]);
+    std::vector<float> x1 = read_f32(argv[4]);
+    std::vector<float> x2 = read_f32(argv[5]);
+
+    SampleFeaturePtr s1 = new SampleFeature("", 512, 512, false);
+    SampleFeaturePtr s2 = new SampleFeature("", 512, 512, false);
+    gsl_vector* v1 = gsl_vector_calloc(x1.size());
+    for (size_t i = 0; i < x1.size(); i++) gsl_vector_set(v1, i, x1[i]);
+    gsl_vector* v2 = gsl_vector_calloc(x2.size());
+    for (size_t i = 0; i < x2.size(); i++) gsl_vector_set(v2, i, x2[i]);
+    s1->setSamples(v1, 16000);
+    s2->setSamples(v2, 16000);
+
+    CCTDEPtr tde = new CCTDE(s1, s2, 512, nheld);
+    tde->allsamples(fftLen);
+    const unsigned* delays = tde->sample_delays();
+    const double* ccs = tde->cc_values();
+    FILE* fp = fopen(argv[6], "wb");
+    for (unsigned i = 0; i < nheld; i++) {
+      double row[2] = {(double)delays[i], ccs[i]};
+      write_f64_buf(fp, row, 2);
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "pca") {
+    /* pca N dim in.f64 basis.f64 sv.f64 whiten.f64
+     * PCA::pca_svd (sad/ica.cc:24-36): gsl_linalg_SV_decomp of the
+     * [N, dim] input; dumps V [dim, dim] row-major, the dim singular
+     * values, and whiten = 1/sqrt(sv). */
+    unsigned N = atoi(argv[2]), dim = atoi(argv[3]);
+    std::vector<double> xs = read_f64(argv[4]);
+    gsl_matrix* input = gsl_matrix_calloc(N, dim);
+    for (unsigned i = 0; i < N; i++)
+      for (unsigned j = 0; j < dim; j++)
+        gsl_matrix_set(input, i, j, xs[i * dim + j]);
+    gsl_matrix* basis = gsl_matrix_calloc(dim, dim);
+    gsl_vector* sv = gsl_vector_calloc(dim);
+    gsl_vector* whiten = gsl_vector_calloc(dim);
+
+    PCA pca(dim);
+    pca.pca_svd(input, basis, sv, whiten);
+
+    FILE* bf = fopen(argv[5], "wb");
+    for (unsigned i = 0; i < dim; i++)
+      for (unsigned j = 0; j < dim; j++) {
+        double t = gsl_matrix_get(basis, i, j);
+        write_f64_buf(bf, &t, 1);
+      }
+    fclose(bf);
+    FILE* sf = fopen(argv[6], "wb");
+    for (unsigned i = 0; i < dim; i++) {
+      double t = gsl_vector_get(sv, i);
+      write_f64_buf(sf, &t, 1);
+    }
+    fclose(sf);
+    FILE* wf = fopen(argv[7], "wb");
+    for (unsigned i = 0; i < dim; i++) {
+      double t = gsl_vector_get(whiten, i);
+      write_f64_buf(wf, &t, 1);
+    }
+    fclose(wf);
     return 0;
   }
 

@@ -624,3 +624,68 @@ def test_negentropy_vad_metric_matches_cpp(tbin, speech, tmp_path):
     # units, tail to ~3e-3 on a few frames
     np.testing.assert_allclose(mj[:n], mcpp[:n], atol=5e-3, rtol=5e-4)
     assert np.median(np.abs(mj[:n] - mcpp[:n])) < 5e-4
+
+
+def test_cctde_allsamples_matches_cpp(tbin, cmu2, tmp_path):
+    """compat CCTDE.allsamples (whole-utterance mode, tde.cc:70-125) vs the
+    compiled reference: same peak indices, cc values to near machine
+    precision.  Exercises the data()/samplesN() whole-buffer read — the
+    block iterator would drop the final partial block."""
+    from distant_speech_recognition_tpu.compat.feature import SampleFeature
+    from distant_speech_recognition_tpu.compat.tde import CCTDE
+
+    chans, paths = cmu2
+    nheld = 4
+    out = str(tmp_path / "tde_all.f64")
+    subprocess.run(
+        [tbin, "cctde_all", "-1", str(nheld), paths[0], paths[1], out],
+        check=True, capture_output=True,
+    )
+    ref = np.fromfile(out, np.float64).reshape(nheld, 2)
+
+    s1 = SampleFeature(512, 512)
+    s1.set_samples(chans[0], int(FS))
+    s2 = SampleFeature(512, 512)
+    s2.set_samples(chans[1], int(FS))
+    tde = CCTDE(s1, s2, 512, nheld)
+    tde.allsamples(-1)
+    np.testing.assert_array_equal(
+        np.asarray(tde.sample_delays(), np.float64), ref[:, 0]
+    )
+    np.testing.assert_allclose(tde.cc_values(), ref[:, 1], rtol=1e-9, atol=1e-12)
+
+
+def test_pca_matches_cpp(tbin, tmp_path):
+    """models.sad.pca vs the reference PCA::pca_svd (sad/ica.cc:24-36).
+
+    The reference runs a raw SVD of the [N, dim] sample matrix (no
+    centering); feeding it pre-centered data maps it onto the covariance
+    eigendecomposition: lambda_i == s_i^2 / N and the V columns match the
+    eigenvectors up to sign.  whiten == 1/sqrt(s)."""
+    from distant_speech_recognition_tpu.models.sad import pca
+
+    rng = np.random.default_rng(3)
+    N, dim = 200, 6
+    X = rng.standard_normal((N, dim)) @ rng.standard_normal((dim, dim))
+    Xc = X - X.mean(0)
+    fi, fb, fs, fw = [str(tmp_path / n) for n in ("in.f64", "b.f64", "s.f64", "w.f64")]
+    Xc.astype(np.float64).tofile(fi)
+    subprocess.run(
+        [tbin, "pca", str(N), str(dim), fi, fb, fs, fw],
+        check=True, capture_output=True,
+    )
+    V = np.fromfile(fb, np.float64).reshape(dim, dim)
+    sv = np.fromfile(fs, np.float64)
+    wh = np.fromfile(fw, np.float64)
+
+    comps, eig, mean = pca(np.asarray(X, np.float32))
+    comps = np.asarray(comps, np.float64)
+    eig = np.asarray(eig, np.float64)
+    lam_ref = sv**2 / N
+    # f32 forward pass: small components carry absolute error ~1e-5*max
+    np.testing.assert_allclose(eig, lam_ref, atol=2e-4 * lam_ref.max())
+    # columns match up to sign
+    dots = np.abs(np.sum(V * comps, axis=0))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+    np.testing.assert_allclose(wh, 1.0 / np.sqrt(sv), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(mean), X.mean(0), rtol=1e-5)
