@@ -14,6 +14,10 @@
  *   pca     N dim in.f64 basis.f64 sv.f64 whiten.f64 (PCA::pca_svd of the
  *             row-major [N, dim] input: right basis V, singular values,
  *             whitening 1/sqrt(sv))
+ *   locdelays nchan az polar x y z geom.f64 out.f64 (the three free
+ *             delay calculators -> 3*nchan doubles)
+ *   srpphat delta_f nchan fftLen zPos sx0 sx1 sxstep sy0 sy1 systep
+ *             frame.c128 geom.f64 out.f64 (getSrpPhat -> [bestX, bestY])
  *   gcc     kind fftLen D fs alpha beta q interp nr noiseN \
  *           in1.f32 in2.f32 out.f64
  *           (kind: raw|gnnsub|phat|gnnsubphat|mlrraw|mlrgnnsub; the first
@@ -131,6 +135,67 @@ int main(int argc, char** argv) {
       }
       (void)d;
     }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "locdelays") {
+    /* locdelays nchan az polar x y z geom.f64 out.f64
+     * The localization free-function delay calculators
+     * (localization.cc:94-139): nearfield calcDelays(x,y,z), linear-array
+     * calcDelaysOfLinearMicrophoneArray(az), circular-array
+     * calcDelaysOfCircularMicrophoneArray(az, polar).  geom row-major
+     * [nchan, 3] mm.  Dumps 3*nchan doubles. */
+    unsigned nchan = atoi(argv[2]);
+    double az = atof(argv[3]), polar = atof(argv[4]);
+    int x = atoi(argv[5]), y = atoi(argv[6]), z = atoi(argv[7]);
+    std::vector<double> gm = read_f64(argv[8]);
+    gsl_matrix* geom = gsl_matrix_calloc(nchan, 3);
+    for (unsigned i = 0; i < nchan; i++)
+      for (unsigned j = 0; j < 3; j++)
+        gsl_matrix_set(geom, i, j, gm[i * 3 + j]);
+    gsl_vector* d = gsl_vector_calloc(nchan);
+    FILE* fp = fopen(argv[9], "wb");
+    calcDelays(x, y, z, geom, d);
+    write_f64_buf(fp, d->data, nchan);
+    calcDelaysOfLinearMicrophoneArray((float)az, geom, d);
+    write_f64_buf(fp, d->data, nchan);
+    calcDelaysOfCircularMicrophoneArray((float)az, (float)polar, geom, d);
+    write_f64_buf(fp, d->data, nchan);
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "srpphat") {
+    /* srpphat delta_f nchan fftLen zPos sx0 sx1 sxstep sy0 sy1 systep
+     *         frame.c128 geom.f64 out.f64
+     * getSrpPhat (localization.cc:20-92): PHAT-weighted SRP over an
+     * integer (x, y) nearfield grid; dumps [bestX, bestY]. */
+    double delta_f = atof(argv[2]);
+    unsigned nchan = atoi(argv[3]), fftLen = atoi(argv[4]);
+    int zPos = atoi(argv[5]);
+    gsl_vector* srx = gsl_vector_calloc(3);
+    gsl_vector* sry = gsl_vector_calloc(3);
+    for (int i = 0; i < 3; i++) {
+      gsl_vector_set(srx, i, atof(argv[6 + i]));
+      gsl_vector_set(sry, i, atof(argv[9 + i]));
+    }
+    std::vector<double> fr = read_f64(argv[12]);  // interleaved c128
+    gsl_matrix_complex* mfr = gsl_matrix_complex_calloc(nchan, fftLen);
+    for (unsigned c = 0; c < nchan; c++)
+      for (unsigned j = 0; j < fftLen; j++)
+        gsl_matrix_complex_set(
+            mfr, c, j,
+            gsl_complex_rect(fr[2 * (c * fftLen + j)], fr[2 * (c * fftLen + j) + 1]));
+    std::vector<double> gm = read_f64(argv[13]);
+    gsl_matrix* geom = gsl_matrix_calloc(nchan, 3);
+    for (unsigned i = 0; i < nchan; i++)
+      for (unsigned j = 0; j < 3; j++)
+        gsl_matrix_set(geom, i, j, gm[i * 3 + j]);
+
+    gsl_vector* best = getSrpPhat(delta_f, mfr, srx, sry, geom, zPos);
+    FILE* fp = fopen(argv[14], "wb");
+    write_f64_buf(fp, best->data, 2);
     fclose(fp);
     return 0;
   }

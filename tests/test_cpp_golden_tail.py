@@ -689,3 +689,87 @@ def test_pca_matches_cpp(tbin, tmp_path):
     np.testing.assert_allclose(dots, 1.0, atol=1e-4)
     np.testing.assert_allclose(wh, 1.0 / np.sqrt(sv), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(mean), X.mean(0), rtol=1e-5)
+
+
+def test_localization_delay_calculators_match_cpp(tbin, tmp_path):
+    """utils.geometry vs the reference free-function delay calculators
+    (localization.cc:94-139).  Conventions differ and are mapped explicitly:
+    calcDelays is absolute distance/c (mine is ref-mic normalized);
+    calcDelaysOfLinearMicrophoneArray uses -|y_i - y_0| sin(az)/c with mic 0
+    as reference (mine is -x cos(az)/c, so az maps to az - pi/2);
+    calcDelaysOfCircularMicrophoneArray is the same formula (float math)."""
+    from distant_speech_recognition_tpu.utils.geometry import (
+        calc_ca_delays, calc_la_delays, calc_nf_delays,
+    )
+
+    nchan = 4
+    geom = np.array([[-500., -60., 0.], [-500., -20., 0.],
+                     [-500., 20., 0.], [-500., 60., 0.]])
+    fg, fo = str(tmp_path / "g.f64"), str(tmp_path / "o.f64")
+    geom.astype(np.float64).tofile(fg)
+    az, polar, x, y, z = 0.7, 1.1, 1000, 2000, 0
+    subprocess.run(
+        [tbin, "locdelays", str(nchan), str(az), str(polar),
+         str(x), str(y), str(z), fg, fo],
+        check=True, capture_output=True,
+    )
+    ref = np.fromfile(fo, np.float64).reshape(3, nchan)
+
+    mine_nf = calc_nf_delays(geom, x, y, z, ref_micx=0)
+    np.testing.assert_allclose(ref[0] - ref[0][0], mine_nf, atol=1e-12)
+    mine_la = calc_la_delays(np.abs(geom[:, 1] - geom[0, 1]), az - np.pi / 2,
+                             ref_micx=0)
+    np.testing.assert_allclose(ref[1], mine_la, atol=1e-10)
+    mine_ca = calc_ca_delays(geom, az, polar)
+    np.testing.assert_allclose(ref[2], mine_ca, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed,true_pos", [(5, (1200, 800)), (11, (800, -300))])
+def test_srp_phat_grid_matches_cpp(tbin, seed, true_pos, tmp_path):
+    """models.localization.srp_phat vs the reference getSrpPhat
+    (localization.cc:20-92) on a nearfield (x, y) grid: same best position.
+
+    Reference quirk, reproduced: getSrpPhat's steering phase e^{+j w
+    (d_k - d_l)} REINFORCES the mirrored delay pattern (its sign is
+    inverted relative to its own calcDelays), so with a physically
+    synthesized source both implementations must use steering
+    e^{-j w d_g} to agree — which they do, exactly, on every grid."""
+    from distant_speech_recognition_tpu.models.localization import srp_phat
+
+    nchan, fftLen = 4, 256
+    fs = 16000.0
+    delta_f = fs / fftLen
+    geom = np.array([[0., -600., 0.], [0., -200., 0.],
+                     [0., 200., 0.], [0., 600., 0.]])
+    c = 343740.0
+    dists = np.sqrt(((np.array(true_pos + (0,)) - geom) ** 2).sum(1)) / c
+    rng = np.random.default_rng(seed)
+    F = fftLen // 2 + 1
+    S = rng.standard_normal(F) + 1j * rng.standard_normal(F)
+    f = np.arange(F) * delta_f
+    X_half = S[None] * np.exp(-2j * np.pi * f[None] * dists[:, None])
+    X_half += 0.3 * (rng.standard_normal((nchan, F))
+                     + 1j * rng.standard_normal((nchan, F)))
+    X_full = np.zeros((nchan, fftLen), complex)
+    X_full[:, :F] = X_half
+
+    ff, fg, fo = [str(tmp_path / n) for n in ("fr.c128", "g.f64", "o.f64")]
+    X_full.astype(np.complex128).tofile(ff)
+    geom.astype(np.float64).tofile(fg)
+    subprocess.run(
+        [tbin, "srpphat", str(delta_f), str(nchan), str(fftLen), "0",
+         "400", "2100", "100", "-800", "1700", "100", ff, fg, fo],
+        check=True, capture_output=True,
+    )
+    best_ref = np.fromfile(fo, np.float64)
+
+    xs = np.arange(400, 2100, 100)
+    ys = np.arange(-800, 1700, 100)
+    grid = [(x, y) for x in xs for y in ys]
+    steer = np.zeros((len(grid), F, nchan), complex)
+    for g, (x, y) in enumerate(grid):
+        dg = np.sqrt(((np.array([x, y, 0.]) - geom) ** 2).sum(1)) / c
+        steer[g] = np.exp(-2j * np.pi * f[:, None] * dg[None])
+    p = np.asarray(srp_phat(X_half.T[None], steer))[0]
+    best_mine = grid[int(np.argmax(p))]
+    assert tuple(best_ref) == tuple(map(float, best_mine))
