@@ -165,11 +165,16 @@ def hwnc_weights(max_order: int, b: np.ndarray, theta: float, phi: float,
     With ratio <= 0 the reference scales by ``16 pi^2/(C maxOrder^2)``."""
     w = eigen_weights(max_order, b, theta, phi, num_sensors, sigma2)
     if ratio > 0.0:
-        # normalize each bin's weights to 2 sqrt(pi / (C * wng))
-        wng = np.maximum(np.sum(np.abs(w) ** 2, axis=-1), 1e-20)
-        w *= (2.0 * np.sqrt(np.pi / (num_sensors * wng)))[:, None] / np.maximum(
-            np.linalg.norm(w, axis=-1, keepdims=True), 1e-20
+        # per-bin WNG table (calc_wng, modalbeamformer.cc:1417-1438):
+        # wng = ratio * C/(16 pi^2) * sum_n (2n+1)|b_n|^2, then each bin's
+        # weight vector is normalized to 2 sqrt(pi / (C wng)).
+        n_arr = np.arange(max_order)
+        wng = (num_sensors / (16.0 * np.pi**2)) * ratio * np.sum(
+            (2 * n_arr + 1)[None, :] * np.abs(b[:, :max_order]) ** 2, axis=-1
         )
+        w *= (2.0 * np.sqrt(np.pi / (num_sensors * np.maximum(wng, 1e-20))))[
+            :, None
+        ] / np.maximum(np.linalg.norm(w, axis=-1, keepdims=True), 1e-20)
     else:
         w *= (16.0 * np.pi**2) / (num_sensors * max_order * max_order)
     return w
@@ -359,7 +364,12 @@ def spherical_moen_weights(max_order: int, b: np.ndarray, Y_matrix: np.ndarray,
     G = AH @ A + lam[:, None, None] * np.eye(C)[None]
     AH_BN = AH @ BN  # [F, C]
     CN = 2.0 / (max_order * max_order)
-    return np.conj(CN * np.linalg.solve(G, AH_BN[..., None])[..., 0])
+    # G = A^H A (+ lambda I) is rank-deficient whenever dim < C (A is
+    # [dim, C]), so the reference inverts it with a singular-value
+    # THRESHOLDED pseudoinverse (pseudoinverse(), beamformer.cc:232-289,
+    # dthreshold_ = 1e-8) — a plain solve would blow up on the null space.
+    Ginv = np.linalg.pinv(G, rcond=1e-8, hermitian=True)
+    return np.conj(CN * np.einsum("fcd,fd->fc", Ginv, AH_BN))
 
 
 def dual_spherical_ds_weights(max_order: int, b: np.ndarray, theta: float, phi: float,

@@ -393,10 +393,27 @@ int main(int argc, char** argv) {
     unsigned D = M >> r;
 
     EigenBeamformerPtr bf;
+    SphericalGSCBeamformer* gsc_raw = NULL;
     if (kind == "eigen")
       bf = new EigenBeamformer((unsigned)fs, M, false, 1, maxorder, false);
     else if (kind == "sphds")
       bf = (EigenBeamformerPtr)new SphericalDSBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+    else if (kind == "hwnc")
+      bf = (EigenBeamformerPtr)new SphericalHWNCBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+    else if (kind == "sphgsc") {
+      gsc_raw = new SphericalGSCBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+      bf = (EigenBeamformerPtr)gsc_raw;
+    } else if (kind == "moen") {
+      /* Deterministic diagonal loading: without it the reference
+       * pseudo-inverts the FLOAT-noise singular values of the
+       * rank-deficient A^H A (abs threshold 1e-8 keeps them,
+       * beamformer.cc:263-270) — unreproducible junk weights. */
+      SphericalMOENBeamformer* p =
+          new SphericalMOENBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+      for (unsigned fb = 0; fb <= M / 2; fb++) p->set_diagonal_looading(fb, 1.0f);
+      bf = (EigenBeamformerPtr)p;
+    } else if (kind == "spatialds")
+      bf = (EigenBeamformerPtr)new SphericalSpatialDSBeamformer((unsigned)fs, M, false, 1, maxorder, false);
     else { fprintf(stderr, "unknown modal kind %s\n", kind.c_str()); return 1; }
     bf->set_sigma2((float)sigma2);
     bf->set_weight_gain((float)wgain);
@@ -414,6 +431,23 @@ int main(int argc, char** argv) {
     }
     bf->set_eigenmike_geometry();
     bf->set_look_direction(theta, phi);
+
+    if (gsc_raw != NULL) {
+      /* deterministic nonzero lower-branch weights so the golden exercises
+       * the full GSC path y = (wq - B wa)^H F, not just the quiescent
+       * branch (set_active_weights_f -> calcSidelobeCancellerP_f,
+       * interleaved re/im, length 2*(dim - NC)). */
+      unsigned dim = maxorder * maxorder;
+      gsl_vector* pw = gsl_vector_calloc(2 * (dim - 1));
+      for (unsigned fb = 1; fb <= M / 2; fb++) {
+        for (unsigned k = 0; k < dim - 1; k++) {
+          gsl_vector_set(pw, 2 * k, 0.1 * sin(0.37 * fb + (double)k));
+          gsl_vector_set(pw, 2 * k + 1, 0.1 * cos(0.23 * fb + 0.5 * (double)k));
+        }
+        gsc_raw->set_active_weights_f(fb, pw);
+      }
+      gsl_vector_free(pw);
+    }
 
     if (subband) {
       FILE* fp = fopen(outfn, "wb");

@@ -816,3 +816,83 @@ def test_tracker_sh_observation_model_matches_cpp(gbin, tmp_path):
         np.testing.assert_allclose(
             Dp, row[8:10], atol=1e-4, err_msg=f"dY/dphi n={n} m={m}"
         )
+
+
+@pytest.mark.parametrize("kind", ["hwnc", "sphgsc", "moen", "spatialds"])
+def test_spherical_variant_beamformers_match_cpp(gbin, tmp_path, kind):
+    """The remaining spherical-beamformer family vs the compiled reference
+    (modalbeamformer.cc): SphericalHWNCBeamformer (WNG-constrained, ratio=1
+    ctor default -> per-bin calc_wng normalization), SphericalGSCBeamformer
+    (full GSC path with deterministic nonzero active weights set through
+    set_active_weights_f), SphericalMOENBeamformer (element-space MMSE;
+    diagonal loading 1.0 set via set_diagonal_looading because the unloaded
+    reference pseudo-inverts float-noise singular values of the
+    rank-deficient A^H A — see the driver note), and
+    SphericalSpatialDSBeamformer (element-space rigid-sphere D&S)."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models import spherical as sph
+
+    Mm, mm, rr = 64, 4, 1
+    maxorder, sigma2 = 3, 0.01
+    theta, phi = 1.2, 0.7
+    hh, gg = _small_protos(Mm, mm, rr)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(hh, np.float64).tofile(hf)
+
+    rng = np.random.default_rng(3)
+    Xin = (rng.standard_normal((32, 4000)) * 1000).astype(np.float32)
+    paths = []
+    for c in range(32):
+        pth = str(tmp_path / f"c{c}.f32")
+        Xin[c].tofile(pth)
+        paths.append(pth)
+    out = str(tmp_path / "modal.c128")
+    subprocess.run(
+        [gbin, "modal_sub", kind, hf, str(Mm), str(mm), str(rr), str(DC),
+         str(int(FS)), str(maxorder), str(sigma2), "1.0", str(theta),
+         str(phi), out] + paths,
+        check=True, capture_output=True,
+    )
+    F2 = Mm // 2 + 1
+    Ycpp = np.fromfile(out, np.complex128).reshape(-1, Mm)[:, :F2]
+
+    p = ops.FilterbankParams(M=Mm, m=mm, r=rr, delay_compensation_type=DC)
+    subh = ops.analysis_half(jnp.asarray(Xin), jnp.asarray(hh, jnp.float32), p)
+    Xs = np.asarray(jnp.moveaxis(subh, 0, -1))  # [T, F, C]
+    theta_s, phi_s = sph.eigenmike_geometry()
+    Ymat = sph.spherical_harmonics_matrix(maxorder, theta_s, phi_s)
+    a, SSPEED = 42.0, 343740.0
+    ka = 2.0 * np.pi * np.arange(F2) * a * FS / (Mm * SSPEED)
+    b = sph.mode_amplitudes(maxorder, ka)
+    dim = maxorder * maxorder
+
+    if kind == "hwnc":
+        w = sph.hwnc_weights(maxorder, b, theta, phi, 32, sigma2, ratio=1.0)
+        Yj = np.asarray(sph.apply_sh_weights(w, jnp.asarray(
+            sph.sh_transform(jnp.asarray(Xs), Ymat))))
+    elif kind == "sphgsc":
+        wq, BmH = sph.spherical_gsc_weights(maxorder, b, theta, phi)
+        fb = np.arange(F2)
+        k = np.arange(dim - 1)
+        # the driver's deterministic active weights
+        wa = (0.1 * np.sin(0.37 * fb[:, None] + k[None])
+              + 1j * 0.1 * np.cos(0.23 * fb[:, None] + 0.5 * k[None]))
+        wa[0] = 0.0
+        wl = np.einsum("fdk,fk->fd", np.conj(np.swapaxes(BmH, -1, -2)), wa)
+        F_co = np.asarray(sph.sh_transform(jnp.asarray(Xs), Ymat))
+        Yj = np.einsum("fd,tfd->tf", np.conj(wq - wl), F_co)
+    elif kind == "moen":
+        w = sph.spherical_moen_weights(maxorder, b, Ymat, theta, phi,
+                                       diagonal_weight=1.0)
+        # next() applies zdotc(w_raw, X) = sum conj(w_raw) X = sum w X
+        Yj = np.einsum("fc,tfc->tf", w, Xs)
+    else:  # spatialds
+        w = sph.spherical_spatial_ds_weights(maxorder, b, Ymat, theta, phi)
+        Yj = np.einsum("fc,tfc->tf", np.conj(w), Xs)
+
+    n = min(len(Ycpp), len(Yj))
+    scale = np.abs(Ycpp[:n, 1:]).max()
+    tol = 2e-4 if kind == "moen" else 2e-5  # moen: float csvdc pinv
+    np.testing.assert_allclose(Yj[:n, 1:], Ycpp[:n, 1:], atol=tol * scale)
