@@ -557,13 +557,23 @@ def ccc_metric(
     num_candidates: int = 5,
     low_x: int = 0,
     high_x: int | None = None,
+    reference_nbest: bool = False,
 ):
     """Cross-correlation-coefficient VAD metric (CCCVADMetric, sad.cc):
     PHAT cross-spectrum between channel 0 and every other channel, inverse
-    FFT, average of the top-N CC peaks; speech when the mean metric exceeds
-    the threshold.
+    FFT, average of N CC peaks per channel pair.
 
     ``spectra``: [C, T, F] half band.  Returns (decision [T], metric [T]).
+
+    ``reference_nbest=False`` (default): a PRINCIPLED top-N peak pick;
+    speech when the mean metric exceeds the threshold.
+    ``reference_nbest=True``: bit-replicates the reference's peak loop
+    (sad.cc:913-938), whose insertion ``break``s after slot 0 every time:
+    when ``cc > list[N-1]`` it either shifts-and-inserts at the top (if
+    ``cc > list[0]``) or OVERWRITES slot 0 in place, losing the old top —
+    not a top-N (verified against the compiled C++) — seeded with
+    ``cc[0]``, and the reference's INVERTED decision (next() returns 1.0
+    when the metric is BELOW the threshold, sad.cc:967-970).
     """
     C = spectra.shape[0]
     F = spectra.shape[-1]
@@ -577,9 +587,28 @@ def ccc_metric(
         mag = jnp.abs(cc_spec)
         cc_spec = jnp.where(band, cc_spec / jnp.where(mag > 0, mag, 1.0), 0.0)
         cc = jnp.fft.irfft(cc_spec, n=fftlen, axis=-1)
-        top = jax.lax.top_k(cc, num_candidates)[0]
-        total = total + jnp.mean(top, axis=-1)
+        if reference_nbest:
+            lst0 = jnp.concatenate(
+                [cc[:, :1], jnp.full((cc.shape[0], num_candidates - 1), -1e10)],
+                axis=1,
+            )
+
+            def step(lst, cc_t):
+                qual = cc_t > lst[:, -1]
+                top = cc_t > lst[:, 0]
+                shifted = jnp.concatenate([cc_t[:, None], lst[:, :-1]], axis=1)
+                slot0 = jnp.concatenate([cc_t[:, None], lst[:, 1:]], axis=1)
+                new = jnp.where(top[:, None], shifted, slot0)
+                return jnp.where(qual[:, None], new, lst), None
+
+            lst, _ = jax.lax.scan(step, lst0, jnp.swapaxes(cc[:, 1:], 0, 1))
+            total = total + jnp.mean(lst, axis=-1)
+        else:
+            top = jax.lax.top_k(cc, num_candidates)[0]
+            total = total + jnp.mean(top, axis=-1)
     metric = total / (C - 1)
+    if reference_nbest:
+        return metric < threshold, metric
     return metric > threshold, metric
 
 

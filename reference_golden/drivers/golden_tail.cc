@@ -554,6 +554,9 @@ int main(int argc, char** argv) {
     else if (kind == "normenergy")
       metric = (PowerSpectrumVADMetricPtr)new NormalizedEnergyMetric(
           fftLen, fs, lowcut, highcut);
+    else if (kind == "tsps")
+      metric = (PowerSpectrumVADMetricPtr)new TSPSVADMetric(
+          fftLen, fs, lowcut, highcut);
     else { fprintf(stderr, "unknown sadpower kind %s\n", kind.c_str()); return 1; }
     metric->set_E0( E0 );
 
@@ -583,6 +586,50 @@ int main(int argc, char** argv) {
         break;
       }
       write_f64_buf(fp, &v, 1);
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "sadccc") {
+    /* sadccc fftLen nCand D fs lowcut highcut threshold out.f64 in1.f32 ...
+     * CCCVADMetric (sad.cc:832-980): PHAT cross-spectrum ref-vs-each,
+     * inverse FFT, the reference's quirky N-candidate loop; per frame
+     * dump [decision, score]. */
+    unsigned fftLen = atoi(argv[2]), nCand = atoi(argv[3]), D = atoi(argv[4]);
+    double fs = atof(argv[5]);
+    double lowcut = atof(argv[6]), highcut = atof(argv[7]);
+    double thresh = atof(argv[8]);
+    const char* outfn = argv[9];
+    int argp = 10;
+
+    CCCVADMetricPtr metric = new CCCVADMetric(fftLen, nCand, fs, lowcut, highcut);
+    metric->set_threshold(thresh);
+
+    std::vector<RawSampleFeaturePtr> srcs;
+    std::vector<HammingFeaturePtr> hams;
+    std::vector<FFTFeaturePtr> ffts;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      HammingFeaturePtr ham = new HammingFeature((VectorFloatFeatureStreamPtr&)src);
+      FFTFeaturePtr fft = new FFTFeature((VectorFloatFeatureStreamPtr&)ham, fftLen);
+      VectorComplexFeatureStreamPtr cfp = (VectorComplexFeatureStreamPtr&)fft;
+      metric->set_channel(cfp);
+      srcs.push_back(src);
+      hams.push_back(ham);
+      ffts.push_back(fft);
+    }
+    FILE* fp = fopen(outfn, "wb");
+    for (;;) {
+      double row[2];
+      try {
+        row[0] = metric->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      row[1] = metric->score();
+      write_f64_buf(fp, row, 2);
     }
     fclose(fp);
     return 0;

@@ -773,3 +773,66 @@ def test_srp_phat_grid_matches_cpp(tbin, seed, true_pos, tmp_path):
     p = np.asarray(srp_phat(X_half.T[None], steer))[0]
     best_mine = grid[int(np.argmax(p))]
     assert tuple(best_ref) == tuple(map(float, best_mine))
+
+
+def test_tsps_vad_metric_matches_cpp(tbin, cmu2, tmp_path):
+    """TSPSVADMetric (sad.cc:1005-1056) vs models.sad.tsps_metric: the
+    target-vs-rest power ratio decision over per-channel Hamming+FFT power
+    spectra, exact +1/-1 agreement."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import features as feat
+    from distant_speech_recognition_tpu.models.sad import tsps_metric
+
+    chans, paths = cmu2
+    fftlen, D, E0 = 512, 512, 50000.0
+    out = str(tmp_path / "tsps.f64")
+    subprocess.run(
+        [tbin, "sadpower", "tsps", str(fftlen), str(D), str(int(FS)), "-1",
+         "-1", str(E0), out] + paths,
+        check=True, capture_output=True,
+    )
+    mcpp = np.fromfile(out, np.float64)
+
+    P = []
+    for c in chans:
+        frames = feat.frame_signal(jnp.asarray(c), D, D)
+        spec = jnp.fft.rfft(feat.hamming_window(frames), n=fftlen, axis=-1)
+        P.append(feat.spectral_power(spec))
+    dec, _ = tsps_metric(jnp.stack(P), fftlen, 0, fftlen // 2, E0)
+    n = min(len(mcpp), len(np.asarray(dec)))
+    assert n >= len(mcpp) - 1
+    np.testing.assert_array_equal(np.asarray(dec)[:n], mcpp[:n])
+
+
+def test_ccc_vad_metric_matches_cpp(tbin, cmu2, tmp_path):
+    """CCCVADMetric (sad.cc:832-980) vs models.sad.ccc_metric in
+    reference_nbest mode: PHAT cross-correlation candidate quirk (slot-0
+    overwrite insertion) and inverted decision replicated exactly."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import features as feat
+    from distant_speech_recognition_tpu.models.sad import ccc_metric
+
+    chans, paths = cmu2
+    fftlen, D, thresh = 512, 512, 0.1
+    out = str(tmp_path / "ccc.f64")
+    subprocess.run(
+        [tbin, "sadccc", str(fftlen), "5", str(D), str(int(FS)), "-1", "-1",
+         str(thresh), out] + paths,
+        check=True, capture_output=True,
+    )
+    rows = np.fromfile(out, np.float64).reshape(-1, 2)
+
+    S = []
+    for c in chans:
+        frames = feat.frame_signal(jnp.asarray(c), D, D)
+        S.append(jnp.fft.rfft(feat.hamming_window(frames), n=fftlen, axis=-1))
+    dec, metric = ccc_metric(jnp.stack(S), fftlen, threshold=thresh,
+                             num_candidates=5, reference_nbest=True)
+    n = min(len(rows), len(np.asarray(metric)))
+    assert n >= len(rows) - 1
+    np.testing.assert_allclose(np.asarray(metric)[:n], rows[:n, 1], atol=1e-5)
+    np.testing.assert_array_equal(
+        np.where(np.asarray(dec)[:n], 1.0, -1.0), rows[:n, 0]
+    )
