@@ -209,18 +209,26 @@ class SpectralPowerFeature(_UnaryFeature):
 
 
 class VTLNFeature(_UnaryFeature):
-    """Piecewise-linear VTLN (feature.cc nextOrg warp); ``set_warp`` sets the
-    ratio as in the reference driver."""
+    """Piecewise-linear VTLN; ``set_warp`` sets the ratio as in the
+    reference driver.  ``version=1`` is the bin-integral warp
+    (feature.cc nextOrg); ``version=2`` (the reference MFCC extractor's
+    choice) is the half-bin spread-and-normalize warp (nextFF), which is a
+    [0.25, 0.5, 0.25] smoother even at ratio 1."""
 
     def __init__(self, samp, coeff_num: int, edge: float = 0.8, version: int = 2):
         super().__init__(samp, int(coeff_num), "VTLNFeature")
         self._edge = float(edge)
+        self._version = int(version)
         self._ratio = 1.0
 
     def set_warp(self, ratio: float):
         self._ratio = float(ratio)
 
     def _map(self, frame):
+        if self._version == 2:
+            return np.asarray(
+                _feat.vtln_ff(_jnp.asarray(frame[None]), self._ratio, self._edge)
+            )[0]
         if self._ratio == 1.0:
             return frame
         return np.asarray(_feat.vtln(_jnp.asarray(frame[None]), self._ratio, self._edge))[0]

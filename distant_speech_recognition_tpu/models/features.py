@@ -285,6 +285,65 @@ def vtln(power: jax.Array, ratio: float, edge: float = 0.8) -> jax.Array:
     return integral(X[1:]) - integral(X[:-1])
 
 
+def vtln_ff_matrix(N: int, ratio: float, edge: float = 1.0) -> np.ndarray:
+    """Warp matrix of the reference's VERSION-2 VTLN (VTLNFeature::nextFF,
+    feature.cc — the variant the reference's MFCC extractor uses): each
+    source bin's [s-0.5, s+0.5] interval is warped by a two-segment
+    piecewise-linear map with breakpoint ``b = N*edge`` (second slope
+    ``(N - ratio*b)/(N - b)`` only when ratio < 1), spread over the
+    covered destination bins with endpoint fractions, and each destination
+    bin is normalized by its accumulated weight.  Note ratio = 1 is NOT the
+    identity: the half-bin endpoints make it a [0.25, 0.5, 0.25] smoother.
+
+    Reference quirk, reproduced exactly (verified vs the compiled C++):
+    the gate ``if (i1 <= N-1)`` compares the signed ``i1`` against the
+    UNSIGNED ``N-1``, so source bin 0 (whose ``i1 = floor(-0.5*slope)`` is
+    -1, wrapping to a huge unsigned) never contributes — destination bin 0
+    is pure spill-over from source bin 1.
+
+    Returns ``M`` [N, N] so that ``warped = power @ M.T``.
+    """
+    # the reference computes the warp in single precision (float locals,
+    # feature.cc nextFF) — the floor/ceil boundaries differ from f64 math
+    # (e.g. 12.5 * 1.2f = 15.000001 -> ceil 16), so mirror its dtype
+    f32 = np.float32
+    b = f32(N * edge)
+    slope1 = f32(ratio)
+    slope2 = slope1 if ratio >= 1.0 else f32((N - slope1 * b) / (N - b))
+
+    def warp(s):
+        return f32(s * slope1) if s <= b else f32(b * slope1 + f32(s - b) * slope2)
+
+    M = np.zeros((N, N))
+    Wn = np.zeros(N)
+    for s in range(N):
+        d1, d2 = warp(f32(s - 0.5)), warp(f32(s + 0.5))
+        i1, i2 = int(np.floor(d1)), int(np.ceil(d2))
+        if i1 > N - 1 or i1 < 0:  # signed-vs-unsigned gate, see docstring
+            continue
+        a1 = 1.0 - (d1 - i1)
+        a2 = i2 - d2
+        for j in range(i1, i2 + 1):
+            k = max(j, 0)
+            if k >= N:
+                break
+            a = 1.0
+            if j == i1:
+                a = a1
+            if j == i2:
+                a = a2
+            M[k, s] += a
+            Wn[k] += a
+    return M / np.where(Wn > 1e-20, Wn, 1.0)[:, None]
+
+
+def vtln_ff(power: jax.Array, ratio: float, edge: float = 1.0) -> jax.Array:
+    """Version-2 VTLN applied over frames: ``power`` [..., T, N] ->
+    [..., T, N] via :func:`vtln_ff_matrix`."""
+    M = jnp.asarray(vtln_ff_matrix(power.shape[-1], ratio, edge), power.dtype)
+    return power @ M.T
+
+
 def alog_feature(x: jax.Array, m: float = 1.0, a: float = 4.0,
                  runon: bool = False) -> jax.Array:
     """'ALog' additive-offset log compression (ALogFeature, feature.cc:

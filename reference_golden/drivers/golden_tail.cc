@@ -591,6 +591,37 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "vtln") {
+    /* vtln version coeffN ratio edge fftLen D in.f32 out.f64
+     * VTLNFeature both warp versions (feature.cc nextOrg / nextFF) over a
+     * Hamming+FFT+SpectralPower chain; per frame dump coeffN doubles. */
+    int version = atoi(argv[2]);
+    unsigned coeffN = atoi(argv[3]);
+    double ratio = atof(argv[4]), edge = atof(argv[5]);
+    unsigned fftLen = atoi(argv[6]), D = atoi(argv[7]);
+    std::vector<float> x = read_f32(argv[8]);
+
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    HammingFeaturePtr ham = new HammingFeature((VectorFloatFeatureStreamPtr&)src);
+    FFTFeaturePtr fft = new FFTFeature((VectorFloatFeatureStreamPtr&)ham, fftLen);
+    SpectralPowerFeaturePtr pow_ =
+        new SpectralPowerFeature((VectorComplexFeatureStreamPtr&)fft, coeffN);
+    VTLNFeaturePtr vt = new VTLNFeature((VectorFeatureStreamPtr&)pow_, coeffN,
+                                        ratio, edge, version);
+    FILE* fp = fopen(argv[9], "wb");
+    for (;;) {
+      const gsl_vector* v;
+      try {
+        v = vt->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      write_f64_buf(fp, v->data, coeffN);
+    }
+    fclose(fp);
+    return 0;
+  }
+
   if (cmd == "sadccc") {
     /* sadccc fftLen nCand D fs lowcut highcut threshold out.f64 in1.f32 ...
      * CCCVADMetric (sad.cc:832-980): PHAT cross-spectrum ref-vs-each,

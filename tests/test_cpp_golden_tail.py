@@ -836,3 +836,38 @@ def test_ccc_vad_metric_matches_cpp(tbin, cmu2, tmp_path):
     np.testing.assert_array_equal(
         np.where(np.asarray(dec)[:n], 1.0, -1.0), rows[:n, 0]
     )
+
+
+@pytest.mark.parametrize("version,ratio", [(1, 1.2), (1, 0.85), (2, 1.2),
+                                           (2, 0.85), (2, 1.0)])
+def test_vtln_matches_cpp(tbin, speech, version, ratio, tmp_path):
+    """VTLNFeature both warp versions (feature.cc nextOrg / nextFF) vs
+    models.features.vtln / vtln_ff over the Hamming+FFT+power chain.
+
+    Version 2 (the reference MFCC extractor's choice) reproduces two
+    reference quirks: the signed-vs-unsigned gate that drops source bin 0,
+    and the single-precision warp arithmetic whose floor/ceil boundaries
+    differ from f64 (see vtln_ff_matrix)."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import features as feat
+
+    x, path = speech
+    fftlen, D, coeffN, edge = 512, 512, 257, 0.8
+    out = str(tmp_path / "vtln.f64")
+    subprocess.run(
+        [tbin, "vtln", str(version), str(coeffN), str(ratio), str(edge),
+         str(fftlen), str(D), path, out],
+        check=True, capture_output=True,
+    )
+    ref = np.fromfile(out, np.float64).reshape(-1, coeffN)
+
+    frames = feat.frame_signal(jnp.asarray(x), D, D)
+    spec = jnp.fft.rfft(feat.hamming_window(frames), n=fftlen, axis=-1)
+    P = feat.spectral_power(spec)
+    mine = np.asarray(feat.vtln(P, ratio, edge) if version == 1
+                      else feat.vtln_ff(P, ratio, edge))
+    n = min(len(ref), len(mine))
+    assert n >= len(ref) - 1
+    scale = np.abs(ref[:n]).max()
+    np.testing.assert_allclose(mine[:n], ref[:n], atol=2e-6 * scale)
