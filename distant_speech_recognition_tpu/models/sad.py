@@ -550,6 +550,118 @@ def mutual_information_metric(
     return metric > threshold, metric
 
 
+def mutual_information_metric_exact(
+    X1,
+    X2,
+    env1,
+    env2,
+    fftlen: int,
+    samplerate: float = 16000.0,
+    low_cutoff: float = 187.0,
+    high_cutoff: float = 1000.0,
+    shape_factors=None,
+    beta: float = 0.95,
+):
+    """Reference-exact mutual-information VAD metric
+    (MutualInformationVADMetric::calc_mutual_information, sad.cc:1464-1525),
+    verified against the compiled C++ (tests/test_cpp_golden_tail.py).
+
+    Per bin: empirical MI = joint CGGD log-likelihood minus both marginal
+    CGGD log-likelihoods, with the joint shape factor found by the
+    reference's entropy-matching bisection (match_, sad.cc:1352-1377), a
+    recursively tracked complex correlation rho (used BEFORE this frame's
+    update; beta forgetting; |rho| clipped to 1 - epsilon_, epsilon 0.10),
+    interior bins doubled, normalized by binN.
+
+    ``X1``/``X2``: [T, F] complex subband frames; ``env1``/``env2``: [T, F]
+    spectral-envelope variances; ``shape_factors``: per-bin marginal shape
+    (None -> Gaussian 2.0).  Returns metric [T] (numpy, sequential scan —
+    this is a parity oracle; `mutual_information_metric` is the batched
+    compute path).
+    """
+    from scipy.special import gammaln
+    from scipy.special import gamma as sp_gamma
+
+    X1 = np.asarray(X1)
+    X2 = np.asarray(X2)
+    env1 = np.asarray(env1, np.float64)
+    env2 = np.asarray(env2, np.float64)
+    fftLen2 = fftlen // 2
+    F = fftLen2 + 1
+    lowX = int((low_cutoff / samplerate) * fftlen) if low_cutoff >= 0 else 0
+    highX = (
+        int((high_cutoff / samplerate) * fftlen + 0.5)
+        if high_cutoff >= 0
+        else fftLen2
+    )
+    binN = 2 * (highX - lowX + 1) if lowX > 0 else 2 * (highX - lowX) + 1
+    f = (
+        np.full(F, 2.0)
+        if shape_factors is None
+        else np.asarray(shape_factors, np.float64)
+    )
+
+    Bc = np.exp((gammaln(2.0 / f) - gammaln(4.0 / f)) / 2.0)
+    norm_m = np.log(f / (2.0 * np.pi * Bc**2 * sp_gamma(2.0 / f)))
+
+    def match_score_marginal(ff):
+        Bc2 = np.exp(gammaln(2.0 / ff) - gammaln(4.0 / ff))
+        return -(2.0 * ((2.0 / ff) - np.log(ff / (2.0 * np.pi * Bc2 * sp_gamma(2.0 / ff)))))
+
+    def match_score_joint(fJ):
+        BJ4 = np.exp((gammaln(4.0 / fJ) - gammaln(6.0 / fJ)) * 2.0)
+        return -((4.0 / fJ) - np.log(fJ / (8.0 * np.pi**2 * BJ4 * sp_gamma(4.0 / fJ))))
+
+    def match(ff):
+        a, c = ff / 3.0, 2.0
+        m = match_score_marginal(ff)
+        while True:
+            b = (a + c) / 2.0
+            rb = match_score_joint(b)
+            if abs(m - rb) < 1.0e-6:
+                return b
+            if rb > m:
+                a = b
+            else:
+                c = b
+
+    fJ = np.array([match(fi) for fi in f])
+    BJ = np.exp((gammaln(4.0 / fJ) - gammaln(6.0 / fJ)) / 2.0)
+    norm_j = np.log(fJ / (8.0 * np.pi**2 * BJ**4 * sp_gamma(4.0 / fJ)))
+
+    idx = np.arange(F)
+    w = np.where(
+        (idx >= lowX) & (idx <= highX),
+        np.where((idx == 0) | (idx == fftLen2 + 1), 1.0, 2.0),
+        0.0,
+    )
+
+    T = X1.shape[0]
+    rho = np.zeros(F, complex)
+    out = np.empty(T)
+    for t in range(T):
+        s1 = np.sqrt(env1[t])
+        s2 = np.sqrt(env2[t])
+        det = s1**2 * s2**2 * (1.0 - np.abs(rho) ** 2)
+        sigma12 = rho * s1 * s2
+        s_val = (
+            s2**2 * np.abs(X1[t]) ** 2
+            + s1**2 * np.abs(X2[t]) ** 2
+            - 2.0 * np.real(sigma12 * np.conj(X1[t]) * X2[t])
+        ) / det
+        ssqrt = np.sqrt(np.abs(s_val))
+        lhood_j = norm_j - (ssqrt / (np.sqrt(2.0) * BJ)) ** fJ - np.log(det)
+        m1 = norm_m - (np.abs(X1[t]) / (s1 * Bc)) ** f - 2.0 * np.log(s1)
+        m2 = norm_m - (np.abs(X2[t]) / (s2 * Bc)) ** f - 2.0 * np.log(s2)
+        out[t] = np.sum(w * (lhood_j - m1 - m2)) / binN
+        cross = X1[t] * np.conj(X2[t]) / (s1 * s2)
+        rho = beta * rho + (1.0 - beta) * cross
+        mag = np.abs(rho)
+        clip = mag >= 0.90
+        rho = np.where(clip, rho * (0.90 / np.where(clip, mag, 1.0)), rho)
+    return out
+
+
 def ccc_metric(
     spectra: jax.Array,
     fftlen: int,
