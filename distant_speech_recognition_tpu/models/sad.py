@@ -662,6 +662,57 @@ def mutual_information_metric_exact(
     return out
 
 
+def likelihood_ratio_metric_exact(
+    X1,
+    X2,
+    env1,
+    env2,
+    fftlen: int,
+    samplerate: float = 16000.0,
+    low_cutoff: float = 187.0,
+    high_cutoff: float = 1000.0,
+    shape_factors=None,
+):
+    """Reference-exact two-channel likelihood-ratio VAD metric
+    (LikelihoodRatioVADMetric::calc_likelihood_ratio, sad.cc:1567-1617),
+    verified against the compiled C++: per bin
+    ``lr = logLhood(X1, sigma) - logLhood(X2, sigma)`` under the marginal
+    CGGD with the POOLED scale ``sigma = sqrt((env1 + env2)/2)``, interior
+    bins doubled, normalized by binN.  Returns metric [T]."""
+    from scipy.special import gammaln
+    from scipy.special import gamma as sp_gamma
+
+    X1 = np.asarray(X1)
+    X2 = np.asarray(X2)
+    fftLen2 = fftlen // 2
+    F = fftLen2 + 1
+    lowX = int((low_cutoff / samplerate) * fftlen) if low_cutoff >= 0 else 0
+    highX = (
+        int((high_cutoff / samplerate) * fftlen + 0.5)
+        if high_cutoff >= 0
+        else fftLen2
+    )
+    binN = 2 * (highX - lowX + 1) if lowX > 0 else 2 * (highX - lowX) + 1
+    f = (
+        np.full(F, 2.0)
+        if shape_factors is None
+        else np.asarray(shape_factors, np.float64)
+    )
+    Bc = np.exp((gammaln(2.0 / f) - gammaln(4.0 / f)) / 2.0)
+    sigma = np.sqrt(
+        (np.asarray(env1, np.float64) + np.asarray(env2, np.float64)) / 2.0
+    )
+    # the 2 log sigma and normalization terms cancel in the ratio
+    lr = (np.abs(X2) / (sigma * Bc)) ** f - (np.abs(X1) / (sigma * Bc)) ** f
+    idx = np.arange(F)
+    w = np.where(
+        (idx >= lowX) & (idx <= highX),
+        np.where((idx == 0) | (idx == fftLen2 + 1), 1.0, 2.0),
+        0.0,
+    )
+    return np.sum(w * lr, axis=-1) / binN
+
+
 def ccc_metric(
     spectra: jax.Array,
     fftlen: int,

@@ -513,6 +513,54 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "sadlr") {
+    /* sadlr h.f64 M m r dc fs lpcorder lowcut highcut out.f64 in1.f32 in2.f32
+     * LikelihoodRatioVADMetric (sad.cc:1567-1617): marginal CGGD
+     * log-likelihood ratio of the two channels under the pooled envelope
+     * scale; dumps the per-frame ratio. */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned M = atoi(argv[3]), m = atoi(argv[4]), r = atoi(argv[5]), dc = atoi(argv[6]);
+    double fs = atof(argv[7]);
+    unsigned lpcorder = atoi(argv[8]);
+    double lowcut = atof(argv[9]), highcut = atof(argv[10]);
+    const char* outfn = argv[11];
+    std::vector<float> x1 = read_f32(argv[12]);
+    std::vector<float> x2 = read_f32(argv[13]);
+    unsigned D = M >> r;
+
+    RawSampleFeaturePtr s1a = new RawSampleFeature(x1, D);
+    OverSampledDFTAnalysisBankPtr afb1 = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)s1a, h, M, m, r, dc);
+    RawSampleFeaturePtr s1b = new RawSampleFeature(x1, D);
+    LPCSpectrumEstimatorPtr lpc1 = new LPCSpectrumEstimator(
+        (VectorFloatFeatureStreamPtr&)s1b, lpcorder, M);
+    RawSampleFeaturePtr s2a = new RawSampleFeature(x2, D);
+    OverSampledDFTAnalysisBankPtr afb2 = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)s2a, h, M, m, r, dc);
+    RawSampleFeaturePtr s2b = new RawSampleFeature(x2, D);
+    LPCSpectrumEstimatorPtr lpc2 = new LPCSpectrumEstimator(
+        (VectorFloatFeatureStreamPtr&)s2b, lpcorder, M);
+
+    VectorComplexFeatureStreamPtr src1 = (VectorComplexFeatureStreamPtr&)afb1;
+    VectorComplexFeatureStreamPtr src2 = (VectorComplexFeatureStreamPtr&)afb2;
+    VectorFloatFeatureStreamPtr est1 = (VectorFloatFeatureStreamPtr&)lpc1;
+    VectorFloatFeatureStreamPtr est2 = (VectorFloatFeatureStreamPtr&)lpc2;
+    LikelihoodRatioVADMetricPtr metric = new LikelihoodRatioVADMetric(
+        src1, src2, est1, est2, "", 0.0, fs, lowcut, highcut);
+    FILE* fp = fopen(outfn, "wb");
+    for (int fr = 0;; fr++) {
+      double v;
+      try {
+        v = metric->calc_likelihood_ratio(fr);
+      } catch (jiterator_error&) {
+        break;
+      }
+      write_f64_buf(fp, &v, 1);
+    }
+    fclose(fp);
+    return 0;
+  }
+
   if (cmd == "mcc") {
     /* mcc nbest dist fs blockLen nframes out.f64 in1.f32 [...]
      * MCCLocalizer over an SGB4LinearArray far-field grid

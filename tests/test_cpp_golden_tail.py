@@ -915,3 +915,46 @@ def test_mutual_information_vad_metric_matches_cpp(tbin, cmu2, tmp_path):
     )
     scale = np.abs(mcpp[:n]).max()
     np.testing.assert_allclose(mj, mcpp[:n], atol=5e-4 * scale)
+
+
+def test_likelihood_ratio_vad_metric_matches_cpp(tbin, cmu2, tmp_path):
+    """LikelihoodRatioVADMetric (sad.cc:1567-1617) vs the reference-exact
+    oracle: marginal CGGD likelihood ratio of the two channels under the
+    pooled envelope scale."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.lpc import lpc_envelope_frames
+    from distant_speech_recognition_tpu.models.sad import (
+        likelihood_ratio_metric_exact,
+    )
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    chans, paths = cmu2
+    Mb, mb, rb, DCb = 256, 4, 1, 2
+    D = Mb >> rb
+    lpcorder = 16
+    h, g = load_pair(Mb, mb, rb)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    out = str(tmp_path / "lr.f64")
+    subprocess.run(
+        [tbin, "sadlr", hf, str(Mb), str(mb), str(rb), str(DCb),
+         str(int(FS)), str(lpcorder), "187", "1000", out, paths[0], paths[1]],
+        check=True, capture_output=True,
+    )
+    mcpp = np.fromfile(out, np.float64)
+
+    p = ops.FilterbankParams(M=Mb, m=mb, r=rb, delay_compensation_type=DCb)
+    x1, x2 = chans
+    X1 = np.asarray(ops.analysis_half(jnp.asarray(x1), jnp.asarray(h, jnp.float32), p))
+    X2 = np.asarray(ops.analysis_half(jnp.asarray(x2), jnp.asarray(h, jnp.float32), p))
+    T = (len(x1) // D) * D
+    env1 = np.asarray(lpc_envelope_frames(jnp.asarray(x1[:T].reshape(-1, D)), lpcorder, Mb))
+    env2 = np.asarray(lpc_envelope_frames(jnp.asarray(x2[:T].reshape(-1, D)), lpcorder, Mb))
+    n = min(len(X1), len(env1), len(mcpp))
+    mj = likelihood_ratio_metric_exact(
+        X1[:n], X2[:n], env1[:n], env2[:n], Mb, FS, 187.0, 1000.0
+    )
+    scale = np.abs(mcpp[:n]).max()
+    np.testing.assert_allclose(mj, mcpp[:n], atol=1e-4 * scale)
