@@ -775,22 +775,40 @@ def ccc_metric(
     return metric > threshold, metric
 
 
-def low_full_band_energy_ratio_metric(frames: jax.Array, order: int = 2):
+def low_full_band_energy_ratio_metric(frames: jax.Array, lowpass=None,
+                                      order: int = 2):
     """Low/full band energy ratio via short autocorrelation
-    (LowFullBandEnergyRatioVADMetric, sad.cc:1694-1701): the lower-band
-    energy from a smoothed covariance estimate over r[0..order], divided by
-    the full-band energy r[0].
+    (LowFullBandEnergyRatioVADMetric, sad.cc:1649-1701), reference-exact
+    (verified vs the compiled C++):
 
-    ``frames``: [T, N] time-domain frames.  Returns metric [T].
+    - per-lag-normalized autocorrelation ``r[lag] = sum_{i>=lag} x_i
+      x_{i-lag} / (N - lag)`` (calc_auto_correlation_vector_),
+    - lower-band energy ``w^T Toeplitz(r) w`` through a scratch vector the
+      reference NEVER zeroes between frames (``dgemv`` with beta=1,
+      sad.cc:1687-1690) — the quadratic forms accumulate over ALL frames
+      seen so far, reproduced here as a cumulative sum,
+    - metric = accumulated lower-band energy / this frame's ``r[0]``.
+
+    ``frames``: [T, N]; ``lowpass``: [L] FIR taps (default: a flat
+    ``ones(order+1)/(order+1)``).  Returns metric [T].
     """
+    if lowpass is None:
+        lowpass = jnp.ones(order + 1) / (order + 1)
+    w = jnp.asarray(lowpass, jnp.float64 if frames.dtype == jnp.float64 else jnp.float32)
+    L = w.shape[0]
     N = frames.shape[-1]
-    Xf = jnp.fft.rfft(frames, n=2 * N, axis=-1)
-    r = jnp.fft.irfft(jnp.abs(Xf) ** 2, n=2 * N, axis=-1)[..., : order + 1] / N
-    # lower-band energy = mean of the averaged covariance entries (a simple
-    # lowpass: all-ones steering over the (order+1)-lag covariance)
-    w = jnp.ones(order + 1) / (order + 1)
-    le = jnp.einsum("i,...i->...", w, r)
-    return le / jnp.maximum(r[..., 0], 1e-20)
+    r = jnp.stack(
+        [
+            jnp.sum(frames[..., lag:] * frames[..., : N - lag], axis=-1) / (N - lag)
+            for lag in range(L)
+        ],
+        axis=-1,
+    )  # [T, L]
+    absdiff = jnp.abs(jnp.arange(L)[:, None] - jnp.arange(L)[None, :])
+    ww = w[:, None] * w[None, :]  # [L, L]
+    quad = jnp.einsum("ij,...tij->...t", ww, r[..., absdiff])
+    le = jnp.cumsum(quad, axis=-1)
+    return le / jnp.where(r[..., 0] != 0.0, r[..., 0], 1.0)
 
 
 def tsps_metric(spectra: jax.Array, fftlen: int, low_x: int, high_x: int,

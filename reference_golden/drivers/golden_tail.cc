@@ -561,6 +561,36 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "sadlfer") {
+    /* sadlfer lagsN D out.f64 lowpass.f64 in.f32
+     * LowFullBandEnergyRatioVADMetric (sad.cc:1649-1701): per-lag
+     * normalized autocorrelation, Toeplitz quadratic form through the
+     * never-zeroed scratch accumulator; dumps the per-frame ratio. */
+    unsigned lagsN = atoi(argv[2]), D = atoi(argv[3]);
+    const char* outfn = argv[4];
+    std::vector<double> lp = read_f64(argv[5]);
+    std::vector<float> x = read_f32(argv[6]);
+
+    gsl_vector* lowpass = gsl_vector_calloc(lagsN);
+    for (unsigned i = 0; i < lagsN; i++) gsl_vector_set(lowpass, i, lp[i]);
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    VectorFloatFeatureStreamPtr s = (VectorFloatFeatureStreamPtr&)src;
+    LowFullBandEnergyRatioVADMetricPtr metric =
+        new LowFullBandEnergyRatioVADMetric(s, lowpass, 0.5);
+    FILE* fp = fopen(outfn, "wb");
+    for (int fr = 0;; fr++) {
+      double v;
+      try {
+        v = metric->next(fr);
+      } catch (jiterator_error&) {
+        break;
+      }
+      write_f64_buf(fp, &v, 1);
+    }
+    fclose(fp);
+    return 0;
+  }
+
   if (cmd == "mcc") {
     /* mcc nbest dist fs blockLen nframes out.f64 in1.f32 [...]
      * MCCLocalizer over an SGB4LinearArray far-field grid

@@ -958,3 +958,37 @@ def test_likelihood_ratio_vad_metric_matches_cpp(tbin, cmu2, tmp_path):
     )
     scale = np.abs(mcpp[:n]).max()
     np.testing.assert_allclose(mj, mcpp[:n], atol=1e-4 * scale)
+
+
+def test_low_full_band_energy_ratio_matches_cpp(tbin, speech, tmp_path):
+    """LowFullBandEnergyRatioVADMetric (sad.cc:1649-1701) vs the
+    reference-exact implementation, including the never-zeroed scratch
+    accumulator (dgemv beta=1) that makes the lower-band energy CUMULATIVE
+    across frames."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models.sad import (
+        low_full_band_energy_ratio_metric,
+    )
+
+    x, path = speech
+    L, D = 5, 512
+    rng = np.random.default_rng(1)
+    lp = rng.standard_normal(L)
+    flp = str(tmp_path / "lp.f64")
+    lp.astype(np.float64).tofile(flp)
+    out = str(tmp_path / "lfer.f64")
+    subprocess.run(
+        [tbin, "sadlfer", str(L), str(D), out, flp, path],
+        check=True, capture_output=True,
+    )
+    ref = np.fromfile(out, np.float64)
+
+    T = len(x) // D
+    frames = x[: T * D].reshape(T, D)
+    mine = np.asarray(
+        low_full_band_energy_ratio_metric(jnp.asarray(frames), jnp.asarray(lp))
+    )
+    n = min(len(ref), len(mine))
+    assert n >= len(ref) - 1
+    np.testing.assert_allclose(mine[:n], ref[:n], rtol=1e-5)
