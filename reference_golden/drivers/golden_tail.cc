@@ -561,6 +561,28 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "wgcc") {
+    /* wgcc fftLen fs minDelay maxDelay frame.c128 out.f64
+     * getWindowedGCC free function (localization.cc): PHAT-weighted CC of
+     * channels 0/1, delay-windowed peak with quadratic interpolation;
+     * dumps [delay_seconds, peak]. */
+    unsigned fftLen = atoi(argv[2]);
+    double fs = atof(argv[3]);
+    double minD = atof(argv[4]), maxD = atof(argv[5]);
+    std::vector<double> fr = read_f64(argv[6]);
+    gsl_matrix_complex* mfr = gsl_matrix_complex_calloc(2, fftLen);
+    for (unsigned c = 0; c < 2; c++)
+      for (unsigned j = 0; j < fftLen; j++)
+        gsl_matrix_complex_set(
+            mfr, c, j,
+            gsl_complex_rect(fr[2 * (c * fftLen + j)], fr[2 * (c * fftLen + j) + 1]));
+    const gsl_vector* res = getWindowedGCC(mfr, fs, minD, maxD);
+    FILE* fp = fopen(argv[7], "wb");
+    write_f64_buf(fp, res->data, 2);
+    fclose(fp);
+    return 0;
+  }
+
   if (cmd == "sadlfer") {
     /* sadlfer lagsN D out.f64 lowpass.f64 in.f32
      * LowFullBandEnergyRatioVADMetric (sad.cc:1649-1701): per-lag

@@ -992,3 +992,43 @@ def test_low_full_band_energy_ratio_matches_cpp(tbin, speech, tmp_path):
     n = min(len(ref), len(mine))
     assert n >= len(ref) - 1
     np.testing.assert_allclose(mine[:n], ref[:n], rtol=1e-5)
+
+
+@pytest.mark.parametrize("win", [(-1.0, 1.0), (-0.001, 0.001), (0.0, 0.0005)])
+def test_windowed_gcc_free_function_matches_cpp(tbin, win, tmp_path):
+    """getWindowedGCC free function (localization.cc) vs PHAT cross-spectrum
+    + models.localization.find_cc_peak: delay-windowed peak with quadratic
+    interpolation, exact on a known-delay synthetic pair."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models.localization import find_cc_peak
+
+    rng = np.random.default_rng(4)
+    fftLen, fs = 256, 16000.0
+    F = fftLen // 2 + 1
+    S = rng.standard_normal(F) + 1j * rng.standard_normal(F)
+    f = np.arange(F)
+    tau = 3.3 / fs
+    X0 = S
+    X1 = S * np.exp(-2j * np.pi * f * fs / fftLen * tau) + 0.1 * (
+        rng.standard_normal(F) + 1j * rng.standard_normal(F)
+    )
+    Xfull = np.zeros((2, fftLen), complex)
+    Xfull[0, :F] = X0
+    Xfull[1, :F] = X1
+    ff = str(tmp_path / "fr.c128")
+    Xfull.astype(np.complex128).tofile(ff)
+    fo = str(tmp_path / "o.f64")
+    minD, maxD = win
+    subprocess.run(
+        [tbin, "wgcc", str(fftLen), str(fs), str(minD), str(maxD), ff, fo],
+        check=True, capture_output=True,
+    )
+    ref = np.fromfile(fo, np.float64)
+
+    cs = X0 * np.conj(X1)
+    mag = np.abs(cs)
+    cs = np.where(mag > 0, cs / mag, 0.0)
+    cc = np.fft.irfft(cs, n=fftLen)
+    dly, pk = find_cc_peak(jnp.asarray(cc), fs, minD, maxD)
+    np.testing.assert_allclose([float(dly), float(pk)], ref, rtol=1e-6, atol=1e-10)
