@@ -49,7 +49,13 @@ def main():
     # 512 -> 48.5k, 640 -> 50.7k, 768 -> 53.1k, 896 -> 52.8k, 1024 -> 55.3k
     # audio-s/s/chip; 1024 is the sweet spot (larger batches amortize the
     # per-frame grid overhead of the scan kernel until HBM pressure bites).
-    B = int(os.environ.get("BENCH_BATCH", "1024"))  # utterance batch
+    # The XLA scan (the default while the Pallas scan's real-speech NaN is
+    # open, models/pipeline.py PALLAS_SCAN note) keeps its adaptive state
+    # in HBM and OOMs at 1024 — its ceiling is 640.
+    from distant_speech_recognition_tpu.models import pipeline as _plmod
+
+    default_b = "1024" if _plmod.PALLAS_SCAN else "640"
+    B = int(os.environ.get("BENCH_BATCH", default_b))  # utterance batch
     secs = float(os.environ.get("BENCH_SECS", "10.0"))  # per utterance
     T = int(fs * secs)
 

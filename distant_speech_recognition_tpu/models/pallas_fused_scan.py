@@ -219,7 +219,15 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
                 qr, qi = _cdiv(PzZr[i], PzZi[i], denr, deni)
                 gzr.append(qr)
                 gzi.append(qi)
-            dK = [(dlist[i] - (gzr[i] * PzZr[i] + gzi[i] * PzZi[i])) / mu
+            # The diagonal update cancels catastrophically in f32 when
+            # d |Z|^2 >> mu (gz.PzZ -> d); the true value is
+            # d*mu/(mu + d|Z|^2) > 0, so the clamp below only removes
+            # rounding artifacts that would break Pz's positive
+            # definiteness.  NOTE it does NOT resolve the open real-speech
+            # NaN on v5e (see the module docstring / PALLAS_SCAN default).
+            dK = [jnp.maximum(
+                      (dlist[i] - (gzr[i] * PzZr[i] + gzi[i] * PzZi[i])) / mu,
+                      0.0)
                   for i in range(Bc)]
             offKr, offKi = [], []
             for n, (i, j) in enumerate(pairs):

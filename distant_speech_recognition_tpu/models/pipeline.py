@@ -64,8 +64,14 @@ PALLAS_FB = os.environ.get("DSR_PALLAS_FB", "1") == "1"
 # pinning the batch tile to one (8, 128) sublane group and gridding over
 # batch blocks instead (pallas_fused_scan.gsc_rls_zelinski_pallas tile
 # notes); measured 65.7 ms vs the XLA scan's 95.1 ms at the bench shape
-# (Tf=1248, B=640) on v5e.  DSR_PALLAS_SCAN=0 restores the XLA scan.
-PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "1") == "1"
+# (Tf=1248, B=640) on v5e.  DEFAULT OFF: on REAL SPEECH the kernel goes
+# NaN on device from the first adapted frame (t = min_frames + 1) in the
+# near-silent top bins — interpret mode and the XLA scan are finite on
+# identical inputs, and a feature bisect implicates the constraint_option
+# >= 2 norm-cap branch (copt 0/1 are finite on device) — an unresolved
+# Mosaic-lowering numeric, documented in PARITY.md.  DSR_PALLAS_SCAN=1
+# opts in (white-noise bench inputs are unaffected).
+PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "0") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights

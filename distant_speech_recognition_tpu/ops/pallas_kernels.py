@@ -167,6 +167,80 @@ def _analysis_tm_fused_call(
     )(blocks_tm, hw, A)
 
 
+def _make_analysis_tm_blocked_kernel(m: int, R: int, Tt: int, D: int, prec):
+    """Analysis kernel body over TWO adjacent block-indexed tiles: the halo
+    window [t*Tt, t*Tt + Tt + m*R - 1) is stitched from block t and the
+    first m*R-1 rows of block t+1 in VMEM.  Unlike the Element-indexed
+    variants, standard block indexing lets Mosaic double-buffer the DMAs."""
+
+    def kernel(a_ref, b_ref, hw_ref, A_ref, out_ref):
+        Bb = out_ref.shape[1]
+        Mout = out_ref.shape[2]
+        win = jnp.concatenate([a_ref[:], b_ref[: m * R - 1]], axis=0)
+        acc = None
+        for j in range(R):
+            w = None
+            for k in range(m):
+                off = (m - 1 - k) * R + j
+                t = hw_ref[j * m + k, :][None, None, :] * win[off : off + Tt]
+                w = t if w is None else w + t
+            term = jax.lax.dot_general(
+                w.reshape(Tt * Bb, D),
+                A_ref[j * D : (j + 1) * D, :],
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            acc = term if acc is None else acc + term
+        out_ref[:] = acc.reshape(Tt, Bb, Mout)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _analysis_tm_blocked_call(
+    blocks_tm: jax.Array,
+    hw: jax.Array,
+    A: jax.Array,
+    n_frames: int,
+    Tt: int,
+    Bb: int,
+    interpret: bool,
+    mR: int = 0,
+) -> jax.Array:
+    """Block-indexed analysis call.  Caller guarantees the halo alignment
+    ``laN == m*R - 1`` (delay-compensation type 2), ``Tt >= m*R - 1``, and a
+    blocks array padded to ``(n_t + 1) * Tt`` rows and whole batch tiles —
+    the window for frame tile t then starts exactly at block row t*Tt, so
+    each grid step reads blocks t and t+1 of the SAME array as two standard
+    block-indexed inputs (pipelinable), no Element indexing needed."""
+    from jax.experimental import pallas as pl
+
+    n_blocks, BC, D = blocks_tm.shape
+    Mout = A.shape[1]
+    M = A.shape[0]
+    R = M // D
+    m = (mR if mR else hw.shape[0]) // R
+    n_t = -(-n_frames // Tt)
+    n_b = BC // Bb
+
+    kernel = _make_analysis_tm_blocked_kernel(m, R, Tt, D, _kernel_prec())
+    return pl.pallas_call(
+        kernel,
+        grid=(n_b, n_t),
+        in_specs=[
+            pl.BlockSpec((Tt, Bb, D), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((Tt, Bb, D), lambda b, t: (t + 1, b, 0)),
+            pl.BlockSpec((m * R, D), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, Mout), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, Bb, Mout), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_t * Tt, BC, Mout), jnp.float32),
+        interpret=interpret,
+        compiler_params=_parallel_grid(),
+    )(blocks_tm, blocks_tm, hw, A)[:n_frames]
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _analysis_tm_nopad_call(
     blocks_tm: jax.Array,
@@ -280,6 +354,29 @@ def analysis_tm_fused(
     n_t = -(-n_frames // Tt)
     n_b = -(-BC // Bb)
     x2 = x.reshape(BC, x.shape[-1])
+
+    # Block-aligned halo fast path: with delay-compensation laN == mR - 1
+    # (type 2, the default) the true window for frame tile t starts exactly
+    # at block row t*Tt, so the kernel reads two adjacent BLOCK-indexed
+    # tiles of the same array — standard block indexing Mosaic can
+    # double-buffer — instead of an Element-indexed halo (which it cannot).
+    # One tail/batch zero-pad pass gives the same semantics as the padded
+    # fallback below (zero history is not needed: the front pad is zero
+    # blocks wide exactly when laN == mR - 1).
+    if p.laN == mR - 1 and Tt >= mR - 1:
+        blocks_tm = jnp.transpose(x2.reshape(BC, -1, D), (1, 0, 2))
+        need_t = (n_t + 1) * Tt
+        need_b = n_b * Bb
+        if need_t > n_blocks or need_b > BC:
+            blocks_tm = jnp.pad(
+                blocks_tm,
+                ((0, max(need_t - n_blocks, 0)), (0, need_b - BC), (0, 0)),
+            )
+        Yr = _analysis_tm_blocked_call(
+            blocks_tm, hw, A, n_frames, Tt, Bb, interpret, mR
+        )
+        Yr = Yr[:, :BC] if need_b > BC else Yr
+        return Yr.reshape((n_frames,) + lead + (Yr.shape[-1],))
 
     W = Tt + mR - 1
     if edge_fixup and n_b * Bb == BC and n_blocks >= W:
