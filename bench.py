@@ -49,9 +49,10 @@ def main():
     # 512 -> 48.5k, 640 -> 50.7k, 768 -> 53.1k, 896 -> 52.8k, 1024 -> 55.3k
     # audio-s/s/chip; 1024 is the sweet spot (larger batches amortize the
     # per-frame grid overhead of the scan kernel until HBM pressure bites).
-    # The XLA scan (the default while the Pallas scan's real-speech NaN is
-    # open, models/pipeline.py PALLAS_SCAN note) keeps its adaptive state
-    # in HBM and OOMs at 1024 — its ceiling is 640.
+    # The XLA scan (DSR_PALLAS_SCAN=0) keeps its adaptive state in HBM and
+    # OOMs at 1024 — its ceiling is 640.  (The round-3 real-speech NaN that
+    # kept the Pallas scan opt-in was root-caused to 0*inf arithmetic
+    # blends and fixed in round 4; see models/pipeline.py PALLAS_SCAN.)
     from distant_speech_recognition_tpu.models import pipeline as _plmod
 
     default_b = "1024" if _plmod.PALLAS_SCAN else "640"
@@ -93,7 +94,25 @@ def main():
         # the exact predicates build_pipeline lowers with (not re-derived)
         fl = path_flags(cfg, C)
         pallas_on = fl["pallas_fb"] or fl["pallas_scan"] or fl["pallas_fw"]
-        xs = x[: min(B, 8), :, : fs * 2]
+        xs = x[: min(B, 8), :, : fs * 2].copy()
+        # Half the selfcheck rows carry REAL SPEECH (4-channel CMU Kinect
+        # utterance, raw int16 scale): real speech has near-silent top
+        # bins, the exact trigger of the round-3 Pallas-scan device NaN —
+        # so every driver artifact re-certifies that class on device.
+        try:
+            from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+            _cmu = "/root/reference/btk20_src/unit_test/data/CMU/R1/M1005/KINECT/RAW/segmented"
+            sp = np.stack([
+                read_wav(f"{_cmu}/U1001_1M_16k_b16_c{c}.wav", normalize=False)[0][0]
+                for c in range(1, C + 1)
+            ])  # [C, T_utt]
+            n = min(sp.shape[1], xs.shape[2])
+            for row in range(xs.shape[0] // 2, xs.shape[0]):
+                xs[row, :, :n] = sp[:, :n]
+                xs[row, :, n:] = 0.0
+        except Exception:
+            pass  # missing fixture: selfcheck still runs on white noise
         y_pallas = np.asarray(fn(xs)) if pallas_on else None
         old_fb, old_scan = plmod.PALLAS_FB, plmod.PALLAS_SCAN
         try:
@@ -112,6 +131,20 @@ def main():
                 f"ok(rel={err / scale:.2e})" if err <= 1e-4 * scale
                 else f"FAIL(rel={err / scale:.2e})"
             )
+
+    # NaN-trigger regression (round 4): a deterministic packed-domain input
+    # with near-silent top bins (waK2 in the f32 overflow window) that
+    # reproduced the round-3 Pallas-scan device NaN on the pre-fix kernel
+    # (5792+ NaN lanes).  Asserts the production kernel stays finite AND
+    # matches the XLA scan on device; recorded in the artifact so the NaN
+    # class can never re-ship silently.  BENCH_NANTRIGGER=0 skips it.
+    if os.environ.get("BENCH_NANTRIGGER", "1") != "0":
+        try:
+            out_nt = _nan_trigger_check(cfg, mpos, delays)
+        except Exception as e:  # pragma: no cover
+            out_nt = f"error: {type(e).__name__}: {e}"[:200]
+    else:
+        out_nt = None
 
     # On the axon tunnel backend block_until_ready does NOT synchronize
     # (measured: an 8k x 8k matmul "completes" in 0.1 ms); only a value
@@ -154,6 +187,8 @@ def main():
     }
     if selfcheck is not None:
         out["pallas_selfcheck"] = selfcheck
+    if out_nt is not None:
+        out["nan_trigger"] = out_nt
     if stages is not None:
         out["stages"] = stages
 
@@ -229,6 +264,65 @@ def main():
         except Exception as e:  # pragma: no cover - depends on device state
             out["config4"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))
+
+
+def _nan_trigger_check(cfg, mpos, delays):
+    """Deterministic regression for the round-3 Pallas-scan device NaN.
+
+    Packed spectra with top bins scaled so the first adapted frame's
+    ||wa||^2 lands in [1.2e-38, 2.9e-37] — normal f32 but max_wa/waK2
+    overflows to inf.  The pre-fix kernel's arithmetic blends turned that
+    into 0*inf = NaN on v5e (Mosaic lowers the literal mul-add; XLA-CPU's
+    simplifier rewrote it to a select, which is why interpret mode hid it).
+    Returns "ok(rel=...)" when the production kernel is finite and matches
+    the XLA scan on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import pipeline as plmod
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        gsc_postfilter_fused,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+
+    if not plmod.PALLAS_SCAN or jax.default_backend() == "cpu":
+        return "pallas-scan-disabled"
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        gsc_rls_zelinski_pallas,
+        pallas_scan_supported,
+    )
+
+    M, fs, C = cfg.fb.M, cfg.samplerate, mpos.shape[0]
+    if not pallas_scan_supported(M, C):
+        return "shape-unsupported"
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
+        ta = array_manifold(M, fs, delays)
+        wqH, BmH, ta = np.asarray(wqH), np.asarray(BmH), np.asarray(ta)
+
+    Tf, B = 16, 8
+    rng = np.random.default_rng(0)
+    Yp = (rng.standard_normal((Tf, B, C, M)) * 100).astype(np.float32)
+    lo, hi = 3 * M // 8, M // 2  # near-silent top bins (Re and Im lanes)
+    Yp[..., lo:hi + 1] *= 1.8e-8
+    Yp[..., lo + M // 2:] *= 1.8e-8
+    rls = dataclasses.replace(cfg.rls, min_frames=2)
+    got = np.asarray(gsc_rls_zelinski_pallas(
+        jnp.asarray(Yp), wqH, BmH, ta, rls,
+        cfg.pf_alpha, cfg.pf_type, 0,
+    ))
+    want = np.asarray(jax.jit(lambda Ypj: gsc_postfilter_fused(
+        Ypj, None, jnp.asarray(wqH), jnp.asarray(BmH), jnp.asarray(ta),
+        "rls", rls, cfg.pf_alpha, cfg.pf_type, 0, True,
+    ))(jnp.asarray(Yp)))
+    if not np.isfinite(got).all():
+        return f"FAIL(nan={int(np.isnan(got).sum())})"
+    err = float(np.max(np.abs(got - want)))
+    scale = float(np.max(np.abs(want)) or 1.0)
+    rel = err / scale
+    return f"ok(rel={rel:.2e})" if rel <= 1e-4 else f"FAIL(rel={rel:.2e})"
 
 
 # v5e single-chip peaks used for roofline placement (public figures:

@@ -113,7 +113,7 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, M), 1)
         m0 = (lane[:, :Mh] == 0).astype(jnp.float32)  # [Bb, Mh] lane-0 mask
-        active = (lane <= Mh).astype(jnp.float32)     # bins 0..Mh live
+        active = lane <= Mh                           # bins 0..Mh live (bool)
 
         @pl.when(tt == 0)
         def _init():
@@ -160,7 +160,17 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             # carried full-width because a [Bb, 1] VMEM ref crashes this
             # Mosaic toolchain); all lanes hold the same value
             en_b = jnp.broadcast_to(energy_t, (Bb, M))
-            gate = (en_b > en_s[...] / sil).astype(jnp.float32)  # [Bb, M]
+            gate = en_b > en_s[...] / sil  # [Bb, M] bool; used via SELECTS
+            # NOTE every speculative value below (constraint scale, betaK,
+            # the whole non-gated update) is folded in with jnp.where
+            # SELECTS, never arithmetic blends: a blend like
+            # ``gate*new + (1-gate)*old`` turns a speculative inf/NaN on a
+            # not-taken lane into NaN state (0*inf = NaN).  That was the
+            # round-3 real-speech NaN on v5e: near-silent bins give
+            # waK2 ~ 1e-38 on the first adapted frame, max_wa/waK2
+            # overflows to inf, and the not-over lanes blended 0*inf.  The
+            # XLA twin (adaptive_gsc.py:288-322) always used selects,
+            # which is why it was finite on identical inputs.
 
             # ---- blocking-matrix outputs and quiescent branch ----
             Zr, Zi = [], []
@@ -223,8 +233,7 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             # d |Z|^2 >> mu (gz.PzZ -> d); the true value is
             # d*mu/(mu + d|Z|^2) > 0, so the clamp below only removes
             # rounding artifacts that would break Pz's positive
-            # definiteness.  NOTE it does NOT resolve the open real-speech
-            # NaN on v5e (see the module docstring / PALLAS_SCAN default).
+            # definiteness.
             dK = [jnp.maximum(
                       (dlist[i] - (gzr[i] * PzZr[i] + gzi[i] * PzZi[i])) / mu,
                       0.0)
@@ -285,31 +294,37 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
                         -(bq + jnp.sqrt(jnp.maximum(arg, 0.0))) / (2.0 * a_safe),
                         -bq / (2.0 * a_safe),
                     )
-                    hit = (waK2 > alpha2).astype(jnp.float32)
+                    hit = waK2 > alpha2
                     for i in range(Bc):
-                        nwr[i] = nwr[i] - hit * betaK * var_[i]
-                        nwi[i] = nwi[i] + hit * betaK * vai_[i]
+                        nwr[i] = jnp.where(hit, nwr[i] - betaK * var_[i], nwr[i])
+                        nwi[i] = jnp.where(hit, nwi[i] + betaK * vai_[i], nwi[i])
                 if copt >= 2:
-                    over = (waK2 > max_wa).astype(jnp.float32)
-                    scale = jnp.sqrt(max_wa / jnp.where(waK2 > 0, waK2, 1.0))
-                    s_eff = over * scale + (1.0 - over)
+                    over = waK2 > max_wa
+                    # max(waK2, max_wa) keeps the ratio <= 1 so `scale` is
+                    # finite even when waK2 underflows toward 0; on `over`
+                    # lanes waK2 > max_wa so this equals the reference's
+                    # sqrt(max_wa/waK2) (pybeamformer.py:862-865) exactly.
+                    scale = jnp.sqrt(max_wa / jnp.maximum(waK2, max_wa))
                     for i in range(Bc):
-                        nwr[i] = nwr[i] * s_eff
-                        nwi[i] = nwi[i] * s_eff
-                        dK[i] = over * d0 + (1.0 - over) * dK[i]
+                        nwr[i] = jnp.where(over, nwr[i] * scale, nwr[i])
+                        nwi[i] = jnp.where(over, nwi[i] * scale, nwi[i])
+                        dK[i] = jnp.where(over, d0, dK[i])
                     for n in range(len(pairs)):
-                        offKr[n] = (1.0 - over) * offKr[n]
-                        offKi[n] = (1.0 - over) * offKi[n]
+                        offKr[n] = jnp.where(over, 0.0, offKr[n])
+                        offKi[n] = jnp.where(over, 0.0, offKi[n])
 
             # ---- silence gate + dead-lane pinning, state write-back ----
+            # (selects, not blends — see the NaN note at `gate` above)
             for i in range(Bc):
-                d_new = gate * dK[i] + (1.0 - gate) * dlist[i]
-                d_s[i] = active * d_new + (1.0 - active) * d0
-                war_s[i] = gate * nwr[i] + (1.0 - gate) * war[i]
-                wai_s[i] = gate * nwi[i] + (1.0 - gate) * wai[i]
+                d_new = jnp.where(gate, dK[i], dlist[i])
+                d_s[i] = jnp.where(active, d_new, d0)
+                war_s[i] = jnp.where(gate, nwr[i], war[i])
+                wai_s[i] = jnp.where(gate, nwi[i], wai[i])
             for n in range(len(pairs)):
-                offr_s[n] = active * (gate * offKr[n] + (1.0 - gate) * offr[n])
-                offi_s[n] = active * (gate * offKi[n] + (1.0 - gate) * offi[n])
+                offr_s[n] = jnp.where(
+                    active, jnp.where(gate, offKr[n], offr[n]), 0.0)
+                offi_s[n] = jnp.where(
+                    active, jnp.where(gate, offKi[n], offi[n]), 0.0)
             en_s[...] = en_s[...] * beta + (1.0 - beta) * en_b
 
             # ---- GSC output with gated weights ----

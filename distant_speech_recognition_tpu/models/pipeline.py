@@ -60,18 +60,19 @@ PALLAS_FB = os.environ.get("DSR_PALLAS_FB", "1") == "1"
 # stays resident in VMEM across the whole utterance instead of being
 # re-read/re-written from HBM every frame by lax.scan.  Bit-compatible with
 # the XLA fused scan (same operand order); requires TPU + M % 256 == 0.
-# DEFAULT ON since round 3: the Mosaic batch-tile>8 crash is sidestepped by
-# pinning the batch tile to one (8, 128) sublane group and gridding over
-# batch blocks instead (pallas_fused_scan.gsc_rls_zelinski_pallas tile
-# notes); measured 65.7 ms vs the XLA scan's 95.1 ms at the bench shape
-# (Tf=1248, B=640) on v5e.  DEFAULT OFF: on REAL SPEECH the kernel goes
-# NaN on device from the first adapted frame (t = min_frames + 1) in the
-# near-silent top bins — interpret mode and the XLA scan are finite on
-# identical inputs, and a feature bisect implicates the constraint_option
-# >= 2 norm-cap branch (copt 0/1 are finite on device) — an unresolved
-# Mosaic-lowering numeric, documented in PARITY.md.  DSR_PALLAS_SCAN=1
-# opts in (white-noise bench inputs are unaffected).
-PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "0") == "1"
+# DEFAULT ON since round 4: the round-3 real-speech device NaN was
+# root-caused to arithmetic BLENDS of speculative values in the kernel
+# (``over*scale + (1-over)`` with scale = sqrt(max_wa/waK2) -> inf on
+# near-silent bins -> 0*inf = NaN; XLA-CPU's simplifier rewrote the blend
+# to a select, which is why interpret mode was finite while Mosaic, which
+# lowers the literal mul-add, NaN'd).  The kernel now uses jnp.where
+# selects with a finite-by-construction scale, matching the XLA scan
+# (adaptive_gsc.py:288-322) operand for operand; verified on v5e against
+# a deterministic near-silent-bin trigger that reproduced the old NaN
+# (bench.py selfcheck includes that trigger in every artifact).
+# Measured 65.7 ms vs the XLA scan's 95.1 ms at the bench shape
+# (Tf=1248, B=640) on v5e.  DSR_PALLAS_SCAN=0 opts out.
+PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "1") == "1"
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights

@@ -195,3 +195,50 @@ def test_zelinski_apply_pallas_matches_xla(rng, protos):
     )
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=3e-5 * scale)
+
+
+def test_pallas_rls_near_silent_bins_finite_and_matches(rng):
+    """Near-silent top bins put the first adapted frame's ||wa||^2 in the
+    f32 range where max_wa/waK2 overflows to inf (the round-3 device-NaN
+    trigger, pybeamformer.py:862-865 norm-cap semantics).  The kernel must
+    stay finite and equal to the XLA scan: it now folds every speculative
+    value in with jnp.where SELECTS (never ``p*spec + (1-p)*other`` blends,
+    which Mosaic lowers literally so a speculative inf becomes 0*inf=NaN
+    on device; bench.py _nan_trigger_check re-certifies this on hardware).
+    """
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        GSCRLSConfig,
+        gsc_postfilter_fused,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        gsc_rls_zelinski_pallas,
+    )
+    from distant_speech_recognition_tpu.utils import geometry
+
+    M, C, Tf, B = 256, 4, 10, 2
+    Yp = (rng.standard_normal((Tf, B, C, M)) * 100).astype(np.float32)
+    lo, hi = 3 * M // 8, M // 2
+    Yp[..., lo:hi + 1] *= 1.8e-8
+    Yp[..., lo + M // 2:] *= 1.8e-8
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    wqH, BmH = gsc_weights(M, 16000.0, delays, 1)
+    wqH, BmH = np.asarray(wqH), np.asarray(BmH)
+    vs = np.asarray(array_manifold(M, 16000.0, delays))
+    cfg = GSCRLSConfig(min_frames=2)
+    want = np.asarray(
+        gsc_postfilter_fused(
+            jnp.asarray(Yp), None, jnp.asarray(wqH), jnp.asarray(BmH),
+            jnp.asarray(vs), "rls", cfg, 0.6, 1, 0, True,
+        )
+    )
+    got = np.asarray(
+        gsc_rls_zelinski_pallas(
+            jnp.asarray(Yp), wqH, BmH, vs, cfg, 0.6, 1, 0,
+            frame_tile=4, batch_tile=2, interpret=True,
+        )
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
