@@ -324,11 +324,19 @@ def information_filter_aec(
     per-bin updates with per-bin smoothed statistics, eigendecomposition
     inverse, and extra diagonal loading on the information matrix.
 
-    Deviation noted: the reference keeps a single global ``skippedN_``
-    counter resetting the current bin's filter after 30 skips across all
-    bins/frames; here the counter is per bin, which resets a bin's filter
-    after 30 of *its own* skips (the global counter's cross-bin coupling is
-    an artifact of the serial loop, not the algorithm).
+    Reference quirks, verified against the compiled C++
+    (tests/test_cpp_golden.py::test_aec_kalman_family_matches_cpp):
+
+    - the base-class energy gate ``update_`` tests ``|V_0|^2 > snr_th``
+      because the ctor forwards ``snrTh`` as the BlockKalman ``threshold``
+      argument (aec.cc:322);
+    - the ``||`` in ``update_(Vk) == false || update_band_(...) < 0``
+      short-circuits, so the per-bin smoothed SNR statistics only advance
+      on frames whose energy gate passes (aec.cc:464);
+    - ``skippedN_`` is one counter SHARED across all bins, advanced in bin
+      order within each frame; when a bin skips with the counter >= 30,
+      that bin's filter resets to [1, 0, ...] and the counter restarts
+      (aec.cc:464-472) — replicated with a scan over bins.
     """
     F = V.shape[-1]
     N = sampleN
@@ -348,7 +356,7 @@ def information_filter_aec(
         snr: jax.Array  # [F]
         EkE: jax.Array  # [F]
         SkE: jax.Array  # [F]
-        skipped: jax.Array  # [F] int
+        skipped: jax.Array  # scalar int, shared across bins (aec.cc quirk)
         frame: jax.Array
 
     def step(s, inputs):
@@ -359,22 +367,35 @@ def information_filter_aec(
         # not to floor_val — the reference's literal code (aec.cc:455-457)
         Ek = jnp.where(absEk < floor_val, Ek / jnp.where(absEk > 0, absEk, 1.0), Ek)
 
+        # energy gate first: update_ tests |V_0|^2 against snr_th (the ctor
+        # forwards snrTh as the base-class threshold, aec.cc:322), and the
+        # || short-circuit means the per-bin stats below only advance on
+        # frames whose energy gate passes
+        egate = jnp.abs(Vk[..., 0]) ** 2 > snr_th
+
         # per-bin SNR stats (update_band_, aec.cc:371-399)
         smth = jnp.where(s.frame < 100, 1.0 - s.frame * (1.0 - smooth) / 100.0, smooth)
         Sk = Ak - Ek
         currEk = jnp.abs(Ek) ** 2
         currSk = jnp.abs(Sk) ** 2
-        EkE = currEk * smth + s.EkE * (1.0 - smth)
-        SkE = currSk * smth + s.SkE * (1.0 - smth)
-        snr = (currSk / (currEk + 1e-15)) * smth + s.snr * (1.0 - smth)
+        EkE = jnp.where(egate, currEk * smth + s.EkE * (1.0 - smth), s.EkE)
+        SkE = jnp.where(egate, currSk * smth + s.SkE * (1.0 - smth), s.SkE)
+        snr = jnp.where(
+            egate, (currSk / (currEk + 1e-15)) * smth + s.snr * (1.0 - smth), s.snr
+        )
         sf_ok = (s.frame < 100) | ((snr > snr_th) & (SkE > eng_th))
-        gate = (jnp.abs(Vk[..., 0]) ** 2 > eng_th) & sf_ok
+        gate = egate & sf_ok
 
-        # skip bookkeeping + filter reset after too many skips
-        skipped = jnp.where(gate, s.skipped, s.skipped + 1)
-        reset = (~gate) & (s.skipped >= 30)
+        # shared skip counter, advanced in bin order within the frame
+        # (aec.cc:464-472): when a bin skips with the counter >= 30, that
+        # bin's filter resets and the counter restarts at 1
+        def skip_step(cnt, g):
+            do_reset = (~g) & (cnt >= 30)
+            cnt = jnp.where(g, cnt, jnp.where(do_reset, 1, cnt + 1))
+            return cnt, do_reset
+
+        skipped, reset = jax.lax.scan(skip_step, s.skipped, gate)
         R_base = jnp.where(reset[:, None], R_init, s.R)
-        skipped = jnp.where(reset, 1, skipped)
 
         sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
         K_k_k1 = s.K_k + sigmau2 * eye
@@ -406,7 +427,7 @@ def information_filter_aec(
         snr=jnp.zeros((F,), jnp.float32),
         EkE=jnp.zeros((F,), jnp.float32),
         SkE=jnp.zeros((F,), jnp.float32),
-        skipped=jnp.zeros((F,), jnp.int32),
+        skipped=jnp.asarray(0, jnp.int32),
         frame=jnp.asarray(0, jnp.int32),
     )
     s, E = jax.lax.scan(step, s0, (taps, A))
@@ -430,111 +451,130 @@ def sqrt_information_filter_aec(
     """Square-root information-filter echo canceller
     (SquareRootInformationFilterEchoCancellationFeature, aec.cc:615-790).
 
-    Propagates the inverse Cholesky factor of the state covariance and the
-    information state through temporal/observational updates.  The reference
-    triangularizes pre-arrays with complex Givens sweeps; here each update is
-    one batched QR per bin (identical factors up to unitary phases —
-    see ops/sqrt_kernels.py).  SNR gating and the |E| floor follow the
-    reference; the global skip counter is per-bin as in
-    `information_filter_aec`.
+    The reference carries (S = K_k_, z = informationState_) and
+    triangularizes pre-arrays with complex Givens sweeps; that pair is a
+    standard SRIF on the conjugated system (S is the transpose of the
+    positive-diagonal upper factor R, z = R conj(x)), so this carries
+    (R, xbar = conj(x)) and realizes each sweep as one batched positive-
+    diagonal QR per bin — verified identical to a literal transliteration
+    of the Givens pipeline to 1e-16 over 60 frames.
+
+    Reference quirks, verified against the compiled C++
+    (tests/test_cpp_golden.py::test_aec_kalman_family_matches_cpp): unlike
+    the parent information filter, SRIF::next (aec.cc:615-660) applies NO
+    |E| floor and has NO skip counter/filter reset; the energy gate tests
+    ``|V_0|^2 > snr_th`` (ctor forwards snrTh as the base threshold) and
+    the ``||`` short-circuit keeps the per-bin SNR stats frozen on frames
+    whose energy gate fails.
     """
     from ..ops.sqrt_kernels import propagate_information_sqrt
 
     F = V.shape[-1]
     N = sampleN
     taps = play_taps(V, N, amp4play)
+    # coefficients start at [1, 0, ...] (InformationFilter ctor) while the
+    # information state starts at zero — the reference uses the former for
+    # the error until the first gated update extracts from the latter
     R_init = jnp.zeros((F, N), V.dtype).at[:, 0].set(1.0)
-    # inverse Cholesky factor of K (upper triangular info square root)
+    # upper positive-diagonal info factor R (the reference's K_k_ = R^T)
     S_init = jnp.broadcast_to(
         (1.0 / jnp.sqrt(sigmau2)) * jnp.eye(N, dtype=V.dtype), (F, N, N)
     )
-    Qs_inv = (1.0 / jnp.sqrt(sigmau2)) * jnp.eye(N, dtype=V.dtype)
 
     class S(NamedTuple):
-        R: jax.Array  # filter coefficients [F, N]
-        Sinfo: jax.Array  # info square root [F, N, N]
+        R: jax.Array  # filter coefficients [F, N] (= conj(xbar) once adapted)
+        xbar: jax.Array  # conjugated SRIF state [F, N] (z = R_factor @ xbar)
+        Sinfo: jax.Array  # upper pos-diag info factor [F, N, N]
         sigma2_v: jax.Array
         snr: jax.Array
         EkE: jax.Array
         SkE: jax.Array
-        skipped: jax.Array
         frame: jax.Array
 
     def step(s, inputs):
         Vk, Ak = inputs
+        # no |E| floor here: SRIF::next emits the raw residual (aec.cc:636)
         Ek = Ak - ceinsum("fn,fn->f", s.R, Vk)
-        absEk = jnp.abs(Ek)
-        # [sic] residuals below the floor are normalized to UNIT magnitude,
-        # not to floor_val — the reference's literal code (aec.cc:455-457)
-        Ek = jnp.where(absEk < floor_val, Ek / jnp.where(absEk > 0, absEk, 1.0), Ek)
 
+        egate = jnp.abs(Vk[..., 0]) ** 2 > snr_th
         smth = jnp.where(s.frame < 100, 1.0 - s.frame * (1.0 - smooth) / 100.0, smooth)
         Sk = Ak - Ek
         currEk = jnp.abs(Ek) ** 2
         currSk = jnp.abs(Sk) ** 2
-        EkE = currEk * smth + s.EkE * (1.0 - smth)
-        SkE = currSk * smth + s.SkE * (1.0 - smth)
-        snr = (currSk / (currEk + 1e-15)) * smth + s.snr * (1.0 - smth)
+        EkE = jnp.where(egate, currEk * smth + s.EkE * (1.0 - smth), s.EkE)
+        SkE = jnp.where(egate, currSk * smth + s.SkE * (1.0 - smth), s.SkE)
+        snr = jnp.where(
+            egate, (currSk / (currEk + 1e-15)) * smth + s.snr * (1.0 - smth), s.snr
+        )
         sf_ok = (s.frame < 100) | ((snr > snr_th) & (SkE > eng_th))
-        gate = (jnp.abs(Vk[..., 0]) ** 2 > eng_th) & sf_ok
-
-        skipped = jnp.where(gate, s.skipped, s.skipped + 1)
-        reset = (~gate) & (s.skipped >= 30)
-        R_base = jnp.where(reset[:, None], R_init, s.R)
-        skipped = jnp.where(reset, 1, skipped)
+        gate = egate & sf_ok
+        R_base = s.R
 
         sigma2_v = beta * s.sigma2_v + (1.0 - beta) * jnp.abs(Ek) ** 2
 
-        # Temporal update: info matrix of (K + Sigma_u) from the pre-array
-        # [[Qs_inv, -Sinfo],[0, Sinfo]] — equivalently combine covariances:
-        # Y_pred^{-1} = K + Sigma_u.  In square-root form: S_pred is the info
-        # factor of inv(inv(Y) + Sigma_u); realized with two QRs.
-        K_sqrt = jnp.linalg.inv(s.Sinfo)  # covariance sqrt (N<=4: cheap)
-        from ..ops.sqrt_kernels import propagate_covariance_sqrt
+        # The reference's (S = K_k_, z = informationState_) pair is an SRIF
+        # on the CONJUGATED system: S is the transpose of the positive-
+        # diagonal upper factor R (Y_conj = R^H R) and z = R @ conj(x), so
+        # carrying (R, xbar=conj(x)) is exactly equivalent — verified to
+        # 1e-16 against a literal Givens transliteration of
+        # temporal_update_/observational_update_/diagonal_loading_/
+        # extract_covariance_state_ (aec.cc:660-790) over 60 frames.
+        #
+        # Temporal (aec.cc:662-717): R_pred = pos-factor of
+        # inv(inv(Y_prev) + sigmau2 I); the rotated z equals
+        # R_pred @ xbar_prev (random-walk state transition).
+        eyeN = jnp.eye(N, dtype=V.dtype)
+        Y_prev = ceinsum("fin,fim->fnm", jnp.conj(s.Sinfo), s.Sinfo)
+        K_prev = jnp.linalg.inv(Y_prev)
+        Y_pred = jnp.linalg.inv(K_prev + sigmau2 * eyeN)
+        # Cholesky's upper factor already has the real-positive diagonal
+        # the reference's Givens sweeps produce
+        R_pred = jnp.swapaxes(jnp.conj(jnp.linalg.cholesky(Y_pred)), -1, -2)
 
-        Kp_sqrt = propagate_covariance_sqrt(
-            jnp.swapaxes(jnp.conj(K_sqrt), -1, -2),
-            jnp.eye(N, dtype=V.dtype),
-            jnp.sqrt(sigmau2) * jnp.eye(N, dtype=V.dtype),
-        )
-        S_pred = jnp.linalg.inv(Kp_sqrt)
-
-        # Observational update + sqrt loading: stack the scaled regressor row
-        # and the sqrt(loading) identity into the QR.
+        # Observational (aec.cc:719-760): QR of [R_pred; conj(V)^T/sqrt(s)]
+        # with augmented column [R_pred xbar; conj(A)/sqrt(s)]; the rotated
+        # column equals R_obs @ xbar_obs for the LS solution xbar_obs.
         rinv = (1.0 / jnp.sqrt(sigma2_v))[:, None]
-        S_obs = propagate_information_sqrt(S_pred, jnp.conj(Vk)[:, None, :] * rinv[..., None], jnp.ones((F, 1)))
-        S_new = propagate_information_sqrt(
-            S_obs, jnp.broadcast_to(jnp.sqrt(loading) * jnp.eye(N, dtype=V.dtype), (F, N, N)),
+        Y_obs = Y_pred + ceinsum("fn,fm->fnm", Vk * rinv, jnp.conj(Vk) * rinv)
+        rhs = ceinsum("fnm,fm->fn", Y_pred, s.xbar) + Vk * jnp.conj(Ak)[:, None] * rinv**2
+        xbar_obs = jnp.linalg.solve(Y_obs, rhs[..., None])[..., 0]
+        R_obs = propagate_information_sqrt(
+            R_pred, jnp.conj(Vk)[:, None, :] * rinv[..., None], jnp.ones((F, 1))
+        )
+
+        # Loading (aec.cc:762-790) rotates sqrt(loading) rows into the
+        # factor WITHOUT touching z — so the extracted coefficients are
+        # xbar_new = R_load^{-1} R_obs xbar_obs, the reference's literal
+        # (slightly inconsistent) state.
+        R_load = propagate_information_sqrt(
+            R_obs,
+            jnp.broadcast_to(jnp.sqrt(loading) * jnp.eye(N, dtype=V.dtype), (F, N, N)),
             jnp.ones((F, N)),
         )
-
-        # information state and coefficient extraction
-        Y_pred = ceinsum("fin,fim->fnm", jnp.conj(S_pred), S_pred)
-        y_pred = ceinsum("fnm,fm->fn", Y_pred, R_base)
-        i_k = jnp.conj(Vk) * (rinv**2) * Ak[:, None]
-        Y_new = ceinsum("fin,fim->fnm", jnp.conj(S_new), S_new)
-        R_new = jnp.linalg.solve(Y_new, (y_pred + i_k)[..., None])[..., 0]
+        z_obs = ceinsum("fnm,fm->fn", R_obs, xbar_obs)
+        xbar_new = jax.scipy.linalg.solve_triangular(R_load, z_obs[..., None])[..., 0]
+        R_new = jnp.conj(xbar_new)
 
         s_new = S(
             R=jnp.where(gate[:, None], R_new, R_base),
-            Sinfo=jnp.where(gate[:, None, None], S_new, s.Sinfo),
+            xbar=jnp.where(gate[:, None], xbar_new, s.xbar),
+            Sinfo=jnp.where(gate[:, None, None], R_load, s.Sinfo),
             sigma2_v=jnp.where(gate, sigma2_v, s.sigma2_v),
             snr=snr,
             EkE=EkE,
             SkE=SkE,
-            skipped=skipped,
             frame=s.frame + 1,
         )
         return s_new, Ek
 
     s0 = S(
         R=R_init,
+        xbar=jnp.zeros((F, N), V.dtype),
         Sinfo=S_init,
         sigma2_v=jnp.full((F,), sigmau2, jnp.float32),
         snr=jnp.zeros((F,), jnp.float32),
         EkE=jnp.zeros((F,), jnp.float32),
         SkE=jnp.zeros((F,), jnp.float32),
-        skipped=jnp.zeros((F,), jnp.int32),
         frame=jnp.asarray(0, jnp.int32),
     )
     s, E = jax.lax.scan(step, s0, (taps, A))

@@ -911,6 +911,59 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "aec2") {
+    /* aec2 kind h.f64 g.f64 M m r dc sampleN beta sigmau2 sigmak2 \
+     *      x1 x2 x3 x4 play.f32 rec.f32 out.f32
+     * Kalman-family AEC tail (aec/aec.h:104-328):
+     *   kind=block_kalman: x1=threshold x2=amp4play       (x3 x4 ignored)
+     *   kind=info:         x1=snrTh x2=engTh x3=smooth x4=loading
+     *   kind=srif:         x1=snrTh x2=engTh x3=smooth x4=loading
+     *   kind=dtd:          x1=snrTh x2=engTh x3=smooth x4=amp4play */
+    std::string kind = argv[2];
+    gsl_vector* h = to_gsl(read_f64(argv[3]));
+    gsl_vector* g = to_gsl(read_f64(argv[4]));
+    unsigned M = atoi(argv[5]), m = atoi(argv[6]), r = atoi(argv[7]), dc = atoi(argv[8]);
+    unsigned sampleN = atoi(argv[9]);
+    double beta = atof(argv[10]), sigmau2 = atof(argv[11]), sigmak2 = atof(argv[12]);
+    double x1 = atof(argv[13]), x2 = atof(argv[14]), x3 = atof(argv[15]), x4 = atof(argv[16]);
+    std::vector<float> vplay = read_f32(argv[17]);
+    std::vector<float> vrec = read_f32(argv[18]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr psrc = new RawSampleFeature(vplay, D);
+    RawSampleFeaturePtr rsrc = new RawSampleFeature(vrec, D);
+    OverSampledDFTAnalysisBankPtr pafb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)psrc, h, M, m, r, dc);
+    OverSampledDFTAnalysisBankPtr rafb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)rsrc, h, M, m, r, dc);
+    VectorComplexFeatureStreamPtr pstr = (VectorComplexFeatureStreamPtr&)pafb;
+    VectorComplexFeatureStreamPtr rstr = (VectorComplexFeatureStreamPtr&)rafb;
+    VectorComplexFeatureStreamPtr aec;
+    if (kind == "block_kalman")
+      aec = new BlockKalmanFilterEchoCancellationFeature(
+          pstr, rstr, sampleN, beta, sigmau2, sigmak2, /*threshold=*/x1,
+          /*amp4play=*/x2);
+    else if (kind == "info")
+      aec = new InformationFilterEchoCancellationFeature(
+          pstr, rstr, sampleN, beta, sigmau2, sigmak2, /*snrTh=*/x1,
+          /*engTh=*/x2, /*smooth=*/x3, /*loading=*/x4);
+    else if (kind == "srif")
+      aec = new SquareRootInformationFilterEchoCancellationFeature(
+          pstr, rstr, sampleN, beta, sigmau2, sigmak2, /*snrTh=*/x1,
+          /*engTh=*/x2, /*smooth=*/x3, /*loading=*/x4);
+    else if (kind == "dtd")
+      aec = new DTDBlockKalmanFilterEchoCancellationFeature(
+          pstr, rstr, sampleN, beta, sigmau2, sigmak2, /*snrTh=*/x1,
+          /*engTh=*/x2, /*smooth=*/x3, /*amp4play=*/x4);
+    else {
+      fprintf(stderr, "unknown aec2 kind %s\n", kind.c_str());
+      return 1;
+    }
+    OverSampledDFTSynthesisBankPtr sfb =
+        new OverSampledDFTSynthesisBank(aec, g, M, m, r, dc);
+    drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, argv[19]);
+    return 0;
+  }
+
   fprintf(stderr, "unknown subcommand %s\n", cmd.c_str());
   return 1;
 }

@@ -896,3 +896,68 @@ def test_spherical_variant_beamformers_match_cpp(gbin, tmp_path, kind):
     scale = np.abs(Ycpp[:n, 1:]).max()
     tol = 2e-4 if kind == "moen" else 2e-5  # moen: float csvdc pinv
     np.testing.assert_allclose(Yj[:n, 1:], Ycpp[:n, 1:], atol=tol * scale)
+
+
+@pytest.mark.parametrize(
+    "kind,params",
+    [
+        # aec2 param block: sampleN beta sigmau2 sigmak2 x1 x2 x3 x4
+        ("block_kalman", ("2", "0.95", "0.001", "5.0", "100.0", "1.0", "0", "0")),
+        ("info", ("2", "0.95", "0.001", "5.0", "2.0", "100.0", "0.9", "0.01")),
+        ("srif", ("2", "0.95", "0.001", "5.0", "2.0", "100.0", "0.9", "0.01")),
+        ("dtd", ("2", "0.95", "0.001", "5.0", "2.0", "100.0", "0.9", "1.0")),
+    ],
+)
+def test_aec_kalman_family_matches_cpp(gbin, protos, kind, params, tmp_path):
+    """Kalman-family AEC tail (aec/aec.h:104-328), compiled-golden: block
+    Kalman, information filter, square-root information filter, and the
+    double-talk-detecting block Kalman, each through the full
+    analysis -> canceller -> synthesis chain on int16-scale signals."""
+    from distant_speech_recognition_tpu.compat import aec as ca
+    from distant_speech_recognition_tpu.compat import feature as cf
+    from distant_speech_recognition_tpu.compat import modulated as cm
+    from distant_speech_recognition_tpu.utils.wavio import read_wav
+
+    h, g, hf, gf = protos
+    play, _ = read_wav(f"{DATA}/speech_at_20sec.wav")
+    vplay = (play[0][:48000] * 32768.0).astype(np.float32)
+    rng = np.random.default_rng(7)
+    rec = (0.5 * np.roll(vplay, 200) + 100.0 * rng.standard_normal(len(vplay))).astype(
+        np.float32
+    )
+    pf, rf = str(tmp_path / "p.f32"), str(tmp_path / "r.f32")
+    vplay.tofile(pf)
+    rec.tofile(rf)
+    out = str(tmp_path / "aec2.f32")
+    subprocess.run(
+        [gbin, "aec2", kind, hf, gf, str(M), str(m_), str(r_), str(DC),
+         *params, pf, rf, out],
+        check=True, capture_output=True,
+    )
+    ycpp = np.fromfile(out, np.float32)
+    sp = cf.SampleFeature(D, D, pad_zeros=True)
+    sp.set_samples(vplay, int(FS))
+    sr = cf.SampleFeature(D, D, pad_zeros=True)
+    sr.set_samples(rec, int(FS))
+    ap = cm.OverSampledDFTAnalysisBank(sp, h, M, m_, r_, delay_compensation_type=DC)
+    ar = cm.OverSampledDFTAnalysisBank(sr, h, M, m_, r_, delay_compensation_type=DC)
+    sN, beta, su2, sk2, x1, x2, x3, x4 = [float(p) for p in params]
+    if kind == "block_kalman":
+        ae = ca.BlockKalmanFilterEchoCancellationFeature(
+            ap, ar, int(sN), beta, su2, sk2, energy_threshold=x1, amp4play=x2)
+    elif kind == "info":
+        ae = ca.InformationFilterEchoCancellationFeature(
+            ap, ar, int(sN), beta, su2, sk2, snr_threshold=x1,
+            energy_threshold=x2, smooth=x3, loading=x4)
+    elif kind == "srif":
+        ae = ca.SquareRootInformationFilterEchoCancellationFeature(
+            ap, ar, int(sN), beta, su2, sk2, snr_threshold=x1,
+            energy_threshold=x2, smooth=x3, loading=x4)
+    else:
+        ae = ca.DTDBlockKalmanFilterEchoCancellationFeature(
+            ap, ar, int(sN), beta, su2, sk2, snr_threshold=x1,
+            energy_threshold=x2, smooth=x3, amp4play=x4)
+    syn = cm.OverSampledDFTSynthesisBank(ae, g, M, m_, r_, delay_compensation_type=DC)
+    yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
+    assert len(ycpp) == len(yj)
+    assert _snr(ycpp, yj) > 60, (kind, _snr(ycpp, yj))
