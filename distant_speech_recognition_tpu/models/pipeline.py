@@ -483,8 +483,41 @@ def build_pipeline(
             time-major layout (config 4; the reference chains the same
             feature nodes per channel, aec.cc:41-81 ->
             dereverberation.cc:214-275)."""
+            from ..ops.pallas_aec import aec_scan_pallas, pallas_aec_supported
+
+            pallas_aec = (
+                cfg.aec != "none"
+                and PALLAS_FB
+                and jax.default_backend() not in ("cpu",)
+                and pallas_aec_supported(cfg.aec, M)
+            )
+            if pallas_aec:
+                # VMEM-resident scan directly on the packed lanes — the
+                # complex unpack/repack around the XLA scan disappears
+                Yr = aec_scan_pallas(
+                    Yr, _analyze(play[:, None, :]), cfg.aec,
+                    cfg.aec_delta, cfg.aec_epsilon, cfg.aec_threshold,
+                )
+                if not cfg.wpe:
+                    return Yr
+            if cfg.wpe and (cfg.aec == "none" or pallas_aec):
+                from ..ops.pallas_wpe import pallas_wpe_supported as _pws
+
+                n_ch = Yr.shape[2]
+                P_taps = cfg.wpe_upper - cfg.wpe_lower + 1
+                if (PALLAS_FB and jax.default_backend() not in ("cpu",)
+                        and _pws(n_ch, P_taps)):
+                    # packed-in/packed-out WPE: no complex intermediate
+                    from .dereverberation import wpe_multichannel_packed_tm
+
+                    return wpe_multichannel_packed_tm(
+                        Yr, F, cfg.wpe_lower, cfg.wpe_upper,
+                        cfg.wpe_iterations,
+                        band_width=cfg.wpe_band_width,
+                        samplerate=cfg.samplerate,
+                    )
             X = _unpack(Yr)  # [Tf, B, C, F] complex
-            if cfg.aec != "none":
+            if cfg.aec != "none" and not pallas_aec:
                 V = _unpack(_analyze(play[:, None, :]))  # [Tf, B, 1, F]
                 if cfg.aec == "nlms":
                     X, _ = nlms_aec(
@@ -501,17 +534,33 @@ def build_pipeline(
                     )
             if cfg.wpe:
                 Yb = jnp.moveaxis(X, 0, 2)  # [B, C, Tf, F]
-                wpe_fn = lambda yb: wpe_multichannel(
-                    yb, cfg.wpe_lower, cfg.wpe_upper, cfg.wpe_iterations,
-                    band_width=cfg.wpe_band_width, samplerate=cfg.samplerate,
-                )
-                Bn = Yb.shape[0]
-                bc = max(1, min(cfg.wpe_batch_chunk, Bn))
-                if Bn > bc and Bn % bc == 0:
-                    Yc = Yb.reshape((Bn // bc, bc) + Yb.shape[1:])
-                    Yb = jax.lax.map(jax.vmap(wpe_fn), Yc).reshape(Yb.shape)
+                n_ch = Yb.shape[1]
+                P_taps = cfg.wpe_upper - cfg.wpe_lower + 1
+                from ..ops.pallas_wpe import pallas_wpe_supported
+
+                if (PALLAS_FB and jax.default_backend() not in ("cpu",)
+                        and pallas_wpe_supported(n_ch, P_taps)):
+                    # Pallas lag kernel: whole batch in one call, no lag
+                    # tensor in HBM (ops/pallas_wpe.py)
+                    from .dereverberation import wpe_multichannel_batched
+
+                    Yb = wpe_multichannel_batched(
+                        Yb, cfg.wpe_lower, cfg.wpe_upper, cfg.wpe_iterations,
+                        band_width=cfg.wpe_band_width,
+                        samplerate=cfg.samplerate,
+                    )
                 else:
-                    Yb = jax.vmap(wpe_fn)(Yb)
+                    wpe_fn = lambda yb: wpe_multichannel(
+                        yb, cfg.wpe_lower, cfg.wpe_upper, cfg.wpe_iterations,
+                        band_width=cfg.wpe_band_width, samplerate=cfg.samplerate,
+                    )
+                    Bn = Yb.shape[0]
+                    bc = max(1, min(cfg.wpe_batch_chunk, Bn))
+                    if Bn > bc and Bn % bc == 0:
+                        Yc = Yb.reshape((Bn // bc, bc) + Yb.shape[1:])
+                        Yb = jax.lax.map(jax.vmap(wpe_fn), Yc).reshape(Yb.shape)
+                    else:
+                        Yb = jax.vmap(wpe_fn)(Yb)
                 X = jnp.moveaxis(Yb, 2, 0)
             # repack [Re(0..Mh) | Im(1..Mh-1)]
             return jnp.concatenate(
