@@ -277,6 +277,59 @@ def main():
             }
         except Exception as e:  # pragma: no cover - depends on device state
             out["config4"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    # Config-5 (BASELINE: multi-array batch, SRP-PHAT localization steering
+    # a GSC): 64 utterances on a circular array, the in-graph DOA -> steered
+    # GSC-RLS + Zelinski chain (models/steered.py; the batched equivalent of
+    # DOAEstimatorSRPDSBLA -> SubbandGSCRLS, beamformer.cc:2879-3211).
+    # BENCH_CONFIG5=0 skips it.
+    if os.environ.get("BENCH_CONFIG5", "1") != "0" and (
+        time.perf_counter() - t_start > budget_s
+    ):
+        out["config5"] = {"skipped": "time budget"}
+    elif os.environ.get("BENCH_CONFIG5", "1") != "0":
+        try:
+            from distant_speech_recognition_tpu.models.steered import (
+                build_steered_pipeline,
+            )
+
+            B5 = int(os.environ.get("BENCH_CONFIG5_BATCH", "64"))
+            ang = 2 * np.pi * np.arange(C) / C
+            mpos5 = np.c_[100.0 * np.cos(ang), 100.0 * np.sin(ang),
+                          np.zeros(C)]
+            phis = np.deg2rad(np.arange(0.0, 360.0, 30.0))
+            cfg5 = dataclasses.replace(cfg, aec="none", wpe=False)
+            fn5 = build_steered_pipeline(
+                cfg5, mpos5, h, g, thetas=[np.pi / 2], phis=phis
+            )
+            x5 = jax.device_put(x[:B5])
+            float(reduce(fn5(x5)[0]))  # compile + warm
+            t0 = time.perf_counter()
+            ys = [fn5(x5)[0] for _ in range(3)]
+            for y in ys:
+                float(reduce(y))
+            dt5 = (time.perf_counter() - t0) / 3
+            del ys
+            out["config5"] = {
+                "value": round(B5 * secs / dt5 / n_chips, 2),
+                "batch": B5,
+                "chain": "srp_phat_doa+steered_gsc_rls+zelinski",
+                "grid": int(len(phis)),
+            }
+        except Exception as e:  # pragma: no cover - depends on device state
+            out["config5"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # 1-chip scaling row (BASELINE: "measured scaling efficiency at 1 chip,
+    # 1 host, N>=2 hosts"): the flagship number IS the 1-chip row; recorded
+    # explicitly so the artifact carries the scaling table shape.  Multi-chip
+    # rows require real hardware (bench_scaling.py measures them when
+    # devices > 1; the driver's dryrun validates the sharded graph instead).
+    out["scaling"] = {
+        "chips_1": out["value"],
+        "efficiency_1": 1.0,
+        "note": "single real chip in this environment; N-chip path "
+                "validated by the equality-asserting 8-device dryrun "
+                "(__graft_entry__.dryrun_multichip)",
+    }
     print(json.dumps(out))
 
 

@@ -911,6 +911,188 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "tracker") {
+    /* tracker order M m r dc a fs useSubbands sigma2_u sigma2_v \
+     *         sigma2_init maxLocalN theta_src phi_src theta0 phi0 \
+     *         in.f32 snap_out.c128 track_out.f32
+     * Full spherical-tracker loop (tracker.cc): mono source -> analysis ->
+     * PlaneWaveSimulator x32 (Eigenmike) -> ModalSphericalArrayTracker.
+     * Dumps the simulated 32-channel snapshots [T, 32, M] (so the JAX
+     * side tracks from IDENTICAL observations) and the per-frame
+     * (theta, phi) track [T, 2]. */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned order = atoi(argv[3]);
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double a = atof(argv[8]), fs = atof(argv[9]);
+    unsigned useSub = atoi(argv[10]);
+    double s2u = atof(argv[11]), s2v = atof(argv[12]), s2i = atof(argv[13]);
+    unsigned maxLocalN = atoi(argv[14]);
+    double thetaS = atof(argv[15]), phiS = atof(argv[16]);
+    double theta0 = atof(argv[17]), phi0 = atof(argv[18]);
+    std::vector<float> x = read_f32(argv[19]);
+    unsigned D = M >> r;
+
+    ModalDecompositionPtr modal = new ModalDecomposition(order, M, a, fs, useSub);
+
+    /* pass 1: dump the simulated snapshots */
+    {
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      std::vector<PlaneWaveSimulatorPtr> sims;
+      for (unsigned c = 0; c < 32; c++)
+        sims.push_back(new PlaneWaveSimulator(
+            (VectorComplexFeatureStreamPtr&)afb, modal, c, thetaS, phiS));
+      FILE* fp = fopen(argv[20], "wb");
+      for (int frame = 0;; frame++) {
+        bool done = false;
+        for (unsigned c = 0; c < 32; c++) {
+          const gsl_vector_complex* Y;
+          try {
+            Y = sims[c]->next(frame);
+          } catch (jiterator_error&) {
+            done = true;
+            break;
+          }
+          for (unsigned k = 0; k < M; k++) {
+            gsl_complex z = gsl_vector_complex_get(Y, k);
+            fwrite(z.dat, sizeof(double), 2, fp);
+          }
+        }
+        if (done) break;
+      }
+      fclose(fp);
+    }
+
+    /* pass 2: fresh graph through the tracker */
+    RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+    OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+    ModalSphericalArrayTrackerPtr trk = new ModalSphericalArrayTracker(
+        modal, s2u, s2v, s2i, maxLocalN);
+    std::vector<PlaneWaveSimulatorPtr> sims2;
+    for (unsigned c = 0; c < 32; c++) {
+      PlaneWaveSimulatorPtr sim = new PlaneWaveSimulator(
+          (VectorComplexFeatureStreamPtr&)afb, modal, c, thetaS, phiS);
+      trk->set_channel((VectorComplexFeatureStreamPtr&)sim);
+      sims2.push_back(sim);
+    }
+    trk->set_initial_position(theta0, phi0);
+    FILE* fp = fopen(argv[21], "wb");
+    for (;;) {
+      const gsl_vector_float* pos;
+      try {
+        pos = trk->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned i = 0; i < 2; i++) {
+        float v = gsl_vector_float_get(pos, i);
+        fwrite(&v, sizeof(float), 1, fp);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "tracker_lin") {
+    /* tracker_lin order M a fs useSubbands theta phi snap.c128 out.c128
+     * One-frame linearization dump: estimate_Bkl over all subbands at
+     * (theta, phi) from the given [M/2+1, modesN-transformable] snapshot
+     * frame [32, M/2+1 used], then write bkl_[F], dbkl_dtheta[F],
+     * dbkl_dphi[F], Hbar_k [obs, 2], yhat_k [obs] in order. */
+    unsigned order = atoi(argv[2]);
+    unsigned M = atoi(argv[3]);
+    double a = atof(argv[4]), fs = atof(argv[5]);
+    unsigned useSub = atoi(argv[6]);
+    double theta = atof(argv[7]), phi = atof(argv[8]);
+    std::vector<double> sn = read_f64(argv[9]);  /* interleaved c128 [32, F] */
+    unsigned F = M / 2 + 1;
+    /* driver-side subclass exposing the protected Bkl tables */
+    class LinProbe : public ModalDecomposition {
+     public:
+      LinProbe(unsigned o, unsigned M_, double a_, double fs_, unsigned u)
+          : ModalDecomposition(o, M_, a_, fs_, u) {}
+      gsl_complex get_bkl(unsigned k) { return gsl_vector_complex_get(bkl_, k); }
+      gsl_complex get_dbt(unsigned k) { return gsl_vector_complex_get(dbkl_dtheta_, k); }
+      gsl_complex get_dbp(unsigned k) { return gsl_vector_complex_get(dbkl_dphi_, k); }
+      gsl_complex get_gkl(unsigned k, unsigned j) { return gsl_vector_complex_get(gkl_[k], j); }
+      gsl_complex get_dgt(unsigned k, unsigned j) { return gsl_vector_complex_get(dgkl_dtheta_[k], j); }
+      gsl_complex get_vkl(unsigned j) { return gsl_vector_complex_get(vkl_, j); }
+      gsl_complex get_bn(unsigned k, unsigned n) { return gsl_vector_complex_get(bn_[k], n); }
+    };
+    typedef Inherit<LinProbe, ModalDecompositionPtr> LinProbePtr;
+    LinProbePtr modal = new LinProbe(order, M, a, fs, useSub);
+    gsl_vector_complex* snap = gsl_vector_complex_calloc(32);
+    gsl_vector* eta = gsl_vector_calloc(2);
+    gsl_vector_set(eta, 0, theta);
+    gsl_vector_set(eta, 1, phi);
+    for (unsigned subbandX = 0; subbandX < F; subbandX++) {
+      for (unsigned c = 0; c < 32; c++)
+        gsl_vector_complex_set(snap, c,
+            gsl_complex_rect(sn[2 * (c * F + subbandX)], sn[2 * (c * F + subbandX) + 1]));
+      modal->estimate_Bkl(theta, phi, snap, subbandX);
+    }
+    const gsl_matrix_complex* H = modal->linearize(eta, 0);
+    const gsl_vector_complex* yhat = modal->predicted_observation(eta, 0);
+    FILE* fp = fopen(argv[10], "wb");
+    for (unsigned k = 0; k < F; k++) {
+      gsl_complex z = modal->get_bkl(k);
+      fwrite(z.dat, sizeof(double), 2, fp);
+    }
+    for (unsigned k = 0; k < F; k++) {
+      gsl_complex z = modal->get_dbt(k);
+      fwrite(z.dat, sizeof(double), 2, fp);
+    }
+    for (unsigned k = 0; k < F; k++) {
+      gsl_complex z = modal->get_dbp(k);
+      fwrite(z.dat, sizeof(double), 2, fp);
+    }
+    unsigned obsN = modal->useSubbandsN() * modal->subbandLengthN();
+    for (unsigned i = 0; i < obsN; i++)
+      for (unsigned j = 0; j < 2; j++) {
+        gsl_complex z = gsl_matrix_complex_get(H, i, j);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    for (unsigned i = 0; i < obsN; i++) {
+      gsl_complex z = gsl_vector_complex_get(yhat, i);
+      fwrite(z.dat, sizeof(double), 2, fp);
+    }
+    /* selected subband order */
+    for (BaseDecomposition::Iterator itr(modal->subbandList()); itr.more(); itr++) {
+      double sx = (double)(*itr).subbandX();
+      fwrite(&sx, sizeof(double), 1, fp);
+      fwrite(&sx, sizeof(double), 1, fp);
+    }
+    /* debug: gkl_/vkl_ for subband 10, bn table for subband 10 */
+    {
+      unsigned k = 10;
+      unsigned modesN = (order + 1) * (order + 1);
+      for (unsigned c = 0; c < 32; c++)
+        gsl_vector_complex_set(snap, c,
+            gsl_complex_rect(sn[2 * (c * F + k)], sn[2 * (c * F + k) + 1]));
+      modal->estimate_Bkl(theta, phi, snap, k);
+      for (unsigned j = 0; j < modesN; j++) {
+        gsl_complex z = modal->get_gkl(k, j);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+      for (unsigned j = 0; j < modesN; j++) {
+        gsl_complex z = modal->get_vkl(j);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+      for (unsigned n = 0; n <= order; n++) {
+        gsl_complex z = modal->get_bn(k, n);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+      for (unsigned j = 0; j < modesN; j++) {
+        gsl_complex z = modal->get_dgt(k, j);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
   if (cmd == "aec2") {
     /* aec2 kind h.f64 g.f64 M m r dc sampleN beta sigmau2 sigmak2 \
      *      x1 x2 x3 x4 play.f32 rec.f32 out.f32

@@ -961,3 +961,53 @@ def test_aec_kalman_family_matches_cpp(gbin, protos, kind, params, tmp_path):
     yj = np.concatenate([np.asarray(v, np.float32) for v in syn])
     assert len(ycpp) == len(yj)
     assert _snr(ycpp, yj) > 60, (kind, _snr(ycpp, yj))
+
+
+def test_spherical_tracker_matches_cpp(gbin, protos, tmp_path):
+    """Full spherical-tracker loop vs the COMPILED reference (tracker.cc):
+    white noise -> analysis -> PlaneWaveSimulator x32 (Eigenmike) ->
+    ModalSphericalArrayTracker.  The C++ driver dumps the simulated
+    32-channel snapshots so the JAX tracker (models/spherical_tracker) runs
+    from IDENTICAL observations; the per-frame (theta, phi) trajectory must
+    match to the f32 resolution of the reference's output stream.  Verified
+    pieces behind it: gkl/vkl/H/yhat/dBkl all at ~1e-15 against a
+    tracker_lin dump (the ddelta_dtheta 16 pi^2 magnitude quirk and the
+    #if-1 calc_normalization_ negative-degree convention are replicated
+    literally — see models/spherical_tracker._model_tables)."""
+    import jax
+
+    from distant_speech_recognition_tpu.models import spherical as sph
+    from distant_speech_recognition_tpu.models import spherical_tracker as spt
+
+    h, g, hf, gf = protos
+    order, a, useSub = 3, 42.0, 8
+    s2u = s2v = s2i = 10.0
+    thS, phS, th0, ph0 = 1.2, 0.5, 0.9, 0.2
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(12000) * 1000).astype(np.float32)
+    xf = str(tmp_path / "x.f32")
+    x.tofile(xf)
+    snapf, trkf = str(tmp_path / "snap.c128"), str(tmp_path / "trk.f32")
+    subprocess.run(
+        [gbin, "tracker", hf, str(order), str(M), str(m_), str(r_), str(DC),
+         str(a), str(int(FS)), str(useSub), str(s2u), str(s2v), str(s2i),
+         "1", str(thS), str(phS), str(th0), str(ph0), xf, snapf, trkf],
+        check=True, capture_output=True,
+    )
+    tref = np.fromfile(trkf, np.float32).reshape(-1, 2)
+    T = tref.shape[0]
+    S = np.fromfile(snapf, np.complex128).reshape(T, 32, M)
+    X = np.moveaxis(S[:, :, :F], 1, 2)  # [T, F, C]
+
+    c = 343740.0
+    ka = 2 * np.pi * np.arange(F) * a * FS / (M * c)
+    theta_s, phi_s = sph.eigenmike_geometry()
+    with jax.enable_x64(True):
+        Y_mat, bn4pi = spt.make_tracker_tables(
+            order + 1, ka, theta_s, phi_s, dtype=np.complex128)
+        cfg = spt.SphericalTrackerConfig(
+            max_order=order + 1, num_subbands_used=useSub,
+            sigmaV2=s2v, sigmaU2=s2u, sigmaK2=s2i)
+        track = np.asarray(spt.spherical_track(cfg, X, Y_mat, bn4pi,
+                                               (th0, ph0)))
+    np.testing.assert_allclose(track, tref, atol=2e-6)
