@@ -911,6 +911,224 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "modal_dual" || cmd == "modal_sub2") {
+    /* modal_dual kind(dualds|dualgsc) h.f64 M m r dc fs maxorder sigma2 \
+     *            wgain theta phi sub_out.c128 wq2_out.c128 in1.f32 [...]
+     *   -> subband output + the secondary ELEMENT-domain D&S weights
+     *      (bfweight_vec2_, DualSpherical*Beamformer)
+     * modal_sub2 kind(hwncgsc|spatialhwnc) h.f64 M m r dc fs maxorder \
+     *            sigma2 wgain theta phi out.c128 in1.f32 [...] */
+    std::string kind = argv[2];
+    int argp = 3;
+    gsl_vector* h = to_gsl(read_f64(argv[argp++]));
+    unsigned M = atoi(argv[argp]), m = atoi(argv[argp + 1]), r = atoi(argv[argp + 2]),
+             dc = atoi(argv[argp + 3]);
+    argp += 4;
+    double fs = atof(argv[argp++]);
+    unsigned maxorder = atoi(argv[argp++]);
+    double sigma2 = atof(argv[argp++]);
+    double wgain = atof(argv[argp++]);
+    double theta = atof(argv[argp++]);
+    double phi = atof(argv[argp++]);
+    const char* outfn = argv[argp++];
+    const char* wq2fn = NULL;
+    if (cmd == "modal_dual") wq2fn = argv[argp++];
+    unsigned D = M >> r;
+
+    EigenBeamformerPtr bf;
+    DualSphericalDSBeamformer* dual_ds = NULL;
+    DualSphericalGSCBeamformer* dual_gsc = NULL;
+    SphericalHWNCGSCBeamformer* hwnc_gsc = NULL;
+    if (kind == "dualds") {
+      dual_ds = new DualSphericalDSBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+      bf = (EigenBeamformerPtr)dual_ds;
+    } else if (kind == "dualgsc") {
+      dual_gsc = new DualSphericalGSCBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+      bf = (EigenBeamformerPtr)dual_gsc;
+    } else if (kind == "hwncgsc") {
+      hwnc_gsc = new SphericalHWNCGSCBeamformer((unsigned)fs, M, false, 1, maxorder, false);
+      bf = (EigenBeamformerPtr)hwnc_gsc;
+    } else if (kind == "spatialhwnc") {
+      bf = (EigenBeamformerPtr)new SphericalSpatialHWNCBeamformer(
+          (unsigned)fs, M, false, 1, maxorder, false);
+    } else { fprintf(stderr, "unknown kind %s\n", kind.c_str()); return 1; }
+    bf->set_sigma2((float)sigma2);
+    bf->set_weight_gain((float)wgain);
+
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      bf->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    bf->set_eigenmike_geometry();
+    bf->set_look_direction(theta, phi);
+
+    if (dual_gsc != NULL || hwnc_gsc != NULL) {
+      /* deterministic nonzero lower-branch weights (see the sphgsc note) */
+      unsigned dim = maxorder * maxorder;
+      gsl_vector* pw = gsl_vector_calloc(2 * (dim - 1));
+      for (unsigned fb = 1; fb <= M / 2; fb++) {
+        for (unsigned k = 0; k < dim - 1; k++) {
+          gsl_vector_set(pw, 2 * k, 0.1 * sin(0.37 * fb + (double)k));
+          gsl_vector_set(pw, 2 * k + 1, 0.1 * cos(0.23 * fb + 0.5 * (double)k));
+        }
+        if (dual_gsc) dual_gsc->set_active_weights_f(fb, pw);
+        else hwnc_gsc->set_active_weights_f(fb, pw);
+      }
+      gsl_vector_free(pw);
+    }
+
+    FILE* fp = fopen(outfn, "wb");
+    for (;;) {
+      const gsl_vector_complex* Y;
+      try {
+        Y = bf->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned k = 0; k < M; k++) {
+        gsl_complex z = gsl_vector_complex_get(Y, k);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    }
+    fclose(fp);
+    if (wq2fn != NULL) {
+      BeamformerWeights* w2 = (dual_ds != NULL)
+          ? dual_ds->beamformer_weight_object(0)
+          : dual_gsc->beamformer_weight_object(0);
+      FILE* f2 = fopen(wq2fn, "wb");
+      unsigned C = bf->chanN();
+      for (unsigned fb = 0; fb <= M / 2; fb++) {
+        gsl_vector_complex* wq = w2->wq_f(fb);
+        for (unsigned c = 0; c < C; c++) {
+          gsl_complex z = gsl_vector_complex_get(wq, c);
+          fwrite(z.dat, sizeof(double), 2, f2);
+        }
+      }
+      fclose(f2);
+    }
+    return 0;
+  }
+
+  if (cmd == "modal_srp") {
+    /* modal_srp kind(srpeb|srpsphdsb) h.f64 M m r dc fs maxorder nbest \
+     *           minT maxT minP maxP wT wP nframes out.f64 in1.f32 [...]
+     * Processes exactly nframes frames (so accRPs is frame-aligned with
+     * the python side); dumps accRPs [G], then the LAST frame's
+     * nbest_rps [nbest] and nbest_doas [nbest, 2]. */
+    std::string kind = argv[2];
+    int argp = 3;
+    gsl_vector* h = to_gsl(read_f64(argv[argp++]));
+    unsigned M = atoi(argv[argp]), m = atoi(argv[argp + 1]), r = atoi(argv[argp + 2]),
+             dc = atoi(argv[argp + 3]);
+    argp += 4;
+    double fs = atof(argv[argp++]);
+    unsigned maxorder = atoi(argv[argp++]);
+    unsigned nbest = atoi(argv[argp++]);
+    double minT = atof(argv[argp++]), maxT = atof(argv[argp++]);
+    double minP = atof(argv[argp++]), maxP = atof(argv[argp++]);
+    double wT = atof(argv[argp++]), wP = atof(argv[argp++]);
+    int nframes = atoi(argv[argp++]);
+    const char* outfn = argv[argp++];
+    unsigned D = M >> r;
+
+    class SRPEBDriver : public DOAEstimatorSRPEB {
+     public:
+      SRPEBDriver(unsigned nB, unsigned sr, unsigned fftLen, unsigned maxOrder)
+          : DOAEstimatorSRPEB(nB, sr, fftLen, false, 1, maxOrder, false) {}
+      const gsl_vector* acc() const { return accRPs_; }
+      const gsl_vector_complex* sv(unsigned u, unsigned fb) { return svTbl_[u][fb]; }
+      const gsl_vector_complex* stsnap(unsigned fb) { return st_snapshot_array_->snapshot(fb); }
+    };
+    class SRPSphDriver : public DOAEstimatorSRPSphDSB {
+     public:
+      SRPSphDriver(unsigned nB, unsigned sr, unsigned fftLen, unsigned maxOrder)
+          : DOAEstimatorSRPSphDSB(nB, sr, fftLen, false, 1, maxOrder, false) {}
+      const gsl_vector* acc() const { return accRPs_; }
+      const gsl_vector_complex* sv(unsigned u, unsigned fb) { return svTbl_[u][fb]; }
+      const gsl_vector_complex* stsnap(unsigned fb) { return st_snapshot_array_->snapshot(fb); }
+    };
+    typedef Inherit<SRPEBDriver, EigenBeamformerPtr> SRPEBDriverPtr;
+    typedef Inherit<SRPSphDriver, SphericalDSBeamformerPtr> SRPSphDriverPtr;
+
+    EigenBeamformerPtr bf;
+    DOAEstimatorSRPBase* srp = NULL;
+    const gsl_vector* (SRPEBDriver::*accEB)() const = NULL;
+    SRPEBDriver* eb = NULL;
+    SRPSphDriver* sph = NULL;
+    if (kind == "srpeb") {
+      eb = new SRPEBDriver(nbest, (unsigned)fs, M, maxorder);
+      bf = (EigenBeamformerPtr)(DOAEstimatorSRPEB*)eb;
+      srp = eb;
+    } else if (kind == "srpsphdsb") {
+      sph = new SRPSphDriver(nbest, (unsigned)fs, M, maxorder);
+      bf = (EigenBeamformerPtr)(DOAEstimatorSRPSphDSB*)sph;
+      srp = sph;
+    } else { fprintf(stderr, "unknown srp kind %s\n", kind.c_str()); return 1; }
+    (void)accEB;
+
+    std::vector<RawSampleFeaturePtr> sources;
+    std::vector<OverSampledDFTAnalysisBankPtr> banks;
+    for (; argp < argc; argp++) {
+      std::vector<float> x = read_f32(argv[argp]);
+      RawSampleFeaturePtr src = new RawSampleFeature(x, D);
+      OverSampledDFTAnalysisBankPtr afb = new OverSampledDFTAnalysisBank(
+          (VectorFloatFeatureStreamPtr&)src, h, M, m, r, dc);
+      bf->set_channel((VectorComplexFeatureStreamPtr&)afb);
+      sources.push_back(src);
+      banks.push_back(afb);
+    }
+    bf->set_eigenmike_geometry();
+    srp->set_search_param(minT, maxT, minP, maxP, wT, wP);
+
+    for (int fr = 0; nframes == 0 || fr < nframes; fr++) {
+      try {
+        bf->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+    }
+    const gsl_vector* acc = (eb != NULL) ? eb->acc() : sph->acc();
+    FILE* fp = fopen(outfn, "wb");
+    for (unsigned i = 0; i < acc->size; i++) {
+      double v = gsl_vector_get(acc, i);
+      fwrite(&v, sizeof(double), 1, fp);
+    }
+    const gsl_vector* nb = srp->nbest_rps();
+    for (unsigned i = 0; i < nb->size; i++) {
+      double v = gsl_vector_get(nb, i);
+      fwrite(&v, sizeof(double), 1, fp);
+    }
+    const gsl_matrix* doas = srp->nbest_doas();
+    for (unsigned i = 0; i < doas->size1; i++)
+      for (unsigned j = 0; j < 2; j++) {
+        double v = gsl_matrix_get(doas, i, j);
+        fwrite(&v, sizeof(double), 1, fp);
+      }
+    /* debug tail: svTbl[unit 0][bin 5] and the final st-snapshot(5) */
+    {
+      unsigned dim = maxorder * maxorder;
+      const gsl_vector_complex* w5 = (eb != NULL) ? eb->sv(0, 5) : sph->sv(0, 5);
+      for (unsigned j = 0; j < dim; j++) {
+        gsl_complex z = gsl_vector_complex_get(w5, j);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+      const gsl_vector_complex* f5 = (eb != NULL) ? eb->stsnap(5) : sph->stsnap(5);
+      for (unsigned j = 0; j < dim; j++) {
+        gsl_complex z = gsl_vector_complex_get(f5, j);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
   if (cmd == "tracker") {
     /* tracker order M m r dc a fs useSubbands sigma2_u sigma2_v \
      *         sigma2_init maxLocalN theta_src phi_src theta0 phi0 \

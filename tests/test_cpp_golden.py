@@ -1011,3 +1011,285 @@ def test_spherical_tracker_matches_cpp(gbin, protos, tmp_path):
         track = np.asarray(spt.spherical_track(cfg, X, Y_mat, bn4pi,
                                                (th0, ph0)))
     np.testing.assert_allclose(track, tref, atol=2e-6)
+
+
+def test_dual_spherical_gsc_reference_is_broken_as_shipped(gbin, tmp_path):
+    """DualSphericalGSCBeamformer is BROKEN as shipped: unlike
+    DualSphericalDSBeamformer (whose ctor does bfweight_vec2_.resize(1),
+    modalbeamformer.cc:1120-1126), the GSC variant's ctor is empty
+    (:1730-1733), so its alloc_steering_unit_ (:1737) indexes the EMPTY
+    bfweight_vec2_ vector out of bounds on the first set_look_direction —
+    heap garbage flows into delete, and the process dies.  Pinned
+    mechanically; our dual_spherical_ds_weights + spherical_gsc_weights
+    combination implements the evident intent."""
+    Mm, mm, rr = 64, 4, 1
+    hh, gg = _small_protos(Mm, mm, rr)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(hh, np.float64).tofile(hf)
+    rng = np.random.default_rng(3)
+    Xin = (rng.standard_normal((32, 2000)) * 1000).astype(np.float32)
+    paths = []
+    for c in range(32):
+        pth = str(tmp_path / f"c{c}.f32")
+        Xin[c].tofile(pth)
+        paths.append(pth)
+    r = subprocess.run(
+        [gbin, "modal_dual", "dualgsc", hf, str(Mm), str(mm), str(rr),
+         str(DC), str(int(FS)), "3", "0.01", "1.0", "1.2", "0.7",
+         str(tmp_path / "o.c128"), str(tmp_path / "w.c128")] + paths,
+        capture_output=True,
+    )
+    assert r.returncode != 0  # SIGSEGV in alloc_steering_unit_
+
+
+@pytest.mark.parametrize("kind", ["dualds"])
+def test_dual_spherical_beamformers_match_cpp(gbin, tmp_path, kind):
+    """DualSphericalDS vs the compiled reference (modalbeamformer.cc:
+    1120-1211): the subband output equals the base DS beamformer's, and
+    the SECONDARY element-domain BeamformerWeights (bfweight_vec2_) hold
+    the plain time-delay D&S manifold for the spherical-array delays
+    (calc_time_delays_of_spherical_array_)."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models import spherical as sph
+
+    Mm, mm, rr = 64, 4, 1
+    maxorder, sigma2 = 3, 0.01
+    theta, phi = 1.2, 0.7
+    hh, gg = _small_protos(Mm, mm, rr)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(hh, np.float64).tofile(hf)
+    rng = np.random.default_rng(3)
+    Xin = (rng.standard_normal((32, 4000)) * 1000).astype(np.float32)
+    paths = []
+    for c in range(32):
+        pth = str(tmp_path / f"c{c}.f32")
+        Xin[c].tofile(pth)
+        paths.append(pth)
+    out = str(tmp_path / "dual.c128")
+    wq2f = str(tmp_path / "wq2.c128")
+    subprocess.run(
+        [gbin, "modal_dual", kind, hf, str(Mm), str(mm), str(rr), str(DC),
+         str(int(FS)), str(maxorder), str(sigma2), "1.0", str(theta),
+         str(phi), out, wq2f] + paths,
+        check=True, capture_output=True,
+    )
+    F2 = Mm // 2 + 1
+    Ycpp = np.fromfile(out, np.complex128).reshape(-1, Mm)[:, :F2]
+    Wq2 = np.fromfile(wq2f, np.complex128).reshape(F2, 32)
+
+    p = ops.FilterbankParams(M=Mm, m=mm, r=rr, delay_compensation_type=DC)
+    subh = ops.analysis_half(jnp.asarray(Xin), jnp.asarray(hh, jnp.float32), p)
+    Xs = np.asarray(jnp.moveaxis(subh, 0, -1))  # [T, F, C]
+    theta_s, phi_s = sph.eigenmike_geometry()
+    Ymat = sph.spherical_harmonics_matrix(maxorder, theta_s, phi_s)
+    a, SSPEED = 42.0, 343740.0
+    ka = 2.0 * np.pi * np.arange(F2) * a * FS / (Mm * SSPEED)
+    b = sph.mode_amplitudes(maxorder, ka)
+    dim = maxorder * maxorder
+    F_co = np.asarray(sph.sh_transform(jnp.asarray(Xs), Ymat))
+
+    if kind == "dualds":
+        w = sph.spherical_ds_weights(maxorder, b, theta, phi)
+        Yj = np.asarray(sph.apply_sh_weights(w, jnp.asarray(F_co)))
+    else:
+        wq, BmH = sph.spherical_gsc_weights(maxorder, b, theta, phi)
+        fb = np.arange(F2)
+        k = np.arange(dim - 1)
+        wa = (0.1 * np.sin(0.37 * fb[:, None] + k[None])
+              + 1j * 0.1 * np.cos(0.23 * fb[:, None] + 0.5 * k[None]))
+        wa[0] = 0.0
+        wl = np.einsum("fdk,fk->fd", np.conj(np.swapaxes(BmH, -1, -2)), wa)
+        Yj = np.einsum("fd,tfd->tf", np.conj(wq - wl), F_co)
+    n = min(len(Ycpp), len(Yj))
+    scale = np.abs(Ycpp[:n, 1:]).max()
+    np.testing.assert_allclose(Yj[:n, 1:], Ycpp[:n, 1:], atol=2e-5 * scale)
+
+    # secondary element-domain weights: plain D&S manifold over the
+    # rigid-sphere geometric delays (tau = -a<u_s, u>/c)
+    mpos = a * np.c_[np.sin(theta_s) * np.cos(phi_s),
+                     np.sin(theta_s) * np.sin(phi_s), np.cos(theta_s)]
+    w_sh, w_elem = sph.dual_spherical_ds_weights(
+        maxorder, b, theta, phi, mpos, Mm, FS)
+    np.testing.assert_allclose(np.conj(w_elem), Wq2,
+                               atol=1e-6 * np.abs(Wq2).max())
+
+
+def test_spherical_hwnc_gsc_matches_cpp(gbin, tmp_path):
+    """SphericalHWNCGSCBeamformer (modalbeamformer.cc:1617-1728): the WNG-
+    constrained quiescent branch with a blocking matrix and deterministic
+    active weights through the full GSC output."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models import spherical as sph
+
+    Mm, mm, rr = 64, 4, 1
+    maxorder, sigma2 = 3, 0.01
+    theta, phi = 1.2, 0.7
+    hh, gg = _small_protos(Mm, mm, rr)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(hh, np.float64).tofile(hf)
+    rng = np.random.default_rng(3)
+    Xin = (rng.standard_normal((32, 4000)) * 1000).astype(np.float32)
+    paths = []
+    for c in range(32):
+        pth = str(tmp_path / f"c{c}.f32")
+        Xin[c].tofile(pth)
+        paths.append(pth)
+    out = str(tmp_path / "hg.c128")
+    subprocess.run(
+        [gbin, "modal_sub2", "hwncgsc", hf, str(Mm), str(mm), str(rr), str(DC),
+         str(int(FS)), str(maxorder), str(sigma2), "1.0", str(theta),
+         str(phi), out] + paths,
+        check=True, capture_output=True,
+    )
+    F2 = Mm // 2 + 1
+    Ycpp = np.fromfile(out, np.complex128).reshape(-1, Mm)[:, :F2]
+
+    p = ops.FilterbankParams(M=Mm, m=mm, r=rr, delay_compensation_type=DC)
+    subh = ops.analysis_half(jnp.asarray(Xin), jnp.asarray(hh, jnp.float32), p)
+    Xs = np.asarray(jnp.moveaxis(subh, 0, -1))
+    theta_s, phi_s = sph.eigenmike_geometry()
+    Ymat = sph.spherical_harmonics_matrix(maxorder, theta_s, phi_s)
+    a, SSPEED = 42.0, 343740.0
+    ka = 2.0 * np.pi * np.arange(F2) * a * FS / (Mm * SSPEED)
+    b = sph.mode_amplitudes(maxorder, ka)
+    dim = maxorder * maxorder
+    wqH, BmH = sph.spherical_hwnc_gsc_weights(
+        maxorder, b, theta, phi, 32, sigma2, ratio=1.0)
+    fb = np.arange(F2)
+    k = np.arange(dim - 1)
+    wa = (0.1 * np.sin(0.37 * fb[:, None] + k[None])
+          + 1j * 0.1 * np.cos(0.23 * fb[:, None] + 0.5 * k[None]))
+    wa[0] = 0.0
+    wl = np.einsum("fdk,fk->fd", np.conj(np.swapaxes(BmH, -1, -2)), wa)
+    F_co = np.asarray(sph.sh_transform(jnp.asarray(Xs), Ymat))
+    Yj = np.einsum("fd,tfd->tf", np.conj(wqH - wl), F_co)
+    n = min(len(Ycpp), len(Yj))
+    scale = np.abs(Ycpp[:n, 1:]).max()
+    np.testing.assert_allclose(Yj[:n, 1:], Ycpp[:n, 1:], atol=2e-5 * scale)
+
+
+def test_spherical_spatial_hwnc_reference_is_broken_as_shipped(gbin, tmp_path):
+    """SphericalSpatialHWNCBeamformer (modalbeamformer.cc:2358-2434) is
+    BROKEN as shipped: calc_weights_ computes the element-space steering
+    vector but the line storing it is commented out
+    (modalbeamformer.cc:2422), so the MVDR solve normalizes an all-zero
+    wq vector (BeamformerWeights allocs zeroed) — 1/||0|| = inf -> NaN
+    through the whole chain.  Pinned mechanically here; our
+    spherical_spatial_hwnc_weights implements the evident intent (the
+    commented-out steering vector feeding the diffuse-noise MVDR) and is
+    covered by tests/test_spherical_variants.py."""
+    Mm, mm, rr = 64, 4, 1
+    hh, gg = _small_protos(Mm, mm, rr)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(hh, np.float64).tofile(hf)
+    rng = np.random.default_rng(3)
+    Xin = (rng.standard_normal((32, 2000)) * 1000).astype(np.float32)
+    paths = []
+    for c in range(32):
+        pth = str(tmp_path / f"c{c}.f32")
+        Xin[c].tofile(pth)
+        paths.append(pth)
+    out = str(tmp_path / "sp.c128")
+    subprocess.run(
+        [gbin, "modal_sub2", "spatialhwnc", hf, str(Mm), str(mm), str(rr),
+         str(DC), str(int(FS)), "3", "0.01", "1.0", "1.2", "0.7", out] + paths,
+        check=True, capture_output=True,
+    )
+    Y = np.fromfile(out, np.complex128).reshape(-1, Mm)
+    assert not np.isfinite(Y).any()
+
+
+@pytest.mark.parametrize("kind", ["srpeb", "srpsphdsb"])
+def test_srp_spherical_estimators_match_cpp(gbin, tmp_path, kind):
+    """DOAEstimatorSRPEB / DOAEstimatorSRPSphDSB (modalbeamformer.h:161-258):
+    accumulated steered response powers over the (theta, phi) grid plus the
+    last frame's N-best hypotheses, vs our SH-domain SRP with the same
+    eigen/DS steering weights.
+
+    Reference BUG replicated for parity: SnapShotArray::set_snapshots
+    mirrors the conjugate into ``fftLen2 - fbinX`` instead of
+    ``fftLen_ - fbinX`` (beamformer.cc:88-91), so the estimators' ascending
+    per-bin loop CLOBBERS the lower half of the SH snapshot array — bins
+    k in [1, M/4] end up holding conj(F[M/2 - k]) (verified by direct
+    st-snapshot dump: cpp bin 5 == conj(our bin 27) at M=64).  The
+    production models/localization.srp_spherical keeps the correct
+    spectrum; this test pins the reference's literal behavior."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models import spherical as sph
+
+    Mm, mm, rr = 64, 4, 1
+    maxorder, nbest = 3, 2
+    minT, maxT, wT = 0.5, 2.5, 0.5
+    minP, maxP, wP = -1.0, 1.5, 0.5
+    hh, gg = _small_protos(Mm, mm, rr)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(hh, np.float64).tofile(hf)
+    rng = np.random.default_rng(3)
+    Xin = (rng.standard_normal((32, 3000)) * 1000).astype(np.float32)
+    paths = []
+    for c in range(32):
+        pth = str(tmp_path / f"c{c}.f32")
+        Xin[c].tofile(pth)
+        paths.append(pth)
+    nframes = 60  # frame-aligned accumulation on both sides
+    out = str(tmp_path / "srp.f64")
+    subprocess.run(
+        [gbin, "modal_srp", kind, hf, str(Mm), str(mm), str(rr), str(DC),
+         str(int(FS)), str(maxorder), str(nbest), str(minT), str(maxT),
+         str(minP), str(maxP), str(wT), str(wP), str(nframes), out] + paths,
+        check=True, capture_output=True,
+    )
+    nTheta = int((maxT - minT) / wT + 0.5)
+    nPhi = int((maxP - minP) / wP + 0.5)
+    G = nTheta * nPhi
+    raw = np.fromfile(out, np.float64)
+    acc_cpp = raw[:G]
+    nbest_doas_cpp = raw[G + nbest:G + nbest + 2 * nbest].reshape(nbest, 2)
+
+    F2 = Mm // 2 + 1
+    p = ops.FilterbankParams(M=Mm, m=mm, r=rr, delay_compensation_type=DC)
+    subh = ops.analysis_half(jnp.asarray(Xin), jnp.asarray(hh, jnp.float32), p)
+    Xs = np.asarray(jnp.moveaxis(subh, 0, -1))  # [T, F, C]
+    theta_s, phi_s = sph.eigenmike_geometry()
+    Ymat = sph.spherical_harmonics_matrix(maxorder, theta_s, phi_s)
+    a, SSPEED = 42.0, 343740.0
+    ka = 2.0 * np.pi * np.arange(F2) * a * FS / (Mm * SSPEED)
+    b = sph.mode_amplitudes(maxorder, ka)
+    F_co = np.asarray(sph.sh_transform(jnp.asarray(Xs), Ymat))  # [T, F, dim]
+
+    grid = [(minT + i * wT, minP + j * wP)
+            for i in range(nTheta) for j in range(nPhi)]
+    acc = np.zeros(G)
+    last_rp = np.zeros(G)
+    nbins = F2 - 1  # fbinMin=1 .. fbinMax=M/2
+    F_co = F_co[:nframes]
+    # apply the set_snapshots clobbering quirk: after the ascending loop,
+    # bins k < M/4 hold conj(F[M/2 - k]); bin M/4 holds conj(F[M/4])
+    half = Mm // 2
+    F_eff = F_co.copy()
+    for k in range(1, half // 2 + 1):
+        F_eff[:, k] = np.conj(F_co[:, half - k])
+    F_co = F_eff
+    for gidx, (th, ph) in enumerate(grid):
+        if kind == "srpeb":
+            # EigenBeamformer weights; ctor sigma2 default is 0.0
+            w = np.asarray(sph.eigen_weights(maxorder, b, th, ph, 32,
+                                             sigma2=0.0))
+        else:
+            w = np.asarray(sph.spherical_ds_weights(maxorder, b, th, ph))
+        Yg = np.einsum("fd,tfd->tf", np.conj(w), F_co)  # [T, F]
+        rp_t = (2.0 * np.sum(np.abs(Yg[:, 1:F2 - 1]) ** 2, axis=1)
+                + np.abs(Yg[:, F2 - 1]) ** 2) / nbins
+        acc[gidx] = rp_t.sum()
+        last_rp[gidx] = rp_t[-1]
+    np.testing.assert_allclose(acc, acc_cpp, rtol=2e-5)
+    # the last frame's best DOA cell matches
+    order = np.argsort(-last_rp)[:nbest]
+    np.testing.assert_allclose(np.asarray(grid)[order[0]], nbest_doas_cpp[0],
+                               atol=1e-6)
