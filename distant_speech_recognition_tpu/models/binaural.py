@@ -44,14 +44,15 @@ def calc_itd(XL: jax.Array, XR: jax.Array) -> jax.Array:
 
 def _smoothed_mask_scan(keep: jax.Array, alpha: float, d_eta: float) -> jax.Array:
     """mu_t = alpha mu_{t-1} + (1-alpha) * (1 if keep else d_eta)
-    (masking1, binauralprocessing.cc:138-178; prevMu starts at 0)."""
+    (masking1, binauralprocessing.cc:138-178; prevMu starts at 1.0 —
+    gsl_vector_float_set_all(prevMu_, 1.0) in the BinaryMaskFilter ctor)."""
     target = jnp.where(keep, 1.0, d_eta)
 
     def step(mu, tgt):
         mu = alpha * mu + (1.0 - alpha) * tgt
         return mu, mu
 
-    mu0 = jnp.zeros(keep.shape[-1], jnp.float32)
+    mu0 = jnp.ones(keep.shape[-1], jnp.float32)
     _, mus = jax.lax.scan(step, mu0, target)
     return mus
 

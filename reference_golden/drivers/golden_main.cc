@@ -34,6 +34,7 @@
 #include "beamformer/modalbeamformer.h"
 #include "beamformer/tracker.h"
 #include "aec/aec.h"
+#include "square_root/square_root.h"
 
 /* The python error bridge (common/jpython_error.cc) needs libpython; the
  * golden drivers never raise through python, so provide the one symbol. */
@@ -908,6 +909,93 @@ int main(int argc, char** argv) {
     OverSampledDFTSynthesisBankPtr sfb =
         new OverSampledDFTSynthesisBank(aec, g, M, m, r, dc);
     drain_to_f32((VectorFloatFeatureStreamPtr&)sfb, D, argv[14]);
+    return 0;
+  }
+
+  if (cmd == "sqrtkern") {
+    /* sqrtkern n in.f64 out.f64
+     * Drives the square_root/ kernels (square_root.cc) on packed inputs:
+     *   in:  L [n,n] c128 (lower factor), rhs [n] c128, alpha (1 f64),
+     *        c [n] c128, a12 [n] c128, a21 [n] c128, a22 (c128),
+     *        dim (1 f64), wght (1 f64)
+     *   out: fwd(false) [n], fwd(true) [n], back(false) [n], back(true) [n]
+     *        (all c128), rank1-updated L [n,n], info-rls L' [n,n] and
+     *        a21' [n], diag-loaded L'' [n,n]. */
+    unsigned n = atoi(argv[2]);
+    std::vector<double> in = read_f64(argv[3]);
+    size_t off = 0;
+    gsl_matrix_complex* L = gsl_matrix_complex_calloc(n, n);
+    for (unsigned i = 0; i < n; i++)
+      for (unsigned j = 0; j < n; j++) {
+        gsl_matrix_complex_set(L, i, j, gsl_complex_rect(in[off], in[off + 1]));
+        off += 2;
+      }
+    gsl_vector_complex* rhs = gsl_vector_complex_calloc(n);
+    for (unsigned i = 0; i < n; i++) {
+      gsl_vector_complex_set(rhs, i, gsl_complex_rect(in[off], in[off + 1]));
+      off += 2;
+    }
+    double alpha = in[off++];
+    gsl_vector_complex* c = gsl_vector_complex_calloc(n);
+    for (unsigned i = 0; i < n; i++) {
+      gsl_vector_complex_set(c, i, gsl_complex_rect(in[off], in[off + 1]));
+      off += 2;
+    }
+    gsl_vector_complex* a12 = gsl_vector_complex_calloc(n);
+    for (unsigned i = 0; i < n; i++) {
+      gsl_vector_complex_set(a12, i, gsl_complex_rect(in[off], in[off + 1]));
+      off += 2;
+    }
+    gsl_vector_complex* a21 = gsl_vector_complex_calloc(n);
+    for (unsigned i = 0; i < n; i++) {
+      gsl_vector_complex_set(a21, i, gsl_complex_rect(in[off], in[off + 1]));
+      off += 2;
+    }
+    gsl_complex a22 = gsl_complex_rect(in[off], in[off + 1]);
+    off += 2;
+    int dimload = (int)in[off++];
+    double wght = in[off++];
+
+    FILE* fp = fopen(argv[4], "wb");
+    gsl_vector_complex* out = gsl_vector_complex_calloc(n);
+    auto wv = [&](const gsl_vector_complex* v) {
+      for (unsigned i = 0; i < n; i++) {
+        gsl_complex z = gsl_vector_complex_get(v, i);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    };
+    auto wm = [&](const gsl_matrix_complex* m) {
+      for (unsigned i = 0; i < n; i++)
+        for (unsigned j = 0; j < n; j++) {
+          gsl_complex z = gsl_matrix_complex_get(m, i, j);
+          fwrite(z.dat, sizeof(double), 2, fp);
+        }
+    };
+    cholesky_forwardsub_complex(L, rhs, out, false);  wv(out);
+    cholesky_forwardsub_complex(L, rhs, out, true);   wv(out);
+    cholesky_backsub_complex(L, rhs, out, false);     wv(out);
+    cholesky_backsub_complex(L, rhs, out, true);      wv(out);
+
+    gsl_matrix_complex* L1 = gsl_matrix_complex_calloc(n, n);
+    gsl_matrix_complex_memcpy(L1, L);
+    rank_one_update_cholesky_factor(L1, alpha, c);
+    wm(L1);
+
+    gsl_matrix_complex* L2 = gsl_matrix_complex_calloc(n, n);
+    gsl_matrix_complex_memcpy(L2, L);
+    gsl_vector_complex* a12c = gsl_vector_complex_calloc(n);
+    gsl_vector_complex* a21c = gsl_vector_complex_calloc(n);
+    gsl_vector_complex_memcpy(a12c, a12);
+    gsl_vector_complex_memcpy(a21c, a21);
+    propagate_info_square_root_rls(L2, a12c, a21c, a22);
+    wm(L2);
+    wv(a21c);
+
+    gsl_matrix_complex* L3 = gsl_matrix_complex_calloc(n, n);
+    gsl_matrix_complex_memcpy(L3, L);
+    add_diagonal_loading(L3, dimload, wght);
+    wm(L3);
+    fclose(fp);
     return 0;
   }
 

@@ -901,6 +901,114 @@ int main(int argc, char** argv) {
     return 0;
   }
 
+  if (cmd == "iid_mask") {
+    /* iid_mask h.f64 chanX M m r dc threshold alpha dEta out.c128 inL inR
+     * IIDBinaryMaskFilter (magnitude-difference binary masking,
+     * binauralprocessing.cc:438-520). */
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned chanX = atoi(argv[3]);
+    unsigned M = atoi(argv[4]), m = atoi(argv[5]), r = atoi(argv[6]), dc = atoi(argv[7]);
+    double threshold = atof(argv[8]), alpha = atof(argv[9]);
+    double dEta = atof(argv[10]);
+    const char* outfn = argv[11];
+    std::vector<float> xl = read_f32(argv[12]);
+    std::vector<float> xr = read_f32(argv[13]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr sl = new RawSampleFeature(xl, D);
+    RawSampleFeaturePtr sr = new RawSampleFeature(xr, D);
+    OverSampledDFTAnalysisBankPtr al = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)sl, h, M, m, r, dc);
+    OverSampledDFTAnalysisBankPtr ar = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)sr, h, M, m, r, dc);
+    VectorComplexFeatureStreamPtr alc = (VectorComplexFeatureStreamPtr&)al;
+    VectorComplexFeatureStreamPtr arc = (VectorComplexFeatureStreamPtr&)ar;
+    IIDBinaryMaskFilterPtr mask = new IIDBinaryMaskFilter(
+        chanX, alc, arc, M, (float)threshold, (float)alpha, (float)dEta);
+    FILE* fp = fopen(outfn, "wb");
+    for (;;) {
+      const gsl_vector_complex* Y;
+      try {
+        Y = mask->next();
+      } catch (jiterator_error&) {
+        break;
+      }
+      for (unsigned k = 0; k < M; k++) {
+        gsl_complex z = gsl_vector_complex_get(Y, k);
+        fwrite(z.dat, sizeof(double), 2, fp);
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
+  if (cmd == "iid_thresh" || cmd == "fdiid_thresh") {
+    /* iid_thresh   h.f64 M m r dc minTh maxTh width dEta dpc out.f64 inL inR
+     * fdiid_thresh h.f64 M m r dc minTh maxTh width dEta dpc out.f64 inL inR
+     * IIDThresholdEstimator (joint-kurtosis threshold search,
+     * binauralprocessing.cc:524-684) / FDIIDThresholdEstimator (per-bin
+     * search, :700-920).  Dumps the estimated threshold then the cost
+     * function (nCand values; per-bin for fdiid: (M/2+1) rows). */
+    bool fd = (cmd == "fdiid_thresh");
+    gsl_vector* h = to_gsl(read_f64(argv[2]));
+    unsigned M = atoi(argv[3]), m = atoi(argv[4]), r = atoi(argv[5]), dc = atoi(argv[6]);
+    double minTh = atof(argv[7]), maxTh = atof(argv[8]), width = atof(argv[9]);
+    double dEta = atof(argv[10]), dpc = atof(argv[11]);
+    const char* outfn = argv[12];
+    std::vector<float> xl = read_f32(argv[13]);
+    std::vector<float> xr = read_f32(argv[14]);
+    unsigned D = M >> r;
+    RawSampleFeaturePtr sl = new RawSampleFeature(xl, D);
+    RawSampleFeaturePtr sr = new RawSampleFeature(xr, D);
+    OverSampledDFTAnalysisBankPtr al = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)sl, h, M, m, r, dc);
+    OverSampledDFTAnalysisBankPtr ar = new OverSampledDFTAnalysisBank(
+        (VectorFloatFeatureStreamPtr&)sr, h, M, m, r, dc);
+    VectorComplexFeatureStreamPtr alc = (VectorComplexFeatureStreamPtr&)al;
+    VectorComplexFeatureStreamPtr arc = (VectorComplexFeatureStreamPtr&)ar;
+    FILE* fp = fopen(outfn, "wb");
+    if (!fd) {
+      IIDThresholdEstimatorPtr est = new IIDThresholdEstimator(
+          alc, arc, M, (float)minTh, (float)maxTh, (float)width,
+          -1.0f, -1.0f, -1, (float)dEta, (float)dpc);
+      for (;;) {
+        try {
+          est->next();
+        } catch (jiterator_error&) {
+          break;
+        }
+      }
+      double th = est->calc_threshold();
+      fwrite(&th, sizeof(double), 1, fp);
+      const gsl_vector* cf = est->cost_function();
+      for (unsigned i = 0; i < cf->size; i++) {
+        double v = gsl_vector_get(cf, i);
+        fwrite(&v, sizeof(double), 1, fp);
+      }
+    } else {
+      FDIIDThresholdEstimatorPtr est = new FDIIDThresholdEstimator(
+          alc, arc, M, (float)minTh, (float)maxTh, (float)width,
+          (float)dEta, (float)dpc);
+      for (;;) {
+        try {
+          est->next();
+        } catch (jiterator_error&) {
+          break;
+        }
+      }
+      double th = est->calc_threshold();
+      fwrite(&th, sizeof(double), 1, fp);
+      for (unsigned fb = 0; fb <= M / 2; fb++) {
+        const gsl_vector* cf = est->cost_function(fb);
+        for (unsigned i = 0; i < cf->size; i++) {
+          double v = gsl_vector_get(cf, i);
+          fwrite(&v, sizeof(double), 1, fp);
+        }
+      }
+    }
+    fclose(fp);
+    return 0;
+  }
+
   /* NOTE on FastBlockLMSFeature (lms/lms.cc): no golden subcommand is
    * possible for it — the shipped constructor builds `new OverlapSave(samp)`
    * with the default NULL impulse response, and OverlapSave's initializer

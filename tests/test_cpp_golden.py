@@ -1293,3 +1293,115 @@ def test_srp_spherical_estimators_match_cpp(gbin, tmp_path, kind):
     order = np.argsort(-last_rp)[:nbest]
     np.testing.assert_allclose(np.asarray(grid)[order[0]], nbest_doas_cpp[0],
                                atol=1e-6)
+
+
+def test_sqrt_kernels_match_cpp(gbin, tmp_path, rng):
+    """Direct goldens for square_root/square_root.cc vs ops/sqrt_kernels.py.
+
+    Pinned reference semantics (probed while writing this test):
+    - cholesky_backsub_complex compiles to ztrsv(Lower, Trans) — it solves
+      L^T x = b (TRANSPOSE, not conj-transpose) and the ``conjugate`` flag
+      is IGNORED on the compiled path (square_root.cc:148-151);
+    - cholesky_forwardsub_complex with conjugate=true conjugates each
+      solution element MID-recursion, so later rows consume the conjugated
+      values (square_root.cc:155-176) — not equal to conj(L^-1 b);
+    - rank_one_update_cholesky_factor produces L' with
+      L' L'^H = L L^H - alpha v v^H for v = L conj(L^-T c) — an
+      alpha-weighted DOWNDATE along the whitened direction;
+    - propagate_info_square_root_rls: L' L'^H = L L^H + a12 a12^H with the
+      row invariant L' conj(a21') = L conj(a21) + a12 conj(a22);
+    - add_diagonal_loading loads wght^2 onto ONE diagonal entry:
+      L' L'^H = L L^H + wght^2 e_d e_d^H.
+    Our kernels realize the same updates as batched QR/rank-1 recurrences;
+    factors are compared at the Gram-product level (identical up to
+    unitary column phases).
+    """
+    import scipy.linalg as sla
+
+    from distant_speech_recognition_tpu.ops import sqrt_kernels as sk
+
+    n = 6
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    P = A @ A.conj().T + 5 * np.eye(n)
+    L = np.linalg.cholesky(P)
+    rhs = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    alpha = 0.05
+    c = 0.5 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    a12 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    a21 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    a22 = complex(rng.standard_normal(), rng.standard_normal())
+    dimload, wght = 2, 1.7
+
+    blob = []
+
+    def pc(z):
+        z = np.asarray(z, np.complex128).reshape(-1)
+        blob.append(np.c_[z.real, z.imag].reshape(-1))
+
+    pc(L)
+    pc(rhs)
+    blob.append(np.array([alpha]))
+    pc(c)
+    pc(a12)
+    pc(a21)
+    pc(np.array([a22]))
+    blob.append(np.array([float(dimload), wght]))
+    inf = str(tmp_path / "in.f64")
+    np.concatenate(blob).tofile(inf)
+    outf = str(tmp_path / "out.f64")
+    subprocess.run([gbin, "sqrtkern", str(n), inf, outf],
+                   check=True, capture_output=True)
+    raw = np.fromfile(outf, np.float64).view(np.complex128)
+    o = [0]
+
+    def take(k):
+        v = raw[o[0]:o[0] + k]
+        o[0] += k
+        return v
+
+    f_false, f_true = take(n), take(n)
+    b_false, b_true = take(n), take(n)
+    L1 = take(n * n).reshape(n, n)
+    L2 = take(n * n).reshape(n, n)
+    a21p = take(n)
+    L3 = take(n * n).reshape(n, n)
+
+    # substitutions
+    np.testing.assert_allclose(
+        f_false, np.asarray(sk.forward_substitute(L, rhs)), atol=1e-5)
+    np.testing.assert_allclose(b_false, sla.solve_triangular(L.T, rhs, lower=False),
+                               atol=1e-10)
+    np.testing.assert_array_equal(b_true, b_false)  # flag ignored
+    x = np.zeros(n, complex)  # the mid-recursion-conjugation quirk
+    for i in range(n):
+        res = rhs[i] - sum(x[j] * L[i, j] for j in range(i))
+        x[i] = np.conj(res / L[i, i])
+    np.testing.assert_allclose(f_true, x, atol=1e-10)
+
+    # rank-1 alpha-downdate
+    v = L @ np.conj(sla.solve_triangular(L.T, c, lower=False))
+    np.testing.assert_allclose(L1 @ L1.conj().T, P - alpha * np.outer(v, np.conj(v)),
+                               atol=1e-8 * np.abs(P).max())
+    ours = np.asarray(sk.cholesky_rank1_downdate(L, np.sqrt(alpha) * v))
+    np.testing.assert_allclose(ours @ ours.conj().T, L1 @ L1.conj().T,
+                               atol=2e-4 * np.abs(P).max())  # f32 kernel
+
+    # info-RLS rank-1 update + row invariant
+    np.testing.assert_allclose(L2 @ L2.conj().T, P + np.outer(a12, np.conj(a12)),
+                               atol=1e-8 * np.abs(P).max())
+    np.testing.assert_allclose(L2 @ np.conj(a21p),
+                               L @ np.conj(a21) + a12 * np.conj(a22),
+                               atol=1e-8 * np.abs(P).max())
+    R_ours = np.asarray(sk.propagate_information_sqrt(
+        np.conj(L.T)[None], a12[None, None, :].conj(), np.ones((1, 1)))[0])
+    np.testing.assert_allclose(R_ours.conj().T @ R_ours, L2 @ L2.conj().T,
+                               atol=2e-4 * np.abs(P).max())
+
+    # single-entry diagonal loading
+    want3 = P + wght**2 * np.outer(np.eye(n)[dimload], np.eye(n)[dimload])
+    np.testing.assert_allclose(L3 @ L3.conj().T, want3,
+                               atol=1e-8 * np.abs(P).max())
+    ours3 = np.asarray(sk.cholesky_rank1_update(
+        L, wght * np.eye(n, dtype=complex)[dimload]))
+    np.testing.assert_allclose(ours3 @ ours3.conj().T, want3,
+                               atol=2e-4 * np.abs(P).max())

@@ -1032,3 +1032,123 @@ def test_windowed_gcc_free_function_matches_cpp(tbin, win, tmp_path):
     cc = np.fft.irfft(cs, n=fftLen)
     dly, pk = find_cc_peak(jnp.asarray(cc), fs, minD, maxD)
     np.testing.assert_allclose([float(dly), float(pk)], ref, rtol=1e-6, atol=1e-10)
+
+
+def test_iid_binary_mask_matches_cpp(tbin, cmu2, tmp_path):
+    """IIDBinaryMaskFilter (magnitude-difference binary masking,
+    binauralprocessing.cc:438-520) vs the batched kernel."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.binaural import iid_binary_mask
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    Mb, mb, rb, DCb = 256, 4, 1, 2
+    chans, paths = cmu2
+    h, g = load_pair(Mb, mb, rb)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    thresh, alpha, dEta = 2.0, 0.4, 0.01
+    out = str(tmp_path / "iid.c128")
+    subprocess.run(
+        [tbin, "iid_mask", hf, "0", str(Mb), str(mb), str(rb), str(DCb),
+         str(thresh), str(alpha), str(dEta), out, paths[0], paths[1]],
+        check=True, capture_output=True,
+    )
+    Ycpp = np.fromfile(out, np.complex128).reshape(-1, Mb)
+
+    p = ops.FilterbankParams(M=Mb, m=mb, r=rb, delay_compensation_type=DCb)
+    XL = ops.analysis_half(jnp.asarray(chans[0]), jnp.asarray(h, jnp.float32), p)
+    XR = ops.analysis_half(jnp.asarray(chans[1]), jnp.asarray(h, jnp.float32), p)
+    Yj = np.asarray(iid_binary_mask(XL, XR, 0, thresh, alpha, dEta))
+    n = min(len(Ycpp), len(Yj))
+    ref_h = Ycpp[:n, : Mb // 2 + 1]
+    scale = np.abs(ref_h).max()
+    # same near-silent decision-flip budget as the Kim mask golden
+    bad = np.abs(Yj[:n] - ref_h) > 2e-4 * scale
+    XLa = np.abs(np.asarray(XL))[:n]
+    assert bad.mean() < 0.01, bad.mean()
+    if bad.any():
+        assert XLa[bad].max() < 0.01 * XLa.max()
+
+
+def test_iid_threshold_estimator_matches_cpp(tbin, cmu2, tmp_path):
+    """IIDThresholdEstimator (joint-kurtosis threshold search over the
+    whole utterance, binauralprocessing.cc:524-684): the cost function over
+    the candidate grid and the argmin threshold."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.binaural import iid_threshold
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    Mb, mb, rb, DCb = 256, 4, 1, 2
+    chans, paths = cmu2
+    h, g = load_pair(Mb, mb, rb)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    minTh, maxTh, width, dEta, dpc = -40.0, 40.0, 2.0, 0.01, 0.5
+    out = str(tmp_path / "iidth.f64")
+    subprocess.run(
+        [tbin, "iid_thresh", hf, str(Mb), str(mb), str(rb), str(DCb),
+         str(minTh), str(maxTh), str(width), str(dEta), str(dpc), out,
+         paths[0], paths[1]],
+        check=True, capture_output=True,
+    )
+    raw = np.fromfile(out, np.f64 if hasattr(np, "f64") else np.float64)
+    th_cpp, cost_cpp = raw[0], raw[1:]
+
+    p = ops.FilterbankParams(M=Mb, m=mb, r=rb, delay_compensation_type=DCb)
+    XL = ops.analysis_half(jnp.asarray(chans[0]), jnp.asarray(h, jnp.float32), p)
+    XR = ops.analysis_half(jnp.asarray(chans[1]), jnp.asarray(h, jnp.float32), p)
+    n = min(len(cost_cpp) and 10**9, XL.shape[0])  # same frame count
+    th, cands, negcost = iid_threshold(
+        XL, XR, minTh, maxTh, width, d_eta=dEta, power_coeff=dpc, beta=3.0)
+    assert len(cands) == len(cost_cpp)
+    np.testing.assert_allclose(-negcost, cost_cpp,
+                               rtol=2e-4)
+    assert th == th_cpp
+
+
+def test_fdiid_threshold_estimator_matches_cpp(tbin, cmu2, tmp_path):
+    """FDIIDThresholdEstimator (per-bin kurtosis threshold search,
+    binauralprocessing.cc:700-920).
+
+    Reference quirk: FDIID's ``_beta`` member is NEVER initialized (only
+    the parent IIDThresholdEstimator's own _beta(3.0) init exists, and the
+    two are distinct members) — in practice the fresh heap reads as 0.0,
+    so the compiled cost is E[Y^4] alone; compared with beta=0 and the
+    effective beta asserted from the dump itself."""
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu import ops
+    from distant_speech_recognition_tpu.models.binaural import fd_iid_threshold
+    from distant_speech_recognition_tpu.utils.prototypes import load_pair
+
+    Mb, mb, rb, DCb = 256, 4, 1, 2
+    chans, paths = cmu2
+    h, g = load_pair(Mb, mb, rb)
+    hf = str(tmp_path / "h.f64")
+    np.asarray(h, np.float64).tofile(hf)
+    minTh, maxTh, width, dEta, dpc = -40.0, 40.0, 4.0, 0.01, 1.0 / 15.0
+    out = str(tmp_path / "fdth.f64")
+    subprocess.run(
+        [tbin, "fdiid_thresh", hf, str(Mb), str(mb), str(rb), str(DCb),
+         str(minTh), str(maxTh), str(width), str(dEta), str(dpc), out,
+         paths[0], paths[1]],
+        check=True, capture_output=True,
+    )
+    raw = np.fromfile(out, np.float64)
+    F2 = Mb // 2 + 1
+    nC = (len(raw) - 1) // F2
+    th_cpp = raw[0]
+    cost_cpp = raw[1:].reshape(F2, nC)
+
+    p = ops.FilterbankParams(M=Mb, m=mb, r=rb, delay_compensation_type=DCb)
+    XL = ops.analysis_half(jnp.asarray(chans[0]), jnp.asarray(h, jnp.float32), p)
+    XR = ops.analysis_half(jnp.asarray(chans[1]), jnp.asarray(h, jnp.float32), p)
+    thr, cands, cost = fd_iid_threshold(
+        XL, XR, minTh, maxTh, width, d_eta=dEta, power_coeff=dpc, beta=0.0)
+    assert len(cands) == nC
+    # bin 0 is never accumulated by the reference (loop starts at 1)
+    np.testing.assert_allclose(cost[1:], cost_cpp[1:], rtol=2e-3)
