@@ -45,17 +45,18 @@ def main():
     M, m, r = 256, 4, 1
     C = 4
     fs = 16000
-    # Batch sweep on v5e with the Pallas fused scan (round 3, fetch-synced):
-    # 512 -> 48.5k, 640 -> 50.7k, 768 -> 53.1k, 896 -> 52.8k, 1024 -> 55.3k
-    # audio-s/s/chip; 1024 is the sweet spot (larger batches amortize the
-    # per-frame grid overhead of the scan kernel until HBM pressure bites).
-    # The XLA scan (DSR_PALLAS_SCAN=0) keeps its adaptive state in HBM and
-    # OOMs at 1024 — its ceiling is 640.  (The round-3 real-speech NaN that
-    # kept the Pallas scan opt-in was root-caused to 0*inf arithmetic
-    # blends and fixed in round 4; see models/pipeline.py PALLAS_SCAN.)
+    # Batch sweep on v5e (round 4, fetch-synced, single-kernel fused
+    # analysis+scan): 640 -> 68.9k, 1024 -> 76.2k, 1536 -> 80.7k
+    # audio-s/s/chip; 2048 OOMs (input alone is 5.2 GB).  The fused kernel
+    # eliminated the packed-spectrum HBM tensor, so the batch ceiling moved
+    # up from the split path's 1024.  The XLA scan (DSR_PALLAS_SCAN=0)
+    # keeps its adaptive state in HBM and OOMs at 1024 — its ceiling is
+    # 640.  (The round-3 real-speech NaN that kept the Pallas scan opt-in
+    # was root-caused to 0*inf arithmetic blends and fixed in round 4; see
+    # models/pipeline.py PALLAS_SCAN.)
     from distant_speech_recognition_tpu.models import pipeline as _plmod
 
-    default_b = "1024" if _plmod.PALLAS_SCAN else "640"
+    default_b = "1536" if _plmod.PALLAS_SCAN else "640"
     B = int(os.environ.get("BENCH_BATCH", default_b))  # utterance batch
     secs = float(os.environ.get("BENCH_SECS", "10.0"))  # per utterance
     T = int(fs * secs)
@@ -476,7 +477,21 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
     else:
         ana = jax.jit(lambda x: analysis_half_real_tm(x, h, fb, packed=True))
         syn = jax.jit(lambda Yp: synthesis_half_real_tm(Yp, g, fb))
-    if pallas_scan:
+    if pallas_scan and pallas_fb:
+        # production path: single-kernel analysis+scan — timed as ONE stage
+        from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+            analysis_gsc_rls_zelinski_pallas,
+        )
+
+        anscan = jax.jit(
+            lambda x: analysis_gsc_rls_zelinski_pallas(
+                x, h, fb, wqH, BmH, ta, cfg.rls,
+                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+            )
+        )
+        scan = None
+    elif pallas_scan:
+        anscan = None
         scan = jax.jit(
             lambda Yr: gsc_rls_zelinski_pallas(
                 Yr, wqH, BmH, ta, cfg.rls,
@@ -484,6 +499,7 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
             )
         )
     else:
+        anscan = None
         scan = jax.jit(
             lambda Yr: gsc_postfilter_fused(
                 Yr, None, jnp.asarray(wqH), jnp.asarray(BmH), jnp.asarray(ta),
@@ -523,12 +539,25 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
     # next stage's timing no longer needs them — holding Yr (3.3 GB) and Yp
     # alongside two in-flight analysis outputs exhausted HBM.
     times = {}
-    times["analysis"] = _time_fetch_synced(ana, (xd,), reduce)
-    Yr = jax.block_until_ready(ana(xd))
-    assert Yr.shape[0] == Tf, (Yr.shape, Tf)
-    times["gsc_rls_zelinski_scan"] = _time_fetch_synced(scan, (Yr,), reduce)
-    Yp = jax.block_until_ready(scan(Yr))
-    del Yr
+    if anscan is not None:
+        # the fused kernel replaces analysis+scan; the packed spectrum
+        # never exists in HBM, so there is no per-stage split to time
+        times["analysis_gsc_scan_fused"] = _time_fetch_synced(
+            anscan, (xd,), reduce)
+        Yp = jax.block_until_ready(anscan(xd))
+        est["analysis_gsc_scan_fused"] = {
+            "gb": est["analysis"]["gb"] - 4 * (Tf * B * C * M) / 1e9
+            + 4 * (Tf * B * M) / 1e9,
+            "gflop": est["analysis"]["gflop"]
+            + est["gsc_rls_zelinski_scan"]["gflop"],
+        }
+    else:
+        times["analysis"] = _time_fetch_synced(ana, (xd,), reduce)
+        Yr = jax.block_until_ready(ana(xd))
+        assert Yr.shape[0] == Tf, (Yr.shape, Tf)
+        times["gsc_rls_zelinski_scan"] = _time_fetch_synced(scan, (Yr,), reduce)
+        Yp = jax.block_until_ready(scan(Yr))
+        del Yr
     times["synthesis"] = _time_fetch_synced(syn, (Yp,), reduce)
     del Yp
 

@@ -72,8 +72,15 @@ def _cdiv(ar, ai, br, bi):
 
 
 def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
-                 pf_type: int, pf_min_frames: int):
-    """cfg: GSCRLSConfig (static python floats)."""
+                 pf_type: int, pf_min_frames: int, analysis=None):
+    """cfg: GSCRLSConfig (static python floats).
+
+    ``analysis``: None for the packed-spectrum input kernel, or a dict
+    ``{"m", "R", "D", "prec"}`` for the FUSED analysis+scan kernel — the
+    polyphase FIR + packed DFT of `ops.pallas_kernels`'s blocked analysis
+    body runs at tile start in VMEM, so the [Tf, B, C, M] packed spectrum
+    (3.3 GB at bench shapes — the flagship's dominant HBM traffic) never
+    exists in HBM."""
     pairs = [(i, j) for i in range(Bc) for j in range(Bc) if i < j]
     pidx = {p: n for n, p in enumerate(pairs)}
     cpairs = [(i, j) for i in range(C) for j in range(C) if i < j]
@@ -90,9 +97,8 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
     copt = int(cfg.constraint_option)
     M = 2 * Mh
 
-    def kernel(x_ref, wq_ref, bm_ref, ta_ref, out_ref,
-               war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s):
-        """Refs:
+    def kernel(*refs):
+        """Refs (packed mode):
         x_ref   [K, C, Bb, M]   packed input frames (f32; channel ahead of
                                 the batch rows so every read is a contiguous
                                 leading-dim slice, never sublane-strided)
@@ -105,11 +111,54 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
         war/wai [Bc, Bb, M], d [Bc, Bb, M], offr/offi [P, Bb, M],
         en [Bb, M] (full-width, see energy note below), ppr/ppi [Bb, M],
         pd [Bb, M]
+
+        Fused-analysis mode replaces x_ref with (a_ref, b_ref [K, C, Bb, D]
+        adjacent block tiles, hw_ref [m*R, D], A_ref [M, M]) — the
+        `_make_analysis_tm_blocked_kernel` window/FIR/DFT algebra verbatim
+        (laN == m*R - 1 alignment, delay-compensation type 2).
         """
         from jax.experimental import pallas as pl
 
+        if analysis is None:
+            (x_ref, wq_ref, bm_ref, ta_ref, out_ref,
+             war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s) = refs
+        else:
+            (a_ref, b_ref, hw_ref, A_ref, wq_ref, bm_ref, ta_ref, out_ref,
+             war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s) = refs
+
         tt = pl.program_id(1)
         Bb = out_ref.shape[1]
+
+        if analysis is None:
+            def get_P(k, c):
+                return x_ref[k, c]
+        else:
+            m_, R_, D_ = analysis["m"], analysis["R"], analysis["D"]
+            prec = analysis["prec"]
+            mR = m_ * R_
+            win = jnp.concatenate([a_ref[:], b_ref[: mR - 1]], axis=0)
+            P_all = []
+            for c in range(C):
+                acc = None
+                for j in range(R_):
+                    w = None
+                    for ktap in range(m_):
+                        off = (m_ - 1 - ktap) * R_ + j
+                        t_ = (hw_ref[j * m_ + ktap, :][None, None, :]
+                              * win[off : off + K, c])
+                        w = t_ if w is None else w + t_
+                    term = jax.lax.dot_general(
+                        w.reshape(K * Bb, D_),
+                        A_ref[j * D_ : (j + 1) * D_, :],
+                        (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = term if acc is None else acc + term
+                P_all.append(acc.reshape(K, Bb, M))
+
+            def get_P(k, c):
+                return P_all[c][k]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, M), 1)
         m0 = (lane[:, :Mh] == 0).astype(jnp.float32)  # [Bb, Mh] lane-0 mask
@@ -140,7 +189,7 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             # ---- aligned complex spectrum per channel ----
             Xre, Xim = [], []
             for c in range(C):
-                P = x_ref[k, c]  # [Bb, M]
+                P = get_P(k, c)  # [Bb, M]
                 U, V = P[:, :Mh], P[:, Mh:]
                 xre = jnp.concatenate([U, V * m0], axis=-1)
                 xim = jnp.concatenate([V * (1.0 - m0), jnp.zeros_like(V)], axis=-1)
@@ -428,6 +477,147 @@ def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
         ),
     )(Yp, wq_planes, bm_planes, ta_planes)
     return out[:Tf, :B, :]
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _call_fused_analysis(blocks_tm, hw, A, wq_planes, bm_planes, ta_planes_t,
+                         cfg, pf_alpha, pf_type, pf_min_frames, K, Bb,
+                         interpret):
+    """Fused analysis+scan pallas_call.  ``blocks_tm``: [n_rows, C, B, D]
+    zero-tail-padded D-sample blocks (n_rows >= (nT+1)*K), laN == m*R - 1
+    alignment (delay-compensation type 2)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops.pallas_kernels import _kernel_prec
+
+    wq_p, ta_p = wq_planes, ta_planes_t
+    n_rows, C, B, D = blocks_tm.shape
+    M = A.shape[0]
+    Mh = M // 2
+    mR = hw.shape[0]
+    R = M // D
+    m = mR // R
+    Bc = bm_planes.shape[1]
+    nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
+
+    nT = n_rows // K - 1
+    nB = -(-B // Bb)
+    if nB * Bb > B:
+        blocks_tm = jnp.pad(blocks_tm, ((0, 0), (0, 0), (0, nB * Bb - B), (0, 0)))
+
+    kernel = _make_kernel(
+        cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames,
+        analysis={"m": m, "R": R, "D": D, "prec": _kernel_prec()},
+    )
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, C, Bb, D), lambda b, t: (t, 0, b, 0)),
+            pl.BlockSpec((K, C, Bb, D), lambda b, t: (t + 1, 0, b, 0)),
+            pl.BlockSpec((mR, D), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, Bb, M), lambda b, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, Bb, M), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, M), f32),
+        scratch_shapes=[
+            pltpu.VMEM((Bc, Bb, M), f32),  # war
+            pltpu.VMEM((Bc, Bb, M), f32),  # wai
+            pltpu.VMEM((Bc, Bb, M), f32),  # d
+            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offr
+            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offi
+            pltpu.VMEM((Bb, M), f32),      # energy
+            pltpu.VMEM((Bb, M), f32),      # phi_pair re
+            pltpu.VMEM((Bb, M), f32),      # phi_pair im
+            pltpu.VMEM((Bb, M), f32),      # phi_diag
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(blocks_tm, blocks_tm, hw, A, wq_p, bm_planes, ta_p)
+    return out[:, :B, :]
+
+
+def analysis_gsc_rls_zelinski_pallas(
+    x: jax.Array,
+    h,
+    fb,
+    wqH,
+    BmH,
+    wq_manifold,
+    cfg,
+    pf_alpha: float = 0.6,
+    pf_type: int = 1,
+    pf_min_frames: int = 0,
+    frame_tile: int = 16,
+    batch_tile: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Analysis + GSC-RLS + Zelinski in ONE kernel over the raw signal.
+
+    ``x``: [B, C, T] float32 samples; ``h``: analysis prototype; ``fb``:
+    FilterbankParams with delay_compensation_type 2 (laN == m*R - 1 — the
+    block-aligned halo the fused window indexing relies on).  Remaining
+    args as `gsc_rls_zelinski_pallas`.  Returns packed [Tf, B, M], equal
+    to ``gsc_rls_zelinski_pallas(analysis_tm_fused(x, ...))`` — but the
+    packed spectrum never exists in HBM (3.3 GB of write+read saved at
+    bench shapes).
+    """
+    from ..ops import dft
+    from ..ops.filterbank import _pad_to_blocks
+
+    p = fb
+    D, M, m, R = p.D, p.M, p.m, p.R
+    mR = m * R
+    if frame_tile < mR - 1:
+        raise ValueError(f"frame_tile must be >= m*R - 1 = {mR - 1}")
+    B, C, T = x.shape
+    h = jnp.asarray(h, jnp.float32)
+    h_rev = h.reshape(m, M)[:, ::-1]
+    hw = jnp.stack(
+        [h_rev[k, j * D : (j + 1) * D] for j in range(R) for k in range(m)]
+    )
+    A = jnp.asarray(dft._analysis_matrix_packed(M))
+
+    x = _pad_to_blocks(x.astype(jnp.float32), D)
+    n_blocks = x.shape[-1] // D
+    n_frames = n_blocks - p.laN + p.analysis_delay
+    K = int(frame_tile)
+    nT = -(-n_frames // K)
+    # front-pad (m*R - 1 - laN) zero-history rows so frame f's window spans
+    # padded rows [f, f + m*R - 1] — tile t then reads block tiles t and
+    # t+1, the pipelinable two-tile scheme (zero tail supplies the
+    # reference's end-of-stream padding, modulated.cc:418-469 protocol)
+    front = mR - 1 - p.laN
+    need_rows = (nT + 1) * K
+    blocks = x.reshape(B, C, n_blocks, D)
+    blocks_tm = jnp.transpose(blocks, (2, 1, 0, 3))  # [n_blocks, C, B, D]
+    blocks_tm = jnp.pad(
+        blocks_tm,
+        ((front, max(need_rows - n_blocks - front, 0)), (0, 0), (0, 0), (0, 0)),
+    )
+
+    Bb = min(batch_tile, B)
+    wq = np.asarray(wqH)
+    bm = np.asarray(BmH)
+    ta = np.asarray(wq_manifold)
+
+    def tiled(w):
+        pl_ = _aligned_planes(w, M)
+        pl_ = np.broadcast_to(pl_[..., None, :], pl_.shape[:-1] + (Bb, M))
+        return jnp.asarray(np.ascontiguousarray(pl_))
+
+    out = _call_fused_analysis(
+        blocks_tm, hw, A, tiled(wq), tiled(bm), tiled(ta), cfg,
+        float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb, interpret,
+    )
+    return out[:n_frames]
 
 
 def _aligned_planes(w: np.ndarray, M: int) -> np.ndarray:

@@ -574,6 +574,19 @@ def build_pipeline(
             the packed real ``[Re(0..M/2) | Im(1..M/2-1)]`` lane layout —
             no ragged 2F padding, no complex split/concat in HBM.
             """
+            if pallas_scan and pallas_fb and not tm_chain:
+                # single-kernel analysis + GSC-RLS + Zelinski: the packed
+                # spectrum never exists in HBM (3.3 GB of write+read saved
+                # at bench shapes; 56k -> 81k audio-s/s/chip on v5e)
+                from .pallas_fused_scan import analysis_gsc_rls_zelinski_pallas
+
+                Yp = analysis_gsc_rls_zelinski_pallas(
+                    x, h, cfg.fb, wqH, BmH, wq_manifold, gcfg,
+                    cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                )
+                if pallas_fb:
+                    return synthesis_tm_fused(Yp, g, cfg.fb)
+                return synthesis_half_real_tm(Yp, g, cfg.fb)
             Yr = _analyze(x)  # [Tf, B, C, M]
             if tm_chain:
                 Yr = _chain(Yr, play)

@@ -242,3 +242,47 @@ def test_pallas_rls_near_silent_bins_finite_and_matches(rng):
     )
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("T", [5000, 4096])
+def test_fused_analysis_scan_matches_split(rng, protos, T):
+    """The single-kernel analysis+GSC-RLS+Zelinski == the split pipeline
+    (analysis_tm_fused then gsc_rls_zelinski_pallas), including ragged
+    frame counts."""
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        GSCRLSConfig,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        analysis_gsc_rls_zelinski_pallas,
+        gsc_rls_zelinski_pallas,
+    )
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+    from distant_speech_recognition_tpu.utils import geometry
+
+    h, _ = protos
+    M, C, B = 256, 4, 3
+    p = FilterbankParams(M=M, m=4, r=1, delay_compensation_type=2)
+    x = (rng.standard_normal((B, C, T)) * 1500).astype(np.float32)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    wqH, BmH = gsc_weights(M, 16000.0, delays, 1)
+    wqH, BmH = np.asarray(wqH), np.asarray(BmH)
+    vs = np.asarray(array_manifold(M, 16000.0, delays))
+    cfg = GSCRLSConfig(min_frames=4)
+
+    from distant_speech_recognition_tpu.ops.pallas_kernels import analysis_tm_fused
+
+    Yr = analysis_tm_fused(jnp.asarray(x), jnp.asarray(h), p, packed=True,
+                           interpret=True)
+    want = np.asarray(gsc_rls_zelinski_pallas(
+        Yr, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        frame_tile=16, batch_tile=2, interpret=True,
+    ))
+    got = np.asarray(analysis_gsc_rls_zelinski_pallas(
+        jnp.asarray(x), h, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        frame_tile=16, batch_tile=2, interpret=True,
+    ))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
