@@ -188,6 +188,10 @@ def main():
     for y in ys:
         float(reduce(y))  # in-order execution: each fetch waits for its run
     dt = (time.perf_counter() - t0) / iters
+    # free the flagship working set before the extra sections: at the
+    # B=1536 default the input alone is 3.9 GB and the sharded/config4/5
+    # compiles OOM if it lingers on device
+    del ys, fn, xd
 
     audio_seconds = B * secs
     value = audio_seconds / dt
@@ -223,7 +227,10 @@ def main():
         try:
             from jax.sharding import Mesh
 
-            from distant_speech_recognition_tpu.parallel import tm_snapshot_sharding
+            from distant_speech_recognition_tpu.parallel import (
+                snapshot_sharding,
+                tm_snapshot_sharding,
+            )
 
             Bs = int(os.environ.get("BENCH_SHARDED_BATCH", "512"))
             mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("batch", "freq"))
@@ -237,12 +244,36 @@ def main():
             for y in ys:
                 float(reduce(y))
             dts = (time.perf_counter() - t0) / 3
-            del ys, fns, xs_
+            del ys, fns
             out["sharded_layout"] = {
-                "value": round(Bs * secs / dts / n_chips, 2),
+                "freq_sharded": round(Bs * secs / dts / n_chips, 2),
                 "batch": Bs,
-                "note": "freq-sharded TM branch (complex snapshots, no Pallas) on 1 chip",
+                "note": "model-parallel branch (complex snapshots, no "
+                        "Pallas) on 1 chip; the data-parallel deployment "
+                        "below pays no layout cost",
             }
+            # batch-ONLY sharding: shard_map around the full packed
+            # pipeline — the production data-parallel mode, measured on
+            # the same 1-chip mesh (per-chip speed == the packed path)
+            import jax.sharding as jshard
+
+            fnb = build_pipeline(
+                cfg, mpos, delays, h, g,
+                bin_sharding=snapshot_sharding(mesh1, batched=False),
+            )
+            with jax.set_mesh(mesh1):
+                xsb = jax.device_put(
+                    x[:Bs], jshard.NamedSharding(
+                        mesh1, jshard.PartitionSpec("batch")))
+                float(reduce(fnb(xsb)))
+                t0 = time.perf_counter()
+                ys = [fnb(xsb) for _ in range(3)]
+                for y in ys:
+                    float(reduce(y))
+                dtb = (time.perf_counter() - t0) / 3
+            del ys, fnb, xsb, xs_
+            out["sharded_layout"]["batch_sharded"] = round(
+                Bs * secs / dtb / n_chips, 2)
         except Exception as e:  # pragma: no cover - depends on device state
             out["sharded_layout"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
@@ -256,7 +287,6 @@ def main():
         out["config4"] = {"skipped": "time budget"}
     elif os.environ.get("BENCH_CONFIG4", "1") != "0":
         try:
-            del fn
             B4 = int(os.environ.get("BENCH_CONFIG4_BATCH", "256"))
             cfg4 = dataclasses.replace(cfg, aec="nlms", wpe=True, wpe_iterations=2)
             fn4 = build_pipeline(cfg4, mpos, delays, h, g)

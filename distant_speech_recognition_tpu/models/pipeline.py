@@ -199,6 +199,27 @@ def _tm_shardings(bin_sharding):
     return None
 
 
+def _batch_only_mesh(bin_sharding):
+    """The mesh, if the given sharding parallelizes over ``batch`` only
+    (no ``freq`` axis, or a size-1 one) — the zero-penalty data-parallel
+    deployment; ``None`` otherwise."""
+    from jax.sharding import NamedSharding
+
+    if not isinstance(bin_sharding, NamedSharding):
+        return None
+    mesh = bin_sharding.mesh
+    shape = dict(mesh.shape)
+    if "batch" not in shape or shape.get("batch", 1) < 1:
+        return None
+    if shape.get("freq", 1) != 1:
+        return None
+    spec_axes = {a for s in tuple(bin_sharding.spec) if s
+                 for a in ((s,) if isinstance(s, str) else tuple(s))}
+    if spec_axes - {"batch"}:
+        return None
+    return mesh
+
+
 def _beamform_one(cfg: PipelineConfig, X, energy, wqH, BmH):
     """Beamform one utterance's snapshots X [T, F, C] -> [T, F]."""
     if cfg.beamformer in ("ds", "sd_mvdr", "lcmv"):
@@ -392,6 +413,23 @@ def build_pipeline(
     # neither the filterbank matmul layout nor the kernel's lane masks are
     # shard-width-generic today, so this is future work rather than a
     # sharding flag.
+    # Batch-ONLY sharding: each chip runs the full packed+Pallas fast path
+    # on its own batch shard under shard_map — zero collectives, zero
+    # layout penalty (pure data parallelism, the production scaling mode
+    # for throughput workloads).  The freq-sharded branch below remains
+    # the model-parallel option (small batches / latency), with its layout
+    # cost recorded per round in the bench artifact.
+    batch_mesh = _batch_only_mesh(bin_sharding) if bin_sharding is not None else None
+    if batch_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        inner = build_pipeline(cfg, mpos, delays, h, g, bin_sharding=None)
+        specs = (P("batch"), P("batch")) if cfg.aec != "none" else P("batch")
+        return jax.jit(jax.shard_map(
+            inner, mesh=batch_mesh, in_specs=specs, out_specs=P("batch"),
+            check_vma=False,
+        ))
+
     tm_shardings = None
     if time_major and bin_sharding is not None:
         tm_shardings = _tm_shardings(bin_sharding)

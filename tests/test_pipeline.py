@@ -629,3 +629,36 @@ def test_time_major_chain_matches_vmap_path(protos, array_setup, rng):
         np.testing.assert_allclose(
             y_tm, y_vm, rtol=0, atol=2e-3 * np.abs(y_vm).max(), err_msg=f"{aec},{wpe}"
         )
+
+
+def test_batch_only_sharded_runs_packed_path(protos, array_setup, rng):
+    """Batch-ONLY sharding (freq axis size 1) wraps the full packed fast
+    path in shard_map — zero-penalty data parallelism: each device runs
+    the unsharded pipeline on its batch shard, and the result equals the
+    unsharded run exactly (same kernels, same per-shard math)."""
+    from distant_speech_recognition_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        snapshot_sharding,
+    )
+
+    h, g = protos
+    mpos, delays = array_setup
+    cfg = PipelineConfig(
+        fb=FilterbankParams(M=M, m=m_, r=r_),
+        beamformer="gsc_rls",
+        postfilter="zelinski",
+        pf_min_frames=2,
+    )
+    x = (rng.standard_normal((8, C, 2000)) * 0.1).astype(np.float32)
+    y_ref = np.asarray(build_pipeline(cfg, mpos, delays, h, g)(x))
+
+    mesh = make_mesh(batch=8, freq=1)
+    fn = build_pipeline(
+        cfg, mpos, delays, h, g,
+        bin_sharding=snapshot_sharding(mesh, batched=False),
+    )
+    with jax.set_mesh(mesh):
+        xs = shard_batch(mesh, x)
+        y = np.asarray(fn(xs))
+    np.testing.assert_allclose(y, y_ref, atol=2e-5)
