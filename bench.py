@@ -591,6 +591,28 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
     times["synthesis"] = _time_fetch_synced(syn, (Yp,), reduce)
     del Yp
 
+    if anscan is not None and fb.D % 128 == 0:
+        # the ACTUAL production path: analysis + scan + synthesis in ONE
+        # kernel (neither spectrum ever in HBM) — timed whole, with the
+        # split stages above kept for the roofline attribution
+        from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+            analysis_gsc_synthesis_pallas,
+        )
+
+        mono = jax.jit(
+            lambda x: analysis_gsc_synthesis_pallas(
+                x, h, g, fb, wqH, BmH, ta, cfg.rls,
+                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+            )
+        )
+        times["mono_kernel_end_to_end"] = _time_fetch_synced(mono, (xd,), reduce)
+        est["mono_kernel_end_to_end"] = {
+            "gb": 4 * (B * C * T + B * T) / 1e9,  # samples in + samples out
+            "gflop": est["analysis"]["gflop"]
+            + est["gsc_rls_zelinski_scan"]["gflop"]
+            + est["synthesis"]["gflop"],
+        }
+
     out = {"pallas_fb": bool(pallas_fb), "pallas_scan": bool(pallas_scan)}
     for name, dt in times.items():
         gb, gf = est[name]["gb"], est[name]["gflop"]

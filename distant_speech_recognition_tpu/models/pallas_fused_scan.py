@@ -40,6 +40,8 @@ import numpy as np
 SPECTRAL_FLOOR = 1.0e-4  # postfilter.cc SPECTRAL_FLOOR
 
 __all__ = [
+    "analysis_gsc_rls_zelinski_pallas",
+    "analysis_gsc_synthesis_pallas",
     "gsc_rls_zelinski_pallas",
     "zelinski_apply_pallas",
     "pallas_scan_supported",
@@ -72,7 +74,8 @@ def _cdiv(ar, ai, br, bi):
 
 
 def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
-                 pf_type: int, pf_min_frames: int, analysis=None):
+                 pf_type: int, pf_min_frames: int, analysis=None,
+                 synthesis=None):
     """cfg: GSCRLSConfig (static python floats).
 
     ``analysis``: None for the packed-spectrum input kernel, or a dict
@@ -80,7 +83,19 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
     polyphase FIR + packed DFT of `ops.pallas_kernels`'s blocked analysis
     body runs at tile start in VMEM, so the [Tf, B, C, M] packed spectrum
     (3.3 GB at bench shapes — the flagship's dominant HBM traffic) never
-    exists in HBM."""
+    exists in HBM.
+
+    ``synthesis``: None to emit packed spectrum frames, or a dict
+    ``{"pd"}`` (requires ``analysis``) to ALSO run the synthesis bank's
+    DFT matmul + polyphase FIR + overlap-add in the same kernel
+    (`ops.pallas_kernels._make_synthesis_tm_kernel` algebra): the scan's
+    K output frames are collected in VMEM, multiplied by the packed
+    synthesis matrix, and overlap-added against a ring of the previous
+    tile's last ``m*R - 1`` DFT frames — so the beamformed spectrum never
+    exists in HBM either and ``out_ref`` holds time samples [K, Bb, D].
+    Out row ``t*K + l`` is output frame ``t*K + l - pd`` on the synthesis
+    stream (``pd`` = FilterbankParams.synthesis_delay); the wrapper crops
+    rows [pd, pd + T_out)."""
     pairs = [(i, j) for i in range(Bc) for j in range(Bc) if i < j]
     pidx = {p: n for n, p in enumerate(pairs)}
     cpairs = [(i, j) for i in range(C) for j in range(C) if i < j]
@@ -122,9 +137,14 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
         if analysis is None:
             (x_ref, wq_ref, bm_ref, ta_ref, out_ref,
              war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s) = refs
-        else:
+        elif synthesis is None:
             (a_ref, b_ref, hw_ref, A_ref, wq_ref, bm_ref, ta_ref, out_ref,
              war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s) = refs
+        else:
+            (a_ref, b_ref, hw_ref, A_ref, S_ref, gf_ref,
+             wq_ref, bm_ref, ta_ref, out_ref,
+             war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s,
+             ys_s, cring_s) = refs
 
         tt = pl.program_id(1)
         Bb = out_ref.shape[1]
@@ -176,6 +196,8 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             ppr_s[...] = jnp.zeros(ppr_s.shape, jnp.float32)
             ppi_s[...] = jnp.zeros(ppi_s.shape, jnp.float32)
             pd_s[...] = jnp.zeros(pd_s.shape, jnp.float32)
+            if synthesis is not None:
+                cring_s[...] = jnp.zeros(cring_s.shape, jnp.float32)
 
         def weight_planes(ref, c):
             # [Bb, M]: pre-tiled host-side (see gsc_rls_zelinski_pallas) so
@@ -421,10 +443,51 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             Yi_o = jnp.where(apply_pf, Yi * W, Yi)
 
             # ---- repack [Re(0..Mh) | Im(1..Mh-1)] ----
-            out_ref[k, :, :] = jnp.concatenate(
+            packed = jnp.concatenate(
                 [Yr_o[:, :Mh], Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
                 axis=-1,
             )
+            if synthesis is None:
+                out_ref[k, :, :] = packed
+            else:
+                ys_s[k, :, :] = packed
+
+        if synthesis is not None:
+            # ---- in-kernel synthesis bank: DFT matmul + polyphase FIR +
+            # overlap-add (_make_synthesis_tm_kernel algebra).  The halo is
+            # the RING of the previous tile's last m*R-1 DFT frames: window
+            # slot l holds c-stream frame t*K + l - (mR-1), so the out tile
+            # [t*K, t*K+K) on the SHIFTED output stream (row u = synthesis
+            # out frame u - pd) sees exactly the c frames it needs.
+            m_, R_, D_ = analysis["m"], analysis["R"], analysis["D"]
+            prec = analysis["prec"]
+            mR = m_ * R_
+            pdel = synthesis["pd"]
+            c_tile = jax.lax.dot_general(
+                ys_s[...].reshape(K * Bb, M),
+                S_ref[:],
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            ).reshape(K, Bb, M)
+            window = jnp.concatenate([cring_s[...], c_tile], axis=0)
+            nS = K + R_ - 1
+            s = None
+            for kk in range(m_):
+                term = (gf_ref[kk, :][None, None, :]
+                        * window[(m_ - 1 - kk) * R_ : (m_ - 1 - kk) * R_ + nS])
+                s = term if s is None else s + term
+            # zero rows with negative global OLA index (empty history; only
+            # the first tile has any): global s index = (t*K - pd) + u - (R-1)
+            u = jax.lax.broadcasted_iota(jnp.int32, (nS, 1, 1), 0)
+            s = jnp.where(tt * K - pdel + u - (R_ - 1) < 0, 0.0, s)
+            out = None
+            for j in range(R_):
+                seg = s[R_ - 1 - j : R_ - 1 - j + K, :,
+                        (R_ - 1 - j) * D_ : (R_ - j) * D_]
+                out = seg if out is None else out + seg
+            out_ref[:] = out
+            cring_s[...] = window[K : K + mR - 1]
 
     return kernel
 
@@ -544,6 +607,75 @@ def _call_fused_analysis(blocks_tm, hw, A, wq_planes, bm_planes, ta_planes_t,
     return out[:, :B, :]
 
 
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+def _call_fused_mono(blocks_tm, hw, A, S, gf, wq_planes, bm_planes,
+                     ta_planes_t, cfg, pf_alpha, pf_type, pf_min_frames, K,
+                     Bb, pd, interpret):
+    """Analysis + GSC-RLS/Zelinski scan + synthesis in ONE pallas_call.
+    Output: [nT*K, B, D] time-sample rows on the SHIFTED stream (row u =
+    synthesis output frame u - pd); the wrapper crops [pd, pd + T_out)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops.pallas_kernels import _kernel_prec
+
+    n_rows, C, B, D = blocks_tm.shape
+    M = A.shape[0]
+    Mh = M // 2
+    mR = hw.shape[0]
+    R = M // D
+    m = mR // R
+    Bc = bm_planes.shape[1]
+    nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
+
+    nT = n_rows // K - 1
+    nB = -(-B // Bb)
+    if nB * Bb > B:
+        blocks_tm = jnp.pad(blocks_tm, ((0, 0), (0, 0), (0, nB * Bb - B), (0, 0)))
+
+    kernel = _make_kernel(
+        cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames,
+        analysis={"m": m, "R": R, "D": D, "prec": _kernel_prec()},
+        synthesis={"pd": pd},
+    )
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, C, Bb, D), lambda b, t: (t, 0, b, 0)),
+            pl.BlockSpec((K, C, Bb, D), lambda b, t: (t + 1, 0, b, 0)),
+            pl.BlockSpec((mR, D), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((m, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, Bb, M), lambda b, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, Bb, D), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, D), f32),
+        scratch_shapes=[
+            pltpu.VMEM((Bc, Bb, M), f32),  # war
+            pltpu.VMEM((Bc, Bb, M), f32),  # wai
+            pltpu.VMEM((Bc, Bb, M), f32),  # d
+            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offr
+            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offi
+            pltpu.VMEM((Bb, M), f32),      # energy
+            pltpu.VMEM((Bb, M), f32),      # phi_pair re
+            pltpu.VMEM((Bb, M), f32),      # phi_pair im
+            pltpu.VMEM((Bb, M), f32),      # phi_diag
+            pltpu.VMEM((K, Bb, M), f32),   # ys: scan output frames (tile)
+            pltpu.VMEM((mR - 1, Bb, M), f32),  # cring: OLA halo ring
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(blocks_tm, blocks_tm, hw, A, S, gf, wq_planes, bm_planes, ta_planes_t)
+    return out[:, :B, :]
+
+
 def analysis_gsc_rls_zelinski_pallas(
     x: jax.Array,
     h,
@@ -569,6 +701,21 @@ def analysis_gsc_rls_zelinski_pallas(
     packed spectrum never exists in HBM (3.3 GB of write+read saved at
     bench shapes).
     """
+    blocks_tm, hw, A, wq_t, bm_t, ta_t, K, Bb, n_frames = _fused_prep(
+        x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile, interpret
+    )
+    out = _call_fused_analysis(
+        blocks_tm, hw, A, wq_t, bm_t, ta_t, cfg,
+        float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb, interpret,
+    )
+    return out[:n_frames]
+
+
+def _fused_prep(x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile,
+                interpret=False):
+    """Shared input prep for the fused analysis+scan kernels: zero-history
+    front pad to the m*R-1 window alignment, time-major [rows, C, B, D]
+    block layout, packed analysis DFT matrix, Bb-tiled weight planes."""
     from ..ops import dft
     from ..ops.filterbank import _pad_to_blocks
 
@@ -603,7 +750,7 @@ def analysis_gsc_rls_zelinski_pallas(
         ((front, max(need_rows - n_blocks - front, 0)), (0, 0), (0, 0), (0, 0)),
     )
 
-    Bb = min(batch_tile, B)
+    Bb = _safe_bb(batch_tile, B, interpret)
     wq = np.asarray(wqH)
     bm = np.asarray(BmH)
     ta = np.asarray(wq_manifold)
@@ -613,11 +760,76 @@ def analysis_gsc_rls_zelinski_pallas(
         pl_ = np.broadcast_to(pl_[..., None, :], pl_.shape[:-1] + (Bb, M))
         return jnp.asarray(np.ascontiguousarray(pl_))
 
-    out = _call_fused_analysis(
-        blocks_tm, hw, A, tiled(wq), tiled(bm), tiled(ta), cfg,
-        float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb, interpret,
+    return (blocks_tm, hw, A, tiled(wq), tiled(bm), tiled(ta), K, Bb,
+            n_frames)
+
+
+def _safe_bb(batch_tile: int, B: int, interpret: bool) -> int:
+    """Batch tile: never below one full (8, 128) vreg sublane group on
+    hardware — Mosaic's concat/vreg-slice paths fault on sub-8 sublane
+    tiles ("result/input offset mismatch on non-concat dimension" at
+    Bb=1, reproduced on v5e); the pallas_call wrappers all pad the batch
+    to nB*Bb and trim, so a padded tile is just wasted rows for B < 8."""
+    bb = min(int(batch_tile), B)
+    return bb if interpret else max(bb, 8)
+
+
+def analysis_gsc_synthesis_pallas(
+    x: jax.Array,
+    h,
+    g,
+    fb,
+    wqH,
+    BmH,
+    wq_manifold,
+    cfg,
+    pf_alpha: float = 0.6,
+    pf_type: int = 1,
+    pf_min_frames: int = 0,
+    frame_tile: int = 16,
+    batch_tile: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """The FULL flagship pipeline in ONE kernel: raw samples -> analysis
+    bank -> GSC-RLS + Zelinski adaptive scan -> synthesis bank -> raw
+    samples, with neither the input spectrum NOR the beamformed spectrum
+    ever touching HBM.  Equal to
+    ``synthesis_half_real_tm(analysis_gsc_rls_zelinski_pallas(x, ...), g,
+    fb)`` (same packed synthesis matrix / tap order / OLA-history-zeroing
+    as `ops.pallas_kernels.synthesis_tm_fused`).
+
+    ``x``: [B, C, T] float32; returns [B, T_out*D] float32 samples with
+    ``T_out = n_frames - fb.synthesis_delay``.
+    """
+    from ..ops import dft
+
+    p = fb
+    m, R, M, D = p.m, p.R, p.M, p.D
+    if M > dft.MATMUL_MAX_M:
+        raise ValueError("fused synthesis requires the DFT-matmul regime")
+    if D % 128 != 0 and not interpret:
+        raise ValueError("fused synthesis requires D % 128 == 0")
+    blocks_tm, hw, A, wq_t, bm_t, ta_t, K, Bb, n_frames = _fused_prep(
+        x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile, interpret
     )
-    return out[:n_frames]
+    pd = p.synthesis_delay
+    T_out = n_frames - pd
+    if T_out <= 0:
+        raise ValueError(f"need more than {pd} subband frames, got {n_frames}")
+
+    perm = list(dft.segment_reversal_perm(M, R))
+    S = jnp.asarray(np.asarray(dft._synthesis_half_matrix_packed(M))[:, perm])
+    gf = np.asarray(g, np.float32).reshape(m, M)[:, ::-1][:, perm]
+    gf = jnp.asarray(gf)
+
+    out = _call_fused_mono(
+        blocks_tm, hw, A, S, gf, wq_t, bm_t, ta_t, cfg,
+        float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb, int(pd),
+        interpret,
+    )  # [nT*K, B, D] shifted rows
+    y = out[pd : pd + T_out]  # [T_out, B, D]
+    B = x.shape[0]
+    return jnp.transpose(y, (1, 0, 2)).reshape(B, T_out * D)
 
 
 def _aligned_planes(w: np.ndarray, M: int) -> np.ndarray:
@@ -668,7 +880,7 @@ def gsc_rls_zelinski_pallas(
     wq = np.asarray(wqH)
     bm = np.moveaxis(np.asarray(BmH), 0, 0)  # [F, Bc, C]
     ta = np.asarray(wq_manifold)
-    Bb = min(batch_tile, B)
+    Bb = _safe_bb(batch_tile, B, interpret)
     # weight planes pre-tiled to the batch block: [2, ..., Bb, M].  Keeping
     # them single-row and broadcasting inside the kernel leaves
     # sublane-REPLICATED operands in the vector program, and the Mosaic
@@ -837,7 +1049,7 @@ def zelinski_apply_pallas(
     """
     Tf, B, C, M = Yp.shape
     Yp = jnp.moveaxis(Yp, 2, 1)  # [Tf, C, B, M]
-    Bb = min(batch_tile, B)
+    Bb = _safe_bb(batch_tile, B, interpret)
 
     def tiled(w):
         p = _aligned_planes(np.asarray(w), M)

@@ -613,9 +613,23 @@ def build_pipeline(
             no ragged 2F padding, no complex split/concat in HBM.
             """
             if pallas_scan and pallas_fb and not tm_chain:
+                from ..ops import dft
+
+                if M <= dft.MATMUL_MAX_M and cfg.fb.D % 128 == 0:
+                    # ONE kernel end to end: analysis + GSC-RLS + Zelinski
+                    # + synthesis — neither the input spectrum nor the
+                    # beamformed spectrum ever exists in HBM (the two-kernel
+                    # split still wrote+read ~1.7 GB of beamformed frames at
+                    # bench shapes)
+                    from .pallas_fused_scan import analysis_gsc_synthesis_pallas
+
+                    return analysis_gsc_synthesis_pallas(
+                        x, h, g, cfg.fb, wqH, BmH, wq_manifold, gcfg,
+                        cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                    )
                 # single-kernel analysis + GSC-RLS + Zelinski: the packed
-                # spectrum never exists in HBM (3.3 GB of write+read saved
-                # at bench shapes; 56k -> 81k audio-s/s/chip on v5e)
+                # input spectrum never exists in HBM (3.3 GB of write+read
+                # saved at bench shapes; 56k -> 81k audio-s/s/chip on v5e)
                 from .pallas_fused_scan import analysis_gsc_rls_zelinski_pallas
 
                 Yp = analysis_gsc_rls_zelinski_pallas(

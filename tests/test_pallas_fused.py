@@ -286,3 +286,46 @@ def test_fused_analysis_scan_matches_split(rng, protos, T):
     ))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("T", [5000, 4096])
+def test_fused_mono_kernel_matches_split(rng, protos, T):
+    """The FULL single-kernel pipeline (analysis + GSC-RLS + Zelinski +
+    synthesis) == spectrum kernel followed by synthesis_half_real_tm."""
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        GSCRLSConfig,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        analysis_gsc_rls_zelinski_pallas,
+        analysis_gsc_synthesis_pallas,
+    )
+    from distant_speech_recognition_tpu.ops.filterbank import (
+        FilterbankParams,
+        synthesis_half_real_tm,
+    )
+    from distant_speech_recognition_tpu.utils import geometry
+
+    h, g = protos
+    M, C, B = 256, 4, 3
+    p = FilterbankParams(M=M, m=4, r=1, delay_compensation_type=2)
+    x = (rng.standard_normal((B, C, T)) * 1500).astype(np.float32)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    wqH, BmH = gsc_weights(M, 16000.0, delays, 1)
+    wqH, BmH = np.asarray(wqH), np.asarray(BmH)
+    vs = np.asarray(array_manifold(M, 16000.0, delays))
+    cfg = GSCRLSConfig(min_frames=4)
+
+    Yp = analysis_gsc_rls_zelinski_pallas(
+        jnp.asarray(x), h, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        frame_tile=16, batch_tile=2, interpret=True,
+    )
+    want = np.asarray(synthesis_half_real_tm(Yp, jnp.asarray(g), p))
+    got = np.asarray(analysis_gsc_synthesis_pallas(
+        jnp.asarray(x), h, g, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        frame_tile=16, batch_tile=2, interpret=True,
+    ))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
