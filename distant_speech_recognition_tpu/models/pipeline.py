@@ -215,6 +215,11 @@ def _batch_only_mesh(bin_sharding):
         return None
     spec_axes = {a for s in tuple(bin_sharding.spec) if s
                  for a in ((s,) if isinstance(s, str) else tuple(s))}
+    # a size-1 mesh axis in the spec splits nothing — without this the
+    # standard snapshot_sharding(mesh, ...) spec (which always names
+    # "freq") silently routed batch-only meshes down the freq-sharded
+    # complex-layout branch
+    spec_axes = {a for a in spec_axes if shape.get(a, 1) > 1}
     if spec_axes - {"batch"}:
         return None
     return mesh
@@ -408,11 +413,18 @@ def build_pipeline(
     # packed-PER-SHARD layout: each freq shard carrying its own
     # [Re(bins) | Im(bins)] lane pair so the Pallas kernels run shard-
     # locally.  That requires (a) shard-local analysis emitting per-shard
-    # packed lanes (a different DFT matrix slice per shard — shard_map over
-    # the bin-partitioned DFT), and (b) a shard-width-templated scan kernel;
-    # neither the filterbank matmul layout nor the kernel's lane masks are
-    # shard-width-generic today, so this is future work rather than a
-    # sharding flag.
+    # packed lanes (a sliced-column DFT matrix per shard — shard_map over
+    # the bin-partitioned DFT), and (b) a shard-width-templated scan kernel.
+    # LANE-GRANULARITY BOUND (why it is NOT a win at the flagship M=256):
+    # the kernel's Re|Im halves must each be a whole number of 128-lane
+    # vreg groups (Mosaic slices/concats fault off-boundary), so the
+    # smallest per-shard block is 2x128 = 256 lanes — exactly the full
+    # M=256 problem.  A per-shard kernel at M=256 would run the SAME
+    # vector width per chip as the unsharded kernel (zero compute saving);
+    # packed-per-shard only starts paying at M >= 512 (2 shards of 256
+    # lanes) and scales as M/256 shards.  For the flagship, the optimal
+    # mesh is therefore batch-only (below: zero-penalty, implemented);
+    # the M>=512 shard-local kernel is future work.
     # Batch-ONLY sharding: each chip runs the full packed+Pallas fast path
     # on its own batch shard under shard_map — zero collectives, zero
     # layout penalty (pure data parallelism, the production scaling mode
