@@ -234,9 +234,21 @@ def main():
 
             Bs = int(os.environ.get("BENCH_SHARDED_BATCH", "512"))
             mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("batch", "freq"))
-            fns = build_pipeline(
-                cfg, mpos, delays, h, g, bin_sharding=tm_snapshot_sharding(mesh1)
-            )
+            # Force the model-parallel (complex-snapshot) branch for the
+            # layout-cost row: on a freq=1 mesh build_pipeline correctly
+            # routes to the zero-penalty batch-only mode, which is the
+            # production behavior but not what this row records.
+            import distant_speech_recognition_tpu.models.pipeline as _plm
+
+            _saved_bom = _plm._batch_only_mesh
+            _plm._batch_only_mesh = lambda s: None
+            try:
+                fns = build_pipeline(
+                    cfg, mpos, delays, h, g,
+                    bin_sharding=tm_snapshot_sharding(mesh1)
+                )
+            finally:
+                _plm._batch_only_mesh = _saved_bom
             xs_ = jax.device_put(x[:Bs])
             float(reduce(fns(xs_)))  # compile + warm
             t0 = time.perf_counter()
