@@ -158,6 +158,13 @@ def test_tm_pipeline_sharding_derived_from_snapshot_spec(protos, array_setup, rn
 
 
 def test_graft_entry_contract():
+    """Driver contract, exercised the way the driver does: in a FRESH
+    process.  Running the M=256 multi-mesh dryrun inside the long-lived
+    suite process flaked with an XLA-CPU compiler segfault under the
+    suite's accumulated heap state (observed at ~75% through tests/ on a
+    compile that passes standalone); a subprocess both isolates the crash
+    domain and matches the actual deployment."""
+    import subprocess
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -166,7 +173,20 @@ def test_graft_entry_contract():
     fn, args = ge.entry()
     y = fn(*args)
     assert np.isfinite(np.asarray(y)).all()
-    ge.dryrun_multichip(8)
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PYTHONPATH": "/root/repo",
+    })
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8); print('OK')"],
+        env=env, cwd="/root/repo", capture_output=True, text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, (r.returncode, r.stdout[-500:], r.stderr[-2000:])
 
 
 def test_reference_json_configs_drive_tools(tmp_path):
