@@ -22,6 +22,19 @@ C = 4
 FS = 16000.0
 
 
+@pytest.fixture(autouse=True)
+def _fresh_compile_caches():
+    """This module's tests compile the biggest programs in the suite
+    (sharded M=256 pipelines, SRP steered sweeps).  Run ~75% into the
+    full suite, those compiles flaked with XLA-CPU compiler segfaults
+    under the process's accumulated executable-cache heap (two different
+    tests hit it on consecutive full-suite runs; every one passes in a
+    fresh process).  Dropping the caches before each test keeps the
+    compiler's heap small at the cost of a little recompilation."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def protos():
     return design_nyquist_pair(M, m_, r_)
