@@ -41,25 +41,6 @@ __all__ = [
 ]
 
 
-def _gj_solve_lanes(R: jax.Array, r: jax.Array) -> jax.Array:
-    """`_gj_solve` with the system dims on the SECOND-minor axes and the
-    batch (bin) axis minor: ``R [..., n, n, L]``, ``r [..., n, L]`` ->
-    ``[..., n, L]``.
-
-    On TPU the elimination is pure elementwise work, so lane utilization is
-    set by the minor dim: the [..., n, n+1] layout runs 21-lane ops (16% of
-    a 128-lane vreg) while the bin-minor layout runs L-lane ops (L = padded
-    bin count, 50%+) — measured ~3x faster at the WPE config-4 shape.
-    """
-    n = R.shape[-2]
-    A = jnp.concatenate([R, r[..., None, :]], axis=-2)  # [..., n, n+1, L]
-    for k in range(n):
-        piv = A[..., k : k + 1, :, :] / A[..., k : k + 1, k : k + 1, :]
-        A = A - A[..., :, k : k + 1, :] * piv
-        A = A.at[..., k, :, :].set(piv[..., 0, :, :])
-    return A[..., :, n, :]
-
-
 def _gj_solve(R: jax.Array, r: jax.Array) -> jax.Array:
     """Batched HPD solve ``R x = r`` by unrolled Gauss-Jordan elimination.
 

@@ -676,6 +676,14 @@ def _call_fused_mono(blocks_tm, hw, A, S, gf, wq_planes, bm_planes,
     return out[:, :B, :]
 
 
+def fused_frame_tile(fb) -> int:
+    """Smallest frame tile the fused analysis kernels accept for ``fb``:
+    the tile must cover the ``m*R - 1``-row window halo (`_fused_prep`
+    precondition), rounded up to a sublane-friendly multiple of 8."""
+    need = fb.m * fb.R - 1
+    return -(-need // 8) * 8
+
+
 def analysis_gsc_rls_zelinski_pallas(
     x: jax.Array,
     h,

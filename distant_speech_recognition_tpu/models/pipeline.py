@@ -627,6 +627,13 @@ def build_pipeline(
             if pallas_scan and pallas_fb and not tm_chain:
                 from ..ops import dft
 
+                from .pallas_fused_scan import fused_frame_tile
+
+                # frame_tile must cover the m*R-1 analysis window halo
+                # (pallas_fused_scan._fused_prep precondition); 16 is the
+                # measured sweet spot when it fits, wider prototypes
+                # (e.g. M=1024, r=3 -> m*R-1 = 31) round up to it
+                ft = max(16, fused_frame_tile(cfg.fb))
                 if M <= dft.MATMUL_MAX_M and cfg.fb.D % 128 == 0:
                     # ONE kernel end to end: analysis + GSC-RLS + Zelinski
                     # + synthesis — neither the input spectrum nor the
@@ -638,6 +645,7 @@ def build_pipeline(
                     return analysis_gsc_synthesis_pallas(
                         x, h, g, cfg.fb, wqH, BmH, wq_manifold, gcfg,
                         cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                        frame_tile=ft,
                     )
                 # single-kernel analysis + GSC-RLS + Zelinski: the packed
                 # input spectrum never exists in HBM (3.3 GB of write+read
@@ -647,10 +655,9 @@ def build_pipeline(
                 Yp = analysis_gsc_rls_zelinski_pallas(
                     x, h, cfg.fb, wqH, BmH, wq_manifold, gcfg,
                     cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                    frame_tile=ft,
                 )
-                if pallas_fb:
-                    return synthesis_tm_fused(Yp, g, cfg.fb)
-                return synthesis_half_real_tm(Yp, g, cfg.fb)
+                return synthesis_tm_fused(Yp, g, cfg.fb)
             Yr = _analyze(x)  # [Tf, B, C, M]
             if tm_chain:
                 Yr = _chain(Yr, play)

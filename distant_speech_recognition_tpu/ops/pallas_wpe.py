@@ -238,7 +238,7 @@ def wpe_stats_from_planes(Yr, Yi, G, C, T, F, lowerN, P,
     ``bins_minor=True`` returns ``(R [B, C, CP, CP, Fpad],
     r [B, C, CP, Fpad])`` with the (zero-padded) bin axis minor — the
     lane-efficient layout for the elementwise Gauss-Jordan solve
-    (models/dereverberation._gj_solve_lanes).
+    (`gj_solve_pallas`).
     """
     B, nG = Yr.shape[0], Yr.shape[1]
     CP = C * P

@@ -329,3 +329,48 @@ def test_fused_mono_kernel_matches_split(rng, protos, T):
     ))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
+
+
+def test_fused_analysis_scan_wide_prototype(rng):
+    """Regression: prototypes with m*R - 1 > 16 (e.g. M=1024, r=3 -> 31)
+    must run through the fused analysis kernels with the pipeline's
+    computed frame tile (`fused_frame_tile`) instead of tripping the
+    `_fused_prep` halo precondition at the hardcoded default of 16."""
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        GSCRLSConfig,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        analysis_gsc_rls_zelinski_pallas,
+        fused_frame_tile,
+        gsc_rls_zelinski_pallas,
+    )
+    from distant_speech_recognition_tpu.utils import geometry
+
+    M, C, B, T = 1024, 2, 1, 6144
+    p = FilterbankParams(M=M, m=4, r=3, delay_compensation_type=2)
+    assert p.m * p.R - 1 == 31 and p.D % 128 == 0
+    ft = fused_frame_tile(p)
+    assert ft >= 31
+    h = (rng.standard_normal(p.m * M) / M).astype(np.float32)
+    x = (rng.standard_normal((B, C, T)) * 1500).astype(np.float32)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    wqH, BmH = gsc_weights(M, 16000.0, delays, 1)
+    wqH, BmH = np.asarray(wqH), np.asarray(BmH)
+    vs = np.asarray(array_manifold(M, 16000.0, delays))
+    cfg = GSCRLSConfig(min_frames=4)
+
+    Yr = analysis_tm_fused(jnp.asarray(x), jnp.asarray(h), p, packed=True,
+                           interpret=True)
+    want = np.asarray(gsc_rls_zelinski_pallas(
+        Yr, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        frame_tile=ft, batch_tile=1, interpret=True,
+    ))
+    got = np.asarray(analysis_gsc_rls_zelinski_pallas(
+        jnp.asarray(x), h, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        frame_tile=ft, batch_tile=1, interpret=True,
+    ))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
