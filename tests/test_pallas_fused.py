@@ -374,3 +374,113 @@ def test_fused_analysis_scan_wide_prototype(rng):
     ))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
+
+
+def _gsc_setup(rng, C=4, B=18, T=5000):
+    """Shared fixture math for the paired-mode tests (odd B exercises the
+    16-row batch padding)."""
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        GSCRLSConfig,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.utils import geometry
+
+    x = (rng.standard_normal((B, C, T)) * 1500).astype(np.float32)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    wqH, BmH = gsc_weights(256, 16000.0, delays, 1)
+    vs = np.asarray(array_manifold(256, 16000.0, delays))
+    return x, np.asarray(wqH), np.asarray(BmH), vs, GSCRLSConfig(min_frames=4)
+
+
+def test_paired_scan_matches_aligned(rng, protos, monkeypatch):
+    """The paired (full-lane-occupancy) kernel + Nyquist side pass ==
+    the round-4 aligned kernel, packed-input mode."""
+    from distant_speech_recognition_tpu.models import pallas_fused_scan as pfs
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+
+    h, _ = protos
+    p = FilterbankParams(M=256, m=4, r=1, delay_compensation_type=2)
+    x, wqH, BmH, vs, cfg = _gsc_setup(rng)
+    assert pfs.paired_scan_ok(wqH, BmH, vs)
+    Yr = analysis_tm_fused(jnp.asarray(x), jnp.asarray(h), p, packed=True,
+                           interpret=True)
+    monkeypatch.setattr(pfs, "PAIRED", False)
+    want = np.asarray(pfs.gsc_rls_zelinski_pallas(
+        Yr, wqH, BmH, vs, cfg, 0.6, 1, 2, interpret=True))
+    monkeypatch.setattr(pfs, "PAIRED", True)
+    got = np.asarray(pfs.gsc_rls_zelinski_pallas(
+        Yr, wqH, BmH, vs, cfg, 0.6, 1, 2, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
+    # the Nyquist lane comes from the XLA side pass — check it specifically
+    np.testing.assert_allclose(got[:, :, 128], want[:, :, 128],
+                               atol=3e-4 * np.abs(want).max())
+
+
+def test_paired_fused_analysis_matches_aligned(rng, protos, monkeypatch):
+    """Paired fused analysis+scan (incl. the aux energy/Nyquist decode) ==
+    aligned fused analysis+scan."""
+    from distant_speech_recognition_tpu.models import pallas_fused_scan as pfs
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+
+    h, _ = protos
+    p = FilterbankParams(M=256, m=4, r=1, delay_compensation_type=2)
+    x, wqH, BmH, vs, cfg = _gsc_setup(rng, B=10, T=4500)
+    monkeypatch.setattr(pfs, "PAIRED", False)
+    want = np.asarray(pfs.analysis_gsc_rls_zelinski_pallas(
+        jnp.asarray(x), h, p, wqH, BmH, vs, cfg, 0.6, 1, 2, interpret=True))
+    monkeypatch.setattr(pfs, "PAIRED", True)
+    got = np.asarray(pfs.analysis_gsc_rls_zelinski_pallas(
+        jnp.asarray(x), h, p, wqH, BmH, vs, cfg, 0.6, 1, 2, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
+
+
+def test_paired_mono_matches_aligned(rng, protos, monkeypatch):
+    """Paired FULL mono kernel (analysis+scan+synthesis) + the linear
+    Nyquist synthesis contribution == the aligned mono kernel."""
+    from distant_speech_recognition_tpu.models import pallas_fused_scan as pfs
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+
+    h, g = protos
+    p = FilterbankParams(M=256, m=4, r=1, delay_compensation_type=2)
+    x, wqH, BmH, vs, cfg = _gsc_setup(rng, B=10, T=4500)
+    monkeypatch.setattr(pfs, "PAIRED", False)
+    want = np.asarray(pfs.analysis_gsc_synthesis_pallas(
+        jnp.asarray(x), h, g, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        interpret=True))
+    monkeypatch.setattr(pfs, "PAIRED", True)
+    got = np.asarray(pfs.analysis_gsc_synthesis_pallas(
+        jnp.asarray(x), h, g, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
+
+
+def test_synthesis_nyq_contribution_exact(rng, protos):
+    """`_synthesis_nyq_tm` == the full fused synthesis run on a packed
+    input that is zero everywhere except the Nyquist lane (pins the OLA
+    indexing, the first-tile zero-history masks, and the pd shift)."""
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        _synthesis_nyq_tm,
+    )
+    from distant_speech_recognition_tpu.ops.filterbank import (
+        FilterbankParams,
+        synthesis_half_real_tm,
+    )
+
+    h, g = protos
+    p = FilterbankParams(M=256, m=4, r=1, delay_compensation_type=2)
+    Tf, B = 40, 3
+    ys = rng.standard_normal((Tf, B)).astype(np.float32)
+    packed = np.zeros((Tf, B, 256), np.float32)
+    packed[:, :, 128] = ys
+    want = np.asarray(synthesis_half_real_tm(jnp.asarray(packed),
+                                             jnp.asarray(g, jnp.float32), p))
+    got = np.asarray(_synthesis_nyq_tm(jnp.asarray(ys), g, p))
+    T_out = Tf - p.synthesis_delay
+    got_flat = np.moveaxis(got, 0, 1).reshape(B, T_out * p.D)
+    assert got_flat.shape == want.shape
+    np.testing.assert_allclose(got_flat, want, atol=1e-5 * max(np.abs(want).max(), 1))
