@@ -46,6 +46,7 @@ PAIRED = os.environ.get("DSR_PAIRED", "1") == "1"
 
 __all__ = [
     "analysis_gsc_rls_zelinski_pallas",
+    "gsc_rls_zelinski_steered_pallas",
     "analysis_gsc_synthesis_pallas",
     "gsc_rls_zelinski_pallas",
     "zelinski_apply_pallas",
@@ -615,9 +616,9 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
     return kernel
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
-          pf_min_frames, K, Bb, interpret, paired=False):
+          pf_min_frames, K, Bb, interpret, paired=False, per_row=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -625,7 +626,9 @@ def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
     Mh = M // 2
     Bc = bm_planes.shape[1]
     Bv = Bb // 2 if paired else Bb  # vector-op row width (see _make_kernel)
-    assert wq_planes.shape == (2, C, Bv, M), wq_planes.shape
+    assert not per_row or paired, "per-row weights require paired mode"
+    if not per_row:
+        assert wq_planes.shape == (2, C, Bv, M), wq_planes.shape
     nP = len([(i, j) for i in range(Bc) for j in range(Bc) if i < j])
 
     nT = -(-Tf // K)
@@ -642,15 +645,26 @@ def _call(Yp, wq_planes, bm_planes, ta_planes, cfg, pf_alpha, pf_type,
     if paired:
         out_specs.append(pl.BlockSpec((K, Bv, M), lambda b, t: (t, b, 0)))
         out_shape.append(jax.ShapeDtypeStruct((nT * K, nB * Bv, M), f32))
+    if per_row:
+        # per-utterance weights: the plane arrays carry nB*Bv rows and the
+        # weight BlockSpecs follow the batch grid dim
+        w_specs = [
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, b, 0)),
+            pl.BlockSpec((2, Bc, C, Bv, M), lambda b, t: (0, 0, 0, b, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, b, 0)),
+        ]
+    else:
+        w_specs = [
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, Bc, C, Bv, M), lambda b, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
+        ]
     res = pl.pallas_call(
         kernel,
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((K, C, Bb, M), lambda b, t: (t, 0, b, 0)),
-            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
-            pl.BlockSpec((2, Bc, C, Bv, M), lambda b, t: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((2, C, Bv, M), lambda b, t: (0, 0, 0, 0)),
-        ],
+        ] + w_specs,
         out_specs=out_specs if paired else out_specs[0],
         out_shape=out_shape if paired else out_shape[0],
         scratch_shapes=[
@@ -1231,6 +1245,97 @@ def gsc_rls_zelinski_pallas(
         Ypt, wq_planes, bm_planes, ta_planes, cfg, float(pf_alpha),
         int(pf_type), int(pf_min_frames), int(frame_tile), Bb, interpret
     )
+
+
+def _paired_planes_traced(w: jax.Array, M: int) -> jax.Array:
+    """Traced (per-utterance) weights -> paired planes.
+
+    ``w [B, F, ...]`` complex with B a multiple of 16 -> ``[2, ...,
+    B//2, M]`` f32 planes where plane row ``8*b + i`` carries utterance
+    ``16*b + i``'s bins 0..M/2-1 on lanes [0, M/2) and utterance
+    ``16*b + 8 + i``'s on lanes [M/2, M) — the per-row-weights layout of
+    the steered pipeline (every batch row has its own DOA steering)."""
+    Mh = M // 2
+    B = w.shape[0]
+    nB = B // 16
+    wm = jnp.moveaxis(w[:, :Mh], 1, -1)  # [B, rest..., Mh]
+    pl = jnp.stack([jnp.real(wm), jnp.imag(wm)])  # [2, B, rest..., Mh]
+    nrest = pl.ndim - 3
+    pl = pl.reshape((2, nB, 2, 8) + pl.shape[2:])  # [2, nB, g, 8, rest, Mh]
+    perm = (0,) + tuple(range(4, 4 + nrest)) + (1, 3, 2, 4 + nrest)
+    pl = jnp.transpose(pl, perm)  # [2, rest..., nB, 8, g, Mh]
+    return pl.reshape((2,) + pl.shape[1:1 + nrest] + (nB * 8, M)
+                      ).astype(jnp.float32)
+
+
+def _nyquist_sidepass_perrow(Xn, e, wq_b, bm_b, ta_b, cfg, pf_alpha, pf_type,
+                             pf_min_frames):
+    """`_nyquist_sidepass` with per-utterance (traced) weights: vmap the
+    XLA twin over the batch.  ``Xn [Tf, B, C]``, ``e [Tf, B]``, weights
+    ``[B, ...]`` at the Nyquist bin."""
+    from .adaptive_gsc import gsc_postfilter_fused
+
+    def one(Xb, eb, wqb, bmb, tab):
+        Y = gsc_postfilter_fused(
+            Xb[:, None, :].astype(jnp.complex64), eb,
+            wqb[None], bmb[None], tab[None],
+            "rls", cfg, pf_alpha, pf_type, pf_min_frames,
+        )
+        return jnp.real(Y[..., 0])
+
+    return jax.vmap(one, in_axes=(1, 1, 0, 0, 0), out_axes=1)(
+        Xn, e, wq_b, bm_b, ta_b)
+
+
+def gsc_rls_zelinski_steered_pallas(
+    Yp: jax.Array,
+    wq_b: jax.Array,
+    bm_b: jax.Array,
+    ta_b: jax.Array,
+    cfg,
+    pf_alpha: float = 0.6,
+    pf_type: int = 1,
+    pf_min_frames: int = 0,
+    frame_tile: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """`gsc_rls_zelinski_pallas` with PER-UTTERANCE traced weights — the
+    steered pipeline's case (each batch row beamforms at its own estimated
+    DOA, models/steered.py).  Paired mode only: the weight planes vary
+    along the batch-block axis, so the kernel's weight BlockSpecs index
+    the batch grid dim instead of broadcasting.  DC weights are exactly
+    real by construction for manifold-derived steering
+    (`beamforming.array_manifold` at bin 0 is exp(0)=1 and
+    `blocking_matrix` is elementwise Gram-Schmidt, which propagates exact
+    zero imaginaries), so `paired_scan_ok` holds analytically.
+
+    ``Yp`` [Tf, B, C, M] packed; ``wq_b/ta_b`` [B, F, C]; ``bm_b``
+    [B, F, Bc, C].  Returns packed [Tf, B, M].
+    """
+    Tf, B, C, M = Yp.shape
+    Mh = M // 2
+    Bpad = -(-B // 16) * 16
+    if Bpad > B:
+        padw = ((0, Bpad - B),) + ((0, 0),) * 3
+        wq_p = jnp.pad(wq_b, padw[:3], mode="edge")
+        ta_p = jnp.pad(ta_b, padw[:3], mode="edge")
+        bm_p = jnp.pad(bm_b, padw, mode="edge")
+    else:
+        wq_p, ta_p, bm_p = wq_b, ta_b, bm_b
+    planes_wq = _paired_planes_traced(wq_p, M)
+    planes_bm = _paired_planes_traced(bm_p, M)
+    planes_ta = _paired_planes_traced(ta_p, M)
+    Ypt = jnp.moveaxis(Yp, 2, 1)
+    out, aux = _call(
+        Ypt, planes_wq, planes_bm, planes_ta, cfg, float(pf_alpha),
+        int(pf_type), int(pf_min_frames), int(frame_tile), 16, interpret,
+        True, True,
+    )
+    e, _ = _decode_aux(aux, B, C, M)
+    ys_nyq = _nyquist_sidepass_perrow(
+        Yp[:, :, :, Mh], e, wq_b[:, Mh], bm_b[:, Mh], ta_b[:, Mh],
+        cfg, pf_alpha, pf_type, pf_min_frames)
+    return out.at[:, :, Mh].set(ys_nyq)
 
 
 # ---------------------------------------------------------------------------

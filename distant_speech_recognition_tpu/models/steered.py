@@ -132,9 +132,78 @@ def build_steered_pipeline(
 
         return synthesis_half(Y, g, cfg.fb), doa
 
+    # ---- batched paired-Pallas fast path (round 5) --------------------
+    # For the BASELINE config-5 chain (gsc_rls + zelinski, srp_phat DOA)
+    # the vmap-of-XLA-scan above is launch-bound (the round-4 config5
+    # number); this path runs ONE fused analysis kernel, a batched SRP
+    # einsum, traced per-utterance steering, and the paired Pallas scan
+    # with per-row weight planes (gsc_rls_zelinski_steered_pallas).
+    pallas_ok = (
+        cfg.beamformer == "gsc_rls"
+        and cfg.postfilter == "zelinski"
+        and doa_protocol == "srp_phat"
+        and bin_sharding is None
+        and M % 256 == 0
+        and cfg.fb.D % 128 == 0
+        and min_bin == 1 and max_bin is None
+    )
+    from .pipeline import PALLAS_FB, PALLAS_SCAN
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if pallas_ok and PALLAS_FB and PALLAS_SCAN and on_tpu:
+        return _build_steered_pallas(
+            cfg, h, g, steering, grid_j, delay_table, fs, M, interpret=False)
+
     @jax.jit
     def enhance(x):
         """x: [B, C, T] -> (y [B, T_out], doa [B, 2])."""
         return jax.vmap(_one)(x)
+
+    return enhance
+
+
+def _build_steered_pallas(cfg, h, g, steering, grid_j, delay_table, fs, M,
+                          interpret=False):
+    """Batched time-major steered chain: analysis (one Pallas kernel) ->
+    SRP-PHAT DOA (one MXU einsum over the steering table) -> traced
+    per-utterance manifold/blocking weights -> paired Pallas GSC-RLS +
+    Zelinski with per-row planes -> fused synthesis.  Equal to the vmapped
+    `_one` chain (tests/test_steered_pallas.py)."""
+    from ..ops.pallas_kernels import analysis_tm_fused, synthesis_tm_fused
+    from ..ops.filterbank import analysis_half_real_tm, synthesis_half_real_tm
+    from .adaptive_gsc import GSCRLSConfig  # noqa: F401 (type reference)
+    from .pallas_fused_scan import gsc_rls_zelinski_steered_pallas
+
+    Mh = M // 2
+    hj = jnp.asarray(h, jnp.float32)
+    gj = jnp.asarray(g, jnp.float32)
+
+    @jax.jit
+    def enhance(x):
+        """x: [B, C, T] -> (y [B, T_out], doa [B, 2])."""
+        if interpret:
+            Yp = analysis_half_real_tm(x, hj, cfg.fb, packed=True)
+        else:
+            Yp = analysis_tm_fused(x, hj, cfg.fb, packed=True)
+        # complex snapshots [Tf, B, F, C] from the packed lanes (DOA only)
+        re = Yp[..., : Mh + 1]
+        z = jnp.zeros(Yp.shape[:-1] + (1,), Yp.dtype)
+        im = jnp.concatenate([z, Yp[..., Mh + 1 :], z], axis=-1)
+        X = jnp.swapaxes(jax.lax.complex(re, im), 2, 3)
+        srp = srp_phat(jnp.moveaxis(X, 0, 1), steering, 1, None)  # [B,Tf,G]
+        gidx = jnp.argmax(jnp.sum(srp, axis=1), axis=-1)  # [B]
+        delays = delay_table[gidx]  # [B, C]
+        vs = jax.vmap(lambda d: bf.array_manifold(M, fs, d))(delays)
+        wq_b = jnp.conj(vs)  # [B, F, C]
+        bm_b = jnp.swapaxes(bf.blocking_matrix(vs, cfg.Nc), -1, -2)
+        Yb = gsc_rls_zelinski_steered_pallas(
+            Yp, wq_b, bm_b, vs, cfg.rls, cfg.pf_alpha, cfg.pf_type,
+            cfg.pf_min_frames, interpret=interpret,
+        )
+        if interpret:
+            y = synthesis_half_real_tm(Yb, gj, cfg.fb)
+        else:
+            y = synthesis_tm_fused(Yb, gj, cfg.fb)
+        return y, grid_j[gidx]
 
     return enhance
