@@ -43,8 +43,15 @@ SPECTRAL_FLOOR = 1.0e-4  # postfilter.cc SPECTRAL_FLOOR
 # Paired (full-lane-occupancy) scan mode — see _make_kernel ``paired``.
 # DSR_PAIRED=0 opts out (falls back to the round-4 aligned layout).
 PAIRED = os.environ.get("DSR_PAIRED", "1") == "1"
+# Independent 16-row pair-groups per grid step in paired mode.  Measured on
+# v5e: G=2 is throughput-neutral (166.2 vs 164.9 ms at the bench shape) —
+# the kernel is VPU-ISSUE bound (~1.2 cycles/op), so doubling rows AND
+# instructions per step cancels; the knob stays for future toolchains whose
+# schedulers interleave the independent chains.
+ILP_GROUPS = int(os.environ.get("DSR_ILP_GROUPS", "1"))
 
 __all__ = [
+    "analysis_fw_synthesis_pallas",
     "analysis_gsc_rls_zelinski_pallas",
     "gsc_rls_zelinski_steered_pallas",
     "analysis_gsc_synthesis_pallas",
@@ -171,10 +178,10 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             out_ref, aux_ref = rest[0], rest[1]
             (war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s,
              *tail) = rest[2:]
-            ys_halves = cring_halves = None
             if synthesis is not None:
-                ys_halves = (tail[0], tail[1])
-                cring_halves = (tail[2], tail[3])
+                # [2G, K, 8, M] scan-output tiles / [2G, mR-1, 8, M] OLA
+                # rings, one leading slot per (group, half)
+                ys_s, cring_s = tail
         else:
             out_ref = rest[0]
             (war_s, wai_s, d_s, offr_s, offi_s, en_s, ppr_s, ppi_s, pd_s,
@@ -185,23 +192,26 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
         tt = pl.program_id(1)
         Bb = out_ref.shape[1]
         # vector-op row width: every VALUE in the program is Bv sublanes;
-        # paired mode slices the 16-row block into two 8-row groups at the
-        # REF level (16-sublane values fault the Mosaic vreg slicer)
-        Bv = Bb // 2 if paired else Bb
-        groups = ((slice(0, Bv), slice(Bv, Bb)) if paired
-                  else (slice(0, Bb),))
+        # paired mode slices the Bb-row block into 8-row groups at the
+        # REF level (16-sublane values fault the Mosaic vreg slicer).
+        # G_count independent 16-row pair-groups run per frame for ILP.
+        Bv = 8 if paired else Bb
+        G_count = Bb // 16 if paired else 1
+        group_slices = ([slice(g * 16 + hh * 8, g * 16 + hh * 8 + 8)
+                         for g in range(G_count) for hh in range(2)]
+                        if paired else [slice(0, Bb)])
 
         if analysis is None:
-            def get_P(k, c, gsl=None):
-                if gsl is None:
+            def get_P(k, c, gi=None):
+                if gi is None:
                     return x_ref[k, c]
-                return x_ref[k, c, gsl]
+                return x_ref[k, c, group_slices[gi]]
         else:
             m_, R_, D_ = analysis["m"], analysis["R"], analysis["D"]
             prec = analysis["prec"]
             mR = m_ * R_
             P_all = []
-            for gsl in groups:
+            for gsl in group_slices:
                 wins = jnp.concatenate(
                     [a_ref[:, :, gsl], b_ref[: mR - 1, :, gsl]], axis=0)
                 P_g = []
@@ -225,10 +235,8 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
                     P_g.append(acc.reshape(K, Bv, M))
                 P_all.append(P_g)
 
-            def get_P(k, c, gsl=None):
-                if gsl is None:
-                    return P_all[0][c][k]
-                return P_all[0 if gsl.start == 0 else 1][c][k]
+            def get_P(k, c, gi=None):
+                return P_all[gi or 0][c][k]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bv, M), 1)
         m0 = (lane[:, :Mh] == 0).astype(jnp.float32)  # [Bv, Mh] lane-0 mask
@@ -250,322 +258,327 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             ppi_s[...] = jnp.zeros(ppi_s.shape, jnp.float32)
             pd_s[...] = jnp.zeros(pd_s.shape, jnp.float32)
             if synthesis is not None:
-                if paired:
-                    for cr in cring_halves:
-                        cr[...] = jnp.zeros(cr.shape, jnp.float32)
-                else:
-                    cring_s[...] = jnp.zeros(cring_s.shape, jnp.float32)
+                cring_s[...] = jnp.zeros(cring_s.shape, jnp.float32)
 
-        def weight_planes(ref, c):
-            # [Bb, M]: pre-tiled host-side (see gsc_rls_zelinski_pallas) so
+        def weight_planes(ref, c, sld=slice(None)):
+            # [Bv, M]: pre-tiled host-side (see gsc_rls_zelinski_pallas) so
             # the vector program never carries sublane-replicated operands,
             # which the Mosaic vreg slicer faults on at batch tiles > 8
-            return ref[0, c], ref[1, c]
+            return ref[0, c, sld], ref[1, c, sld]
 
         for k in range(K):
             t = tt * K + k
+            # G_count independent 16-row pair-groups per frame: their
+            # recursion chains carry no mutual dependencies, so Mosaic's
+            # scheduler interleaves them to fill the VPU latency slots the
+            # single-chain kernel leaves empty (measured ~2.8 cycles/op
+            # at G=1 on v5e -- per-frame dependency-chain bound)
+            for gidx in range(G_count):
+                sld = (slice(gidx * 8, (gidx + 1) * 8) if paired
+                       else slice(None))
 
-            # ---- aligned complex spectrum per channel ----
-            Xre, Xim, vcats = [], [], []
-            for c in range(C):
-                if paired:
-                    # two 8-row groups side by side on the lane axis:
-                    # U|U' are bins 0..Mh-1 re, V|V' have Im(1..Mh-1) with
-                    # Re(Mh) in the per-group lane-0 slot (masked out of
-                    # xim, kept in vcat for energy + the aux output)
-                    P0 = get_P(k, c, groups[0])
-                    P1 = get_P(k, c, groups[1])
-                    xre = jnp.concatenate([P0[:, :Mh], P1[:, :Mh]], axis=-1)
-                    vcat = jnp.concatenate([P0[:, Mh:], P1[:, Mh:]], axis=-1)
-                    xim = vcat * (1.0 - m0p)
-                    vcats.append(vcat)
-                else:
-                    P = get_P(k, c)  # [Bb, M]
-                    U, V = P[:, :Mh], P[:, Mh:]
-                    xre = jnp.concatenate([U, V * m0], axis=-1)
-                    xim = jnp.concatenate(
-                        [V * (1.0 - m0), jnp.zeros_like(V)], axis=-1)
-                Xre.append(xre)
-                Xim.append(xim)
-
-            # ---- frame energy (channel 0, frame_energy_half) ----
-            if paired:
-                # q = |X|^2 incl. the Nyquist bin (xre^2 + xim^2 +
-                # (vcat*m0p)^2 == xre^2 + vcat^2, masks disjoint); the
-                # per-half lane reductions keep the two row groups apart
-                q = Xre[0] * Xre[0] + vcats[0] * vcats[0]
-                q0, q1 = q[:, :Mh], q[:, Mh:]
-                t0 = jnp.sum(q0, axis=-1, keepdims=True)
-                t1 = jnp.sum(q1, axis=-1, keepdims=True)
-                z0 = jnp.sum(q0 * m0, axis=-1, keepdims=True)
-                z1 = jnp.sum(q1 * m0, axis=-1, keepdims=True)
-                en_b = jnp.concatenate([
-                    jnp.broadcast_to((2.0 * t0 - z0) / M, (Bv, Mh)),
-                    jnp.broadcast_to((2.0 * t1 - z1) / M, (Bv, Mh)),
-                ], axis=-1)
-            else:
-                p = Xre[0] * Xre[0] + Xim[0] * Xim[0]  # [Bb, M]
-                tot = jnp.sum(p, axis=-1, keepdims=True)
-                pdc = jnp.sum(
-                    p * jnp.concatenate([m0, jnp.zeros_like(m0)], -1),
-                    axis=-1, keepdims=True)
-                pny = jnp.sum(
-                    p * jnp.concatenate([jnp.zeros_like(m0), m0], -1),
-                    axis=-1, keepdims=True)
-                energy_t = (2.0 * tot - pdc - pny) / M  # [Bb, 1]
-                # full-width [Bv, M] immediately: lane-replicated [Bv, 1]
-                # operands stay out of the vector program (and the en
-                # scratch is carried full-width because a [Bv, 1] VMEM ref
-                # crashes this Mosaic toolchain); all lanes hold the same
-                # value
-                en_b = jnp.broadcast_to(energy_t, (Bv, M))
-            gate = en_b > en_s[...] / sil  # [Bb, M] bool; used via SELECTS
-            # NOTE every speculative value below (constraint scale, betaK,
-            # the whole non-gated update) is folded in with jnp.where
-            # SELECTS, never arithmetic blends: a blend like
-            # ``gate*new + (1-gate)*old`` turns a speculative inf/NaN on a
-            # not-taken lane into NaN state (0*inf = NaN).  That was the
-            # round-3 real-speech NaN on v5e: near-silent bins give
-            # waK2 ~ 1e-38 on the first adapted frame, max_wa/waK2
-            # overflows to inf, and the not-over lanes blended 0*inf.  The
-            # XLA twin (adaptive_gsc.py:288-322) always used selects,
-            # which is why it was finite on identical inputs.
-
-            # ---- blocking-matrix outputs and quiescent branch ----
-            Zr, Zi = [], []
-            for b in range(Bc):
-                zr = zi = 0.0
+                # ---- aligned complex spectrum per channel ----
+                Xre, Xim, vcats = [], [], []
                 for c in range(C):
-                    br_ = bm_ref[0, b, c]
-                    bi_ = bm_ref[1, b, c]
-                    tr, ti = _cmul(br_, bi_, Xre[c], Xim[c])
-                    zr = zr + tr
-                    zi = zi + ti
-                Zr.append(zr)
-                Zi.append(zi)
-            Ycr = Yci = 0.0
-            for c in range(C):
-                wr_, wi_ = weight_planes(wq_ref, c)
-                tr, ti = _cmul(wr_, wi_, Xre[c], Xim[c])
-                Ycr = Ycr + tr
-                Yci = Yci + ti
-
-            dlist = [d_s[i] for i in range(Bc)]
-            offr = [offr_s[n] for n in range(len(pairs))] if pairs else []
-            offi = [offi_s[n] for n in range(len(pairs))] if pairs else []
-            war = [war_s[i] for i in range(Bc)]
-            wai = [wai_s[i] for i in range(Bc)]
-
-            def pz_matvec(d, orr, oi, vr, vi):
-                """(Pz v)_i with Pz carried as diag + upper triangle."""
-                outr, outi = [], []
-                for i in range(Bc):
-                    rr = d[i] * vr[i]
-                    ri = d[i] * vi[i]
-                    for j in range(i + 1, Bc):
-                        n = pidx[(i, j)]
-                        tr, ti = _cmul(orr[n], oi[n], vr[j], vi[j])
-                        rr = rr + tr
-                        ri = ri + ti
-                    for j in range(i):
-                        n = pidx[(j, i)]
-                        tr, ti = _cmul(orr[n], -oi[n], vr[j], vi[j])
-                        rr = rr + tr
-                        ri = ri + ti
-                    outr.append(rr)
-                    outi.append(ri)
-                return outr, outi
-
-            PzZr, PzZi = pz_matvec(dlist, offr, offi, Zr, Zi)
-            ipr = ipi = 0.0
-            for i in range(Bc):
-                tr, ti = _cmul(Zr[i], -Zi[i], PzZr[i], PzZi[i])  # conj(Z)*PzZ
-                ipr = ipr + tr
-                ipi = ipi + ti
-            denr, deni = mu + ipr, ipi
-            gzr, gzi = [], []
-            for i in range(Bc):
-                qr, qi = _cdiv(PzZr[i], PzZi[i], denr, deni)
-                gzr.append(qr)
-                gzi.append(qi)
-            # The diagonal update cancels catastrophically in f32 when
-            # d |Z|^2 >> mu (gz.PzZ -> d); the true value is
-            # d*mu/(mu + d|Z|^2) > 0, so the clamp below only removes
-            # rounding artifacts that would break Pz's positive
-            # definiteness.
-            dK = [jnp.maximum(
-                      (dlist[i] - (gzr[i] * PzZr[i] + gzi[i] * PzZi[i])) / mu,
-                      0.0)
-                  for i in range(Bc)]
-            offKr, offKi = [], []
-            for n, (i, j) in enumerate(pairs):
-                tr, ti = _cmul_conj(gzr[i], gzi[i], PzZr[j], PzZi[j])
-                offKr.append((offr[n] - tr) / mu)
-                offKi.append((offi[n] - ti) / mu)
-
-            # ---- active weight update ----
-            epr, epi = Ycr, Yci
-            for i in range(Bc):
-                tr, ti = _cmul(war[i], wai[i], Zr[i], Zi[i])
-                epr = epr - tr
-                epi = epi - ti
-            nwr, nwi = [], []
-            for i in range(Bc):
-                tr, ti = _cmul(gzr[i], -gzi[i], epr, epi)  # conj(gz)*ep
-                nwr.append(war[i] + gamma * tr)
-                nwi.append(wai[i] + gamma * ti)
-            if reg > 0:
-                for i in range(Bc):
-                    rr = dK[i] * war[i]
-                    ri = dK[i] * wai[i]
-                    for j in range(i + 1, Bc):
-                        n = pidx[(i, j)]
-                        tr, ti = _cmul(offKr[n], -offKi[n], war[j], wai[j])
-                        rr = rr + tr
-                        ri = ri + ti
-                    for j in range(i):
-                        n = pidx[(j, i)]
-                        tr, ti = _cmul(offKr[n], offKi[n], war[j], wai[j])
-                        rr = rr + tr
-                        ri = ri + ti
-                    nwr[i] = nwr[i] - rr * reg
-                    nwi[i] = nwi[i] - ri * reg
-
-            if copt > 0:
-                waK2 = 0.0
-                for i in range(Bc):
-                    waK2 = waK2 + nwr[i] * nwr[i] + nwi[i] * nwi[i]
-                if copt in (1, 3):
-                    # quadratic constraint on conj(waH) through PzK
-                    waKr = [nwr[i] for i in range(Bc)]
-                    waKi = [-nwi[i] for i in range(Bc)]
-                    var_, vai_ = pz_matvec(dK, offKr, offKi, waKr, waKi)
-                    a = 0.0
-                    bq = 0.0
-                    for i in range(Bc):
-                        a = a + var_[i] * var_[i] + vai_[i] * vai_[i]
-                        bq = bq - 2.0 * (var_[i] * waKr[i] + vai_[i] * waKi[i])
-                    cc = waK2 - alpha2
-                    arg = bq * bq - 4.0 * a * cc
-                    a_safe = jnp.where(a > 0, a, 1.0)
-                    betaK = jnp.where(
-                        arg > 0,
-                        -(bq + jnp.sqrt(jnp.maximum(arg, 0.0))) / (2.0 * a_safe),
-                        -bq / (2.0 * a_safe),
-                    )
-                    hit = waK2 > alpha2
-                    for i in range(Bc):
-                        nwr[i] = jnp.where(hit, nwr[i] - betaK * var_[i], nwr[i])
-                        nwi[i] = jnp.where(hit, nwi[i] + betaK * vai_[i], nwi[i])
-                if copt >= 2:
-                    over = waK2 > max_wa
-                    # max(waK2, max_wa) keeps the ratio <= 1 so `scale` is
-                    # finite even when waK2 underflows toward 0; on `over`
-                    # lanes waK2 > max_wa so this equals the reference's
-                    # sqrt(max_wa/waK2) (pybeamformer.py:862-865) exactly.
-                    scale = jnp.sqrt(max_wa / jnp.maximum(waK2, max_wa))
-                    for i in range(Bc):
-                        nwr[i] = jnp.where(over, nwr[i] * scale, nwr[i])
-                        nwi[i] = jnp.where(over, nwi[i] * scale, nwi[i])
-                        dK[i] = jnp.where(over, d0, dK[i])
-                    for n in range(len(pairs)):
-                        offKr[n] = jnp.where(over, 0.0, offKr[n])
-                        offKi[n] = jnp.where(over, 0.0, offKi[n])
-
-            # ---- silence gate + dead-lane pinning, state write-back ----
-            # (selects, not blends — see the NaN note at `gate` above)
-            for i in range(Bc):
-                d_new = jnp.where(gate, dK[i], dlist[i])
-                # paired mode has no dead lanes to pin
-                d_s[i] = d_new if paired else jnp.where(active, d_new, d0)
-                war_s[i] = jnp.where(gate, nwr[i], war[i])
-                wai_s[i] = jnp.where(gate, nwi[i], wai[i])
-            for n in range(len(pairs)):
-                offr_new = jnp.where(gate, offKr[n], offr[n])
-                offi_new = jnp.where(gate, offKi[n], offi[n])
-                offr_s[n] = offr_new if paired else jnp.where(
-                    active, offr_new, 0.0)
-                offi_s[n] = offi_new if paired else jnp.where(
-                    active, offi_new, 0.0)
-            en_s[...] = en_s[...] * beta + (1.0 - beta) * en_b
-
-            # ---- GSC output with gated weights ----
-            war2 = [war_s[i] for i in range(Bc)]
-            wai2 = [wai_s[i] for i in range(Bc)]
-            Yr, Yi = Ycr, Yci
-            for i in range(Bc):
-                tr, ti = _cmul(war2[i], wai2[i], Zr[i], Zi[i])
-                Yr = Yr - tr
-                Yi = Yi - ti
-            Yr = jnp.where(t >= cfg.min_frames, Yr, Ycr)
-            Yi = jnp.where(t >= cfg.min_frames, Yi, Yci)
-
-            # ---- fused Zelinski postfilter ----
-            alr, ali = [], []
-            for c in range(C):
-                tr_, ti_ = ta_ref[0, c], ta_ref[1, c]
-                ar_, ai_ = _cmul(tr_, -ti_, Xre[c], Xim[c])  # conj(ta) * X
-                alr.append(ar_)
-                ali.append(ai_)
-            psr = psi = 0.0
-            for i, j in cpairs:
-                tr, ti = _cmul_conj(alr[i], ali[i], alr[j], ali[j])
-                psr = psr + tr
-                psi = psi + ti
-            dsum = 0.0
-            for c in range(C):
-                dsum = dsum + alr[c] * alr[c] + ali[c] * ali[c]
-            # smoothing starts at the reference's THIRD call; apply gate is
-            # min_frames+1 (pre-increment frame_no_, postfilter.cc:424-473)
-            ppr = jnp.where(t > 1, pf_alpha * ppr_s[...] + (1.0 - pf_alpha) * psr, psr)
-            ppi = jnp.where(t > 1, pf_alpha * ppi_s[...] + (1.0 - pf_alpha) * psi, psi)
-            pd = jnp.where(t > 1, pf_alpha * pd_s[...] + (1.0 - pf_alpha) * dsum, dsum)
-            ppr_s[...] = ppr
-            ppi_s[...] = ppi
-            pd_s[...] = pd
-            if real_mode:
-                num = jnp.maximum(ppr, 0.0)
-            else:
-                num = jnp.sqrt(ppr * ppr + ppi * ppi)
-            ratio = jnp.where(pd > 0, num / jnp.where(pd > 0, pd, 1.0), 0.0)
-            W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
-            apply_pf = t > pf_min_frames
-            Yr_o = jnp.where(apply_pf, Yr * W, Yr)
-            Yi_o = jnp.where(apply_pf, Yi * W, Yi)
-
-            # ---- repack [Re(0..Mh) | Im(1..Mh-1)] ----
-            if paired:
-                # per group: [Re(0..Mh-1) | 0, Im(1..Mh-1)] — the Re(Mh)
-                # slot (second-half lane 0) is zero here; bin Mh is merged
-                # by the XLA side pass.  Bin 0's imaginary lane is exactly
-                # zero by the real-DC-weights invariant, so no masking is
-                # needed.  Stores are REF slices (16-sublane values fault).
-                for g, gsl in enumerate(groups):
-                    lanes = slice(g * Mh, (g + 1) * Mh)
-                    pk = jnp.concatenate(
-                        [Yr_o[:, lanes], Yi_o[:, lanes]], axis=-1)
-                    if synthesis is None:
-                        out_ref[k, gsl, :] = pk
+                    if paired:
+                        # two 8-row groups side by side on the lane axis:
+                        # U|U' are bins 0..Mh-1 re, V|V' have Im(1..Mh-1) with
+                        # Re(Mh) in the per-group lane-0 slot (masked out of
+                        # xim, kept in vcat for energy + the aux output)
+                        P0 = get_P(k, c, 2 * gidx)
+                        P1 = get_P(k, c, 2 * gidx + 1)
+                        xre = jnp.concatenate([P0[:, :Mh], P1[:, :Mh]], axis=-1)
+                        vcat = jnp.concatenate([P0[:, Mh:], P1[:, Mh:]], axis=-1)
+                        xim = vcat * (1.0 - m0p)
+                        vcats.append(vcat)
                     else:
-                        ys_halves[g][k, :, :] = pk
-                # aux: frame energy at lanes 0/Mh (group 0/1) + per-channel
-                # Nyquist-bin snapshots rolled to lanes 1+c / Mh+1+c
-                aux = en_b * m0p
+                        P = get_P(k, c)  # [Bb, M]
+                        U, V = P[:, :Mh], P[:, Mh:]
+                        xre = jnp.concatenate([U, V * m0], axis=-1)
+                        xim = jnp.concatenate(
+                            [V * (1.0 - m0), jnp.zeros_like(V)], axis=-1)
+                    Xre.append(xre)
+                    Xim.append(xim)
+
+                # ---- frame energy (channel 0, frame_energy_half) ----
+                if paired:
+                    # q = |X|^2 incl. the Nyquist bin (xre^2 + xim^2 +
+                    # (vcat*m0p)^2 == xre^2 + vcat^2, masks disjoint); the
+                    # per-half lane reductions keep the two row groups apart
+                    q = Xre[0] * Xre[0] + vcats[0] * vcats[0]
+                    q0, q1 = q[:, :Mh], q[:, Mh:]
+                    t0 = jnp.sum(q0, axis=-1, keepdims=True)
+                    t1 = jnp.sum(q1, axis=-1, keepdims=True)
+                    z0 = jnp.sum(q0 * m0, axis=-1, keepdims=True)
+                    z1 = jnp.sum(q1 * m0, axis=-1, keepdims=True)
+                    en_b = jnp.concatenate([
+                        jnp.broadcast_to((2.0 * t0 - z0) / M, (Bv, Mh)),
+                        jnp.broadcast_to((2.0 * t1 - z1) / M, (Bv, Mh)),
+                    ], axis=-1)
+                else:
+                    p = Xre[0] * Xre[0] + Xim[0] * Xim[0]  # [Bb, M]
+                    tot = jnp.sum(p, axis=-1, keepdims=True)
+                    pdc = jnp.sum(
+                        p * jnp.concatenate([m0, jnp.zeros_like(m0)], -1),
+                        axis=-1, keepdims=True)
+                    pny = jnp.sum(
+                        p * jnp.concatenate([jnp.zeros_like(m0), m0], -1),
+                        axis=-1, keepdims=True)
+                    energy_t = (2.0 * tot - pdc - pny) / M  # [Bb, 1]
+                    # full-width [Bv, M] immediately: lane-replicated [Bv, 1]
+                    # operands stay out of the vector program (and the en
+                    # scratch is carried full-width because a [Bv, 1] VMEM ref
+                    # crashes this Mosaic toolchain); all lanes hold the same
+                    # value
+                    en_b = jnp.broadcast_to(energy_t, (Bv, M))
+                gate = en_b > en_s[sld] / sil  # [Bb, M] bool; used via SELECTS
+                # NOTE every speculative value below (constraint scale, betaK,
+                # the whole non-gated update) is folded in with jnp.where
+                # SELECTS, never arithmetic blends: a blend like
+                # ``gate*new + (1-gate)*old`` turns a speculative inf/NaN on a
+                # not-taken lane into NaN state (0*inf = NaN).  That was the
+                # round-3 real-speech NaN on v5e: near-silent bins give
+                # waK2 ~ 1e-38 on the first adapted frame, max_wa/waK2
+                # overflows to inf, and the not-over lanes blended 0*inf.  The
+                # XLA twin (adaptive_gsc.py:288-322) always used selects,
+                # which is why it was finite on identical inputs.
+
+                # ---- blocking-matrix outputs and quiescent branch ----
+                Zr, Zi = [], []
+                for b in range(Bc):
+                    zr = zi = 0.0
+                    for c in range(C):
+                        br_ = bm_ref[0, b, c, sld]
+                        bi_ = bm_ref[1, b, c, sld]
+                        tr, ti = _cmul(br_, bi_, Xre[c], Xim[c])
+                        zr = zr + tr
+                        zi = zi + ti
+                    Zr.append(zr)
+                    Zi.append(zi)
+                Ycr = Yci = 0.0
                 for c in range(C):
-                    aux = aux + pltpu.roll(vcats[c] * m0p, 1 + c, axis=1)
-                aux_ref[k, :, :] = aux
-            elif synthesis is None:
-                out_ref[k, :, :] = jnp.concatenate(
-                    [Yr_o[:, :Mh],
-                     Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
-                    axis=-1,
-                )
-            else:
-                ys_s[k, :, :] = jnp.concatenate(
-                    [Yr_o[:, :Mh],
-                     Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
-                    axis=-1,
-                )
+                    wr_, wi_ = weight_planes(wq_ref, c, sld)
+                    tr, ti = _cmul(wr_, wi_, Xre[c], Xim[c])
+                    Ycr = Ycr + tr
+                    Yci = Yci + ti
+
+                dlist = [d_s[i, sld] for i in range(Bc)]
+                offr = [offr_s[n, sld] for n in range(len(pairs))] if pairs else []
+                offi = [offi_s[n, sld] for n in range(len(pairs))] if pairs else []
+                war = [war_s[i, sld] for i in range(Bc)]
+                wai = [wai_s[i, sld] for i in range(Bc)]
+
+                def pz_matvec(d, orr, oi, vr, vi):
+                    """(Pz v)_i with Pz carried as diag + upper triangle."""
+                    outr, outi = [], []
+                    for i in range(Bc):
+                        rr = d[i] * vr[i]
+                        ri = d[i] * vi[i]
+                        for j in range(i + 1, Bc):
+                            n = pidx[(i, j)]
+                            tr, ti = _cmul(orr[n], oi[n], vr[j], vi[j])
+                            rr = rr + tr
+                            ri = ri + ti
+                        for j in range(i):
+                            n = pidx[(j, i)]
+                            tr, ti = _cmul(orr[n], -oi[n], vr[j], vi[j])
+                            rr = rr + tr
+                            ri = ri + ti
+                        outr.append(rr)
+                        outi.append(ri)
+                    return outr, outi
+
+                PzZr, PzZi = pz_matvec(dlist, offr, offi, Zr, Zi)
+                ipr = ipi = 0.0
+                for i in range(Bc):
+                    tr, ti = _cmul(Zr[i], -Zi[i], PzZr[i], PzZi[i])  # conj(Z)*PzZ
+                    ipr = ipr + tr
+                    ipi = ipi + ti
+                denr, deni = mu + ipr, ipi
+                gzr, gzi = [], []
+                for i in range(Bc):
+                    qr, qi = _cdiv(PzZr[i], PzZi[i], denr, deni)
+                    gzr.append(qr)
+                    gzi.append(qi)
+                # The diagonal update cancels catastrophically in f32 when
+                # d |Z|^2 >> mu (gz.PzZ -> d); the true value is
+                # d*mu/(mu + d|Z|^2) > 0, so the clamp below only removes
+                # rounding artifacts that would break Pz's positive
+                # definiteness.
+                dK = [jnp.maximum(
+                          (dlist[i] - (gzr[i] * PzZr[i] + gzi[i] * PzZi[i])) / mu,
+                          0.0)
+                      for i in range(Bc)]
+                offKr, offKi = [], []
+                for n, (i, j) in enumerate(pairs):
+                    tr, ti = _cmul_conj(gzr[i], gzi[i], PzZr[j], PzZi[j])
+                    offKr.append((offr[n] - tr) / mu)
+                    offKi.append((offi[n] - ti) / mu)
+
+                # ---- active weight update ----
+                epr, epi = Ycr, Yci
+                for i in range(Bc):
+                    tr, ti = _cmul(war[i], wai[i], Zr[i], Zi[i])
+                    epr = epr - tr
+                    epi = epi - ti
+                nwr, nwi = [], []
+                for i in range(Bc):
+                    tr, ti = _cmul(gzr[i], -gzi[i], epr, epi)  # conj(gz)*ep
+                    nwr.append(war[i] + gamma * tr)
+                    nwi.append(wai[i] + gamma * ti)
+                if reg > 0:
+                    for i in range(Bc):
+                        rr = dK[i] * war[i]
+                        ri = dK[i] * wai[i]
+                        for j in range(i + 1, Bc):
+                            n = pidx[(i, j)]
+                            tr, ti = _cmul(offKr[n], -offKi[n], war[j], wai[j])
+                            rr = rr + tr
+                            ri = ri + ti
+                        for j in range(i):
+                            n = pidx[(j, i)]
+                            tr, ti = _cmul(offKr[n], offKi[n], war[j], wai[j])
+                            rr = rr + tr
+                            ri = ri + ti
+                        nwr[i] = nwr[i] - rr * reg
+                        nwi[i] = nwi[i] - ri * reg
+
+                if copt > 0:
+                    waK2 = 0.0
+                    for i in range(Bc):
+                        waK2 = waK2 + nwr[i] * nwr[i] + nwi[i] * nwi[i]
+                    if copt in (1, 3):
+                        # quadratic constraint on conj(waH) through PzK
+                        waKr = [nwr[i] for i in range(Bc)]
+                        waKi = [-nwi[i] for i in range(Bc)]
+                        var_, vai_ = pz_matvec(dK, offKr, offKi, waKr, waKi)
+                        a = 0.0
+                        bq = 0.0
+                        for i in range(Bc):
+                            a = a + var_[i] * var_[i] + vai_[i] * vai_[i]
+                            bq = bq - 2.0 * (var_[i] * waKr[i] + vai_[i] * waKi[i])
+                        cc = waK2 - alpha2
+                        arg = bq * bq - 4.0 * a * cc
+                        a_safe = jnp.where(a > 0, a, 1.0)
+                        betaK = jnp.where(
+                            arg > 0,
+                            -(bq + jnp.sqrt(jnp.maximum(arg, 0.0))) / (2.0 * a_safe),
+                            -bq / (2.0 * a_safe),
+                        )
+                        hit = waK2 > alpha2
+                        for i in range(Bc):
+                            nwr[i] = jnp.where(hit, nwr[i] - betaK * var_[i], nwr[i])
+                            nwi[i] = jnp.where(hit, nwi[i] + betaK * vai_[i], nwi[i])
+                    if copt >= 2:
+                        over = waK2 > max_wa
+                        # max(waK2, max_wa) keeps the ratio <= 1 so `scale` is
+                        # finite even when waK2 underflows toward 0; on `over`
+                        # lanes waK2 > max_wa so this equals the reference's
+                        # sqrt(max_wa/waK2) (pybeamformer.py:862-865) exactly.
+                        scale = jnp.sqrt(max_wa / jnp.maximum(waK2, max_wa))
+                        for i in range(Bc):
+                            nwr[i] = jnp.where(over, nwr[i] * scale, nwr[i])
+                            nwi[i] = jnp.where(over, nwi[i] * scale, nwi[i])
+                            dK[i] = jnp.where(over, d0, dK[i])
+                        for n in range(len(pairs)):
+                            offKr[n] = jnp.where(over, 0.0, offKr[n])
+                            offKi[n] = jnp.where(over, 0.0, offKi[n])
+
+                # ---- silence gate + dead-lane pinning, state write-back ----
+                # (selects, not blends — see the NaN note at `gate` above)
+                for i in range(Bc):
+                    d_new = jnp.where(gate, dK[i], dlist[i])
+                    # paired mode has no dead lanes to pin
+                    d_s[i, sld] = d_new if paired else jnp.where(active, d_new, d0)
+                    war_s[i, sld] = jnp.where(gate, nwr[i], war[i])
+                    wai_s[i, sld] = jnp.where(gate, nwi[i], wai[i])
+                for n in range(len(pairs)):
+                    offr_new = jnp.where(gate, offKr[n], offr[n])
+                    offi_new = jnp.where(gate, offKi[n], offi[n])
+                    offr_s[n, sld] = offr_new if paired else jnp.where(
+                        active, offr_new, 0.0)
+                    offi_s[n, sld] = offi_new if paired else jnp.where(
+                        active, offi_new, 0.0)
+                en_s[sld] = en_s[sld] * beta + (1.0 - beta) * en_b
+
+                # ---- GSC output with gated weights ----
+                war2 = [war_s[i, sld] for i in range(Bc)]
+                wai2 = [wai_s[i, sld] for i in range(Bc)]
+                Yr, Yi = Ycr, Yci
+                for i in range(Bc):
+                    tr, ti = _cmul(war2[i], wai2[i], Zr[i], Zi[i])
+                    Yr = Yr - tr
+                    Yi = Yi - ti
+                Yr = jnp.where(t >= cfg.min_frames, Yr, Ycr)
+                Yi = jnp.where(t >= cfg.min_frames, Yi, Yci)
+
+                # ---- fused Zelinski postfilter ----
+                alr, ali = [], []
+                for c in range(C):
+                    tr_, ti_ = ta_ref[0, c, sld], ta_ref[1, c, sld]
+                    ar_, ai_ = _cmul(tr_, -ti_, Xre[c], Xim[c])  # conj(ta) * X
+                    alr.append(ar_)
+                    ali.append(ai_)
+                psr = psi = 0.0
+                for i, j in cpairs:
+                    tr, ti = _cmul_conj(alr[i], ali[i], alr[j], ali[j])
+                    psr = psr + tr
+                    psi = psi + ti
+                dsum = 0.0
+                for c in range(C):
+                    dsum = dsum + alr[c] * alr[c] + ali[c] * ali[c]
+                # smoothing starts at the reference's THIRD call; apply gate is
+                # min_frames+1 (pre-increment frame_no_, postfilter.cc:424-473)
+                ppr = jnp.where(t > 1, pf_alpha * ppr_s[sld] + (1.0 - pf_alpha) * psr, psr)
+                ppi = jnp.where(t > 1, pf_alpha * ppi_s[sld] + (1.0 - pf_alpha) * psi, psi)
+                pd = jnp.where(t > 1, pf_alpha * pd_s[sld] + (1.0 - pf_alpha) * dsum, dsum)
+                ppr_s[sld] = ppr
+                ppi_s[sld] = ppi
+                pd_s[sld] = pd
+                if real_mode:
+                    num = jnp.maximum(ppr, 0.0)
+                else:
+                    num = jnp.sqrt(ppr * ppr + ppi * ppi)
+                ratio = jnp.where(pd > 0, num / jnp.where(pd > 0, pd, 1.0), 0.0)
+                W = jnp.clip(ratio * (2.0 / (C - 1.0)), SPECTRAL_FLOOR, 1.0)
+                apply_pf = t > pf_min_frames
+                Yr_o = jnp.where(apply_pf, Yr * W, Yr)
+                Yi_o = jnp.where(apply_pf, Yi * W, Yi)
+
+                # ---- repack [Re(0..Mh) | Im(1..Mh-1)] ----
+                if paired:
+                    # per group: [Re(0..Mh-1) | 0, Im(1..Mh-1)] — the Re(Mh)
+                    # slot (second-half lane 0) is zero here; bin Mh is merged
+                    # by the XLA side pass.  Bin 0's imaginary lane is exactly
+                    # zero by the real-DC-weights invariant, so no masking is
+                    # needed.  Stores are REF slices (16-sublane values fault).
+                    for hh in range(2):
+                        lanes = slice(hh * Mh, (hh + 1) * Mh)
+                        rows = slice(gidx * 16 + hh * 8, gidx * 16 + hh * 8 + 8)
+                        pk = jnp.concatenate(
+                            [Yr_o[:, lanes], Yi_o[:, lanes]], axis=-1)
+                        if synthesis is None:
+                            out_ref[k, rows, :] = pk
+                        else:
+                            ys_s[2 * gidx + hh, k, :, :] = pk
+                    # aux: frame energy at lanes 0/Mh (group 0/1) + per-channel
+                    # Nyquist-bin snapshots rolled to lanes 1+c / Mh+1+c
+                    aux = en_b * m0p
+                    for c in range(C):
+                        aux = aux + pltpu.roll(vcats[c] * m0p, 1 + c, axis=1)
+                    aux_ref[k, sld, :] = aux
+                elif synthesis is None:
+                    out_ref[k, :, :] = jnp.concatenate(
+                        [Yr_o[:, :Mh],
+                         Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
+                        axis=-1,
+                    )
+                else:
+                    ys_s[k, :, :] = jnp.concatenate(
+                        [Yr_o[:, :Mh],
+                         Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
+                        axis=-1,
+                    )
 
         if synthesis is not None:
             # ---- in-kernel synthesis bank: DFT matmul + polyphase FIR +
@@ -579,12 +592,12 @@ def _make_kernel(cfg, C: int, Bc: int, K: int, Mh: int, pf_alpha: float,
             mR = m_ * R_
             pdel = synthesis["pd"]
             if paired:
-                syn_units = [(ys_halves[g], cring_halves[g], groups[g])
-                             for g in range(2)]
+                syn_units = [(ys_s.at[h], cring_s.at[h], group_slices[h])
+                             for h in range(2 * G_count)]
             else:
                 syn_units = [(ys_s, cring_s, slice(None))]
             for ys_u, cring_u, gsl in syn_units:
-                Bu = ys_u.shape[1]
+                Bu = 8 if paired else ys_u.shape[1]
                 c_tile = jax.lax.dot_general(
                     ys_u[...].reshape(K * Bu, M),
                     S_ref[:],
@@ -814,11 +827,10 @@ def _call_fused_mono(blocks_tm, hw, A, S, gf, wq_planes, bm_planes,
     if paired:
         out_specs.append(pl.BlockSpec((K, Bv, M), lambda b, t: (t, b, 0)))
         out_shape.append(jax.ShapeDtypeStruct((nT * K, nB * Bv, M), f32))
+        G = Bb // 16
         scratch += [
-            pltpu.VMEM((K, Bv, M), f32),       # ys group 0
-            pltpu.VMEM((K, Bv, M), f32),       # ys group 1
-            pltpu.VMEM((mR - 1, Bv, M), f32),  # cring group 0
-            pltpu.VMEM((mR - 1, Bv, M), f32),  # cring group 1
+            pltpu.VMEM((2 * G, K, 8, M), f32),       # ys per (group, half)
+            pltpu.VMEM((2 * G, mR - 1, 8, M), f32),  # cring per (group, half)
         ]
     else:
         scratch += [
@@ -957,8 +969,11 @@ def _fused_prep(x, h, fb, wqH, BmH, wq_manifold, frame_tile, batch_tile,
     ta = np.asarray(wq_manifold)
 
     if paired:
-        return (blocks_tm, hw, A, _paired_planes(wq, M), _paired_planes(bm, M),
-                _paired_planes(ta, M), K, 16, n_frames)
+        Bbp = 16 * max(1, ILP_GROUPS)
+        pr = Bbp // 2
+        return (blocks_tm, hw, A, _paired_planes(wq, M, pr),
+                _paired_planes(bm, M, pr), _paired_planes(ta, M, pr),
+                K, Bbp, n_frames)
 
     Bb = _safe_bb(batch_tile, B, interpret)
 
@@ -1082,15 +1097,16 @@ def paired_scan_ok(wqH, BmH, wq_manifold) -> bool:
     return True
 
 
-def _paired_planes(w: np.ndarray, M: int) -> jax.Array:
-    """[F, ...] complex -> [2, ..., 8, M] f32 planes for paired mode:
+def _paired_planes(w: np.ndarray, M: int, rows: int = 8) -> jax.Array:
+    """[F, ...] complex -> [2, ..., rows, M] f32 planes for paired mode:
     bins 0..M/2-1 on lanes [0, M/2), duplicated on lanes [M/2, M) (the two
-    row groups see the same weights), pre-tiled over the 8 sublane rows."""
+    row groups see the same weights), pre-tiled over the ``rows`` sublane
+    rows (8 per ILP group — the kernel slices 8 at a time)."""
     Mh = M // 2
     wm = np.moveaxis(np.asarray(w)[:Mh], 0, -1)  # [..., Mh]
     half = np.stack([wm.real, wm.imag]).astype(np.float32)  # [2, ..., Mh]
     pl_ = np.concatenate([half, half], axis=-1)  # [2, ..., M]
-    pl_ = np.broadcast_to(pl_[..., None, :], pl_.shape[:-1] + (8, M))
+    pl_ = np.broadcast_to(pl_[..., None, :], pl_.shape[:-1] + (rows, M))
     return jnp.asarray(np.ascontiguousarray(pl_))
 
 
@@ -1216,10 +1232,12 @@ def gsc_rls_zelinski_pallas(
     paired = PAIRED and paired_scan_ok(wq, bm, ta)
     Ypt = jnp.moveaxis(Yp, 2, 1)  # [Tf, C, B, M]: see x_ref layout note
     if paired:
+        Bbp = 16 * max(1, ILP_GROUPS)
+        pr = Bbp // 2
         out, aux = _call(
-            Ypt, _paired_planes(wq, M), _paired_planes(bm, M),
-            _paired_planes(ta, M), cfg, float(pf_alpha), int(pf_type),
-            int(pf_min_frames), int(frame_tile), 16, interpret, True,
+            Ypt, _paired_planes(wq, M, pr), _paired_planes(bm, M, pr),
+            _paired_planes(ta, M, pr), cfg, float(pf_alpha), int(pf_type),
+            int(pf_min_frames), int(frame_tile), Bbp, interpret, True,
         )
         e, _ = _decode_aux(aux, B, C, M)
         # Nyquist snapshots come straight from the packed input lanes
@@ -1314,7 +1332,8 @@ def gsc_rls_zelinski_steered_pallas(
     """
     Tf, B, C, M = Yp.shape
     Mh = M // 2
-    Bpad = -(-B // 16) * 16
+    Bbp = 16 * max(1, ILP_GROUPS)
+    Bpad = -(-B // Bbp) * Bbp
     if Bpad > B:
         padw = ((0, Bpad - B),) + ((0, 0),) * 3
         wq_p = jnp.pad(wq_b, padw[:3], mode="edge")
@@ -1328,7 +1347,7 @@ def gsc_rls_zelinski_steered_pallas(
     Ypt = jnp.moveaxis(Yp, 2, 1)
     out, aux = _call(
         Ypt, planes_wq, planes_bm, planes_ta, cfg, float(pf_alpha),
-        int(pf_type), int(pf_min_frames), int(frame_tile), 16, interpret,
+        int(pf_type), int(pf_min_frames), int(frame_tile), Bbp, interpret,
         True, True,
     )
     e, _ = _decode_aux(aux, B, C, M)
@@ -1344,18 +1363,31 @@ def gsc_rls_zelinski_steered_pallas(
 
 
 def _make_fw_kernel(C: int, K: int, Mh: int, pf_alpha: float, pf_type: int,
-                    pf_min_frames: int):
+                    pf_min_frames: int, analysis=None, synthesis=None):
     """Fixed-weight variant of `_make_kernel`: apply ``Y = wq^H X`` and the
     fused Zelinski recursion; only the CSD accumulators live in VMEM.  Used
     by the D&S / SD-MVDR / LCMV pipelines, whose postfilter EMA scan is the
     launch-bound stage on TPU (VERDICT r2 weakness: the coherence
-    postfilters ran as a separate sequential CSD scan)."""
+    postfilters ran as a separate sequential CSD scan).
+
+    ``analysis``/``synthesis``: same dicts as `_make_kernel` — with both
+    set, this is the fixed-weight MONO kernel (raw samples -> analysis ->
+    ``wq^H X`` -> Zelinski -> synthesis in ONE pallas_call; round-5,
+    VERDICT r4 #6): strictly simpler than the adaptive mono kernel (no
+    recursion chain, ~4x fewer per-frame ops), so the BASELINE config-1/2
+    chains run faster than the flagship."""
     cpairs = [(i, j) for i in range(C) for j in range(C) if i < j]
     real_mode = bool(pf_type & 0x01)
     M = 2 * Mh
 
-    def kernel(x_ref, wq_ref, ta_ref, out_ref, ppr_s, ppi_s, pd_s):
+    def kernel(*refs):
         from jax.experimental import pallas as pl
+
+        if analysis is None:
+            (x_ref, wq_ref, ta_ref, out_ref, ppr_s, ppi_s, pd_s) = refs
+        else:
+            (a_ref, b_ref, hw_ref, A_ref, S_ref, gf_ref, wq_ref, ta_ref,
+             out_ref, ppr_s, ppi_s, pd_s, ys_s, cring_s) = refs
 
         tt = pl.program_id(1)
         Bb = out_ref.shape[1]
@@ -1363,18 +1395,45 @@ def _make_fw_kernel(C: int, K: int, Mh: int, pf_alpha: float, pf_type: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, M), 1)
         m0 = (lane[:, :Mh] == 0).astype(jnp.float32)
 
+        if analysis is not None:
+            m_, R_, D_ = analysis["m"], analysis["R"], analysis["D"]
+            prec = analysis["prec"]
+            mR = m_ * R_
+            win = jnp.concatenate([a_ref[:], b_ref[: mR - 1]], axis=0)
+            P_all = []
+            for c in range(C):
+                acc = None
+                for j in range(R_):
+                    w = None
+                    for ktap in range(m_):
+                        off = (m_ - 1 - ktap) * R_ + j
+                        t_ = (hw_ref[j * m_ + ktap, :][None, None, :]
+                              * win[off : off + K, c])
+                        w = t_ if w is None else w + t_
+                    term = jax.lax.dot_general(
+                        w.reshape(K * Bb, D_),
+                        A_ref[j * D_ : (j + 1) * D_, :],
+                        (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = term if acc is None else acc + term
+                P_all.append(acc.reshape(K, Bb, M))
+
         @pl.when(tt == 0)
         def _init():
             ppr_s[...] = jnp.zeros(ppr_s.shape, jnp.float32)
             ppi_s[...] = jnp.zeros(ppi_s.shape, jnp.float32)
             pd_s[...] = jnp.zeros(pd_s.shape, jnp.float32)
+            if synthesis is not None:
+                cring_s[...] = jnp.zeros(cring_s.shape, jnp.float32)
 
         for k in range(K):
             t = tt * K + k
 
             Xre, Xim = [], []
             for c in range(C):
-                P = x_ref[k, c]
+                P = P_all[c][k] if analysis is not None else x_ref[k, c]
                 U, V = P[:, :Mh], P[:, Mh:]
                 Xre.append(jnp.concatenate([U, V * m0], axis=-1))
                 Xim.append(jnp.concatenate([V * (1.0 - m0), jnp.zeros_like(V)], axis=-1))
@@ -1418,10 +1477,43 @@ def _make_fw_kernel(C: int, K: int, Mh: int, pf_alpha: float, pf_type: int,
             Yr_o = jnp.where(apply_pf, Yr * W, Yr)
             Yi_o = jnp.where(apply_pf, Yi * W, Yi)
 
-            out_ref[k, :, :] = jnp.concatenate(
+            packed = jnp.concatenate(
                 [Yr_o[:, :Mh], Yi_o[:, :Mh] * (1.0 - m0) + Yr_o[:, Mh:] * m0],
                 axis=-1,
             )
+            if synthesis is None:
+                out_ref[k, :, :] = packed
+            else:
+                ys_s[k, :, :] = packed
+
+        if synthesis is not None:
+            # synthesis bank tail — identical algebra to `_make_kernel`'s
+            # (DFT matmul + polyphase FIR + OLA against the cring halo)
+            pdel = synthesis["pd"]
+            c_tile = jax.lax.dot_general(
+                ys_s[...].reshape(K * Bb, M),
+                S_ref[:],
+                (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            ).reshape(K, Bb, M)
+            window = jnp.concatenate([cring_s[...], c_tile], axis=0)
+            nS = K + R_ - 1
+            s = None
+            for kk in range(m_):
+                term = (gf_ref[kk, :][None, None, :]
+                        * window[(m_ - 1 - kk) * R_
+                                 : (m_ - 1 - kk) * R_ + nS])
+                s = term if s is None else s + term
+            u = jax.lax.broadcasted_iota(jnp.int32, (nS, 1, 1), 0)
+            s = jnp.where(tt * K - pdel + u - (R_ - 1) < 0, 0.0, s)
+            out = None
+            for j in range(R_):
+                seg = s[R_ - 1 - j : R_ - 1 - j + K, :,
+                        (R_ - 1 - j) * D_ : (R_ - j) * D_]
+                out = seg if out is None else out + seg
+            out_ref[:] = out
+            cring_s[...] = window[K : K + mR - 1]
 
     return kernel
 
@@ -1497,3 +1589,112 @@ def zelinski_apply_pallas(
         Yp, tiled(wqH), tiled(wq_manifold), float(pf_alpha), int(pf_type),
         int(pf_min_frames), int(frame_tile), Bb, interpret
     )
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _call_fw_mono(blocks_tm, hw, A, S, gf, wq_planes, ta_planes, pf_alpha,
+                  pf_type, pf_min_frames, K, Bb, pd, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops.pallas_kernels import _kernel_prec
+
+    n_rows, C, B, D = blocks_tm.shape
+    M = A.shape[0]
+    Mh = M // 2
+    mR = hw.shape[0]
+    R = M // D
+    m = mR // R
+
+    nT = n_rows // K - 1
+    nB = -(-B // Bb)
+    if nB * Bb > B:
+        blocks_tm = jnp.pad(
+            blocks_tm, ((0, 0), (0, 0), (0, nB * Bb - B), (0, 0)))
+
+    kernel = _make_fw_kernel(
+        C, K, Mh, pf_alpha, pf_type, pf_min_frames,
+        analysis={"m": m, "R": R, "D": D, "prec": _kernel_prec()},
+        synthesis={"pd": pd},
+    )
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((K, C, Bb, D), lambda b, t: (t, 0, b, 0)),
+            pl.BlockSpec((K, C, Bb, D), lambda b, t: (t + 1, 0, b, 0)),
+            pl.BlockSpec((mR, D), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((M, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((m, M), lambda b, t: (0, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+            pl.BlockSpec((2, C, Bb, M), lambda b, t: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, Bb, D), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((nT * K, nB * Bb, D), f32),
+        scratch_shapes=[
+            pltpu.VMEM((Bb, M), f32),          # phi_pair re
+            pltpu.VMEM((Bb, M), f32),          # phi_pair im
+            pltpu.VMEM((Bb, M), f32),          # phi_diag
+            pltpu.VMEM((K, Bb, M), f32),       # ys
+            pltpu.VMEM((mR - 1, Bb, M), f32),  # cring
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(blocks_tm, blocks_tm, hw, A, S, gf, wq_planes, ta_planes)
+    return out[:, :B, :]
+
+
+def analysis_fw_synthesis_pallas(
+    x: jax.Array,
+    h,
+    g,
+    fb,
+    wqH,
+    wq_manifold,
+    pf_alpha: float = 0.6,
+    pf_type: int = 1,
+    pf_min_frames: int = 0,
+    frame_tile: int = 16,
+    batch_tile: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fixed-weight MONO kernel: raw samples -> analysis bank ->
+    ``Y = wq^H X`` -> Zelinski -> synthesis bank in ONE pallas_call — the
+    BASELINE config-1/2 pipelines (D&S / SD-MVDR + Zelinski,
+    beamformer.cc:1095-1157,2350-2509 + postfilter.cc:57-148) with neither
+    spectrum ever in HBM.  Equal to
+    ``synthesis_tm_fused(zelinski_apply_pallas(analysis_tm_fused(x)))``.
+
+    ``x`` [B, C, T]; returns [B, T_out*D]."""
+    from ..ops import dft
+
+    p = fb
+    m, R, M, D = p.m, p.R, p.M, p.D
+    if M > dft.MATMUL_MAX_M:
+        raise ValueError("fused synthesis requires the DFT-matmul regime")
+    if D % 128 != 0 and not interpret:
+        raise ValueError("fused synthesis requires D % 128 == 0")
+    C = x.shape[1]
+    bm_dummy = np.zeros((M // 2 + 1, 1, C), np.complex64)
+    blocks_tm, hw, A, wq_t, _, ta_t, K, Bb, n_frames = _fused_prep(
+        x, h, fb, wqH, bm_dummy, wq_manifold, frame_tile, batch_tile,
+        interpret, paired=False,
+    )
+    pd = p.synthesis_delay
+    T_out = n_frames - pd
+    if T_out <= 0:
+        raise ValueError(f"need more than {pd} subband frames, got {n_frames}")
+    perm = list(dft.segment_reversal_perm(M, R))
+    S = jnp.asarray(np.asarray(dft._synthesis_half_matrix_packed(M))[:, perm])
+    gf = jnp.asarray(
+        np.asarray(g, np.float32).reshape(m, M)[:, ::-1][:, perm])
+    out = _call_fw_mono(
+        blocks_tm, hw, A, S, gf, wq_t, ta_t, float(pf_alpha), int(pf_type),
+        int(pf_min_frames), K, Bb, int(pd), interpret,
+    )
+    y = out[pd : pd + T_out]
+    return jnp.transpose(y, (1, 0, 2)).reshape(x.shape[0], T_out * D)

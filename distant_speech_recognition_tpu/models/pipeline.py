@@ -459,18 +459,40 @@ def build_pipeline(
 
     if flags["pallas_fw"] and bin_sharding is None:
         from ..ops.pallas_kernels import analysis_tm_fused, synthesis_tm_fused
-        from .pallas_fused_scan import zelinski_apply_pallas
+        from .pallas_fused_scan import (
+            analysis_fw_synthesis_pallas,
+            fused_frame_tile,
+            zelinski_apply_pallas,
+        )
 
-        @jax.jit
-        def enhance(x):
-            """x: [B, C, T] -> [B, T_out] (fixed-weight packed TM fast path:
-            Pallas filterbanks + fused fixed-weight Zelinski kernel)."""
-            Yr = analysis_tm_fused(x, h, cfg.fb, packed=True)  # [Tf,B,C,M]
-            Yp = zelinski_apply_pallas(
-                Yr, wqH, wq_manifold,
-                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
-            )
-            return synthesis_tm_fused(Yp, g, cfg.fb)
+        if M <= dft.MATMUL_MAX_M and cfg.fb.D % 128 == 0:
+            # fixed-weight MONO kernel (round 5): analysis + wq^H X +
+            # Zelinski + synthesis in ONE pallas_call — strictly simpler
+            # than the adaptive mono kernel, so BASELINE configs 1-2 run
+            # at or above the flagship number
+            ftw = max(16, fused_frame_tile(cfg.fb))
+
+            @jax.jit
+            def enhance(x):
+                """x: [B, C, T] -> [B, T_out] (fixed-weight mono kernel)."""
+                return analysis_fw_synthesis_pallas(
+                    x, h, g, cfg.fb, wqH, wq_manifold,
+                    cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                    frame_tile=ftw, batch_tile=BATCH_TILE,
+                )
+        else:
+
+            @jax.jit
+            def enhance(x):
+                """x: [B, C, T] -> [B, T_out] (fixed-weight packed TM fast
+                path: Pallas filterbanks + fused fixed-weight Zelinski
+                kernel)."""
+                Yr = analysis_tm_fused(x, h, cfg.fb, packed=True)
+                Yp = zelinski_apply_pallas(
+                    Yr, wqH, wq_manifold,
+                    cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
+                )
+                return synthesis_tm_fused(Yp, g, cfg.fb)
 
     elif cfg.aec != "none" and not time_major:
 

@@ -9,6 +9,10 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# One ILP group in the Pallas-interpret tests: G only changes scheduling on
+# hardware, and interpret-mode wall time scales with G.  The G-machinery
+# itself is covered by test_pallas_fused.test_paired_ilp_groups.
+os.environ.setdefault("DSR_ILP_GROUPS", "1")
 
 import jax
 

@@ -484,3 +484,62 @@ def test_synthesis_nyq_contribution_exact(rng, protos):
     got_flat = np.moveaxis(got, 0, 1).reshape(B, T_out * p.D)
     assert got_flat.shape == want.shape
     np.testing.assert_allclose(got_flat, want, atol=1e-5 * max(np.abs(want).max(), 1))
+
+
+def test_paired_ilp_groups(rng, protos, monkeypatch):
+    """G=2 ILP groups (two independent 16-row pair-groups per grid step)
+    produce the same packed output as G=1 — pins the per-group state
+    slicing, the [2G,...] ys/cring scratch wiring, and the aux layout."""
+    from distant_speech_recognition_tpu.models import pallas_fused_scan as pfs
+    from distant_speech_recognition_tpu.ops.filterbank import FilterbankParams
+
+    h, g = protos
+    p = FilterbankParams(M=256, m=4, r=1, delay_compensation_type=2)
+    x, wqH, BmH, vs, cfg = _gsc_setup(rng, B=34, T=3500)  # 34 > 32 = G*16
+    monkeypatch.setattr(pfs, "PAIRED", True)
+    monkeypatch.setattr(pfs, "ILP_GROUPS", 1)
+    want = np.asarray(pfs.analysis_gsc_synthesis_pallas(
+        jnp.asarray(x), h, g, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        interpret=True))
+    monkeypatch.setattr(pfs, "ILP_GROUPS", 2)
+    got = np.asarray(pfs.analysis_gsc_synthesis_pallas(
+        jnp.asarray(x), h, g, p, wqH, BmH, vs, cfg, 0.6, 1, 2,
+        interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6 * np.abs(want).max())
+
+
+def test_fw_mono_matches_split(rng, protos):
+    """The fixed-weight MONO kernel (analysis + wq^H X + Zelinski +
+    synthesis in one pallas_call) == the split path
+    (zelinski_apply_pallas between the fused filterbank kernels) — the
+    BASELINE config-1/2 shape (D&S/SD-MVDR + Zelinski)."""
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        analysis_fw_synthesis_pallas,
+        zelinski_apply_pallas,
+    )
+    from distant_speech_recognition_tpu.ops.filterbank import (
+        FilterbankParams,
+        synthesis_half_real_tm,
+    )
+    from distant_speech_recognition_tpu.utils import geometry
+
+    h, g = protos
+    M, C, B, T = 256, 4, 3, 5000
+    p = FilterbankParams(M=M, m=4, r=1, delay_compensation_type=2)
+    x = (rng.standard_normal((B, C, T)) * 1500).astype(np.float32)
+    mpos = np.c_[np.arange(C) * 50.0, np.zeros((C, 2))]
+    delays = geometry.calc_la_delays(mpos[:, :1], azimuth=np.pi / 3)
+    vs = np.asarray(array_manifold(M, 16000.0, delays))
+    wqH = np.conj(vs)
+
+    Yr = analysis_tm_fused(jnp.asarray(x), jnp.asarray(h), p, packed=True,
+                           interpret=True)
+    Yp = zelinski_apply_pallas(Yr, wqH, vs, 0.6, 2, 2, interpret=True)
+    want = np.asarray(synthesis_half_real_tm(Yp, jnp.asarray(g, jnp.float32), p))
+    got = np.asarray(analysis_fw_synthesis_pallas(
+        jnp.asarray(x), h, g, p, wqH, vs, 0.6, 2, 2, interpret=True))
+    T_out = Yp.shape[0] - p.synthesis_delay
+    assert got.shape == (B, T_out * p.D) == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
