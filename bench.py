@@ -388,6 +388,21 @@ def main():
                 "(__graft_entry__.dryrun_multichip)",
     }
 
+    # Sequential-floor latency model (VERDICT r4 #1): the mono kernel's
+    # cost decomposes as steps(K) * (a + K*c); fit (a, c) from a K=16 and
+    # a K=32 run at B=512 and report the model error — the proof that the
+    # flagship number sits on the recursion's sequential speed of light
+    # (VPU-issue bound; batch tiles >8 rows/op, ILP groups and K=32 were
+    # all measured throughput-neutral on v5e).  Runs AFTER the main
+    # metric in its own section (an extra kernel compile before the main
+    # warmup destabilized the axon backend).  BENCH_LATMODEL=0 skips it.
+    if os.environ.get("BENCH_LATMODEL", "1") != "0":
+        try:
+            out["mono_latency_model"] = _latency_model(
+                cfg, h, g, mpos, delays, x[:512], reduce)
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["mono_latency_model"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # Streaming latency: per-chunk p50/p99 + real-time factor for the
     # deployment mode the reference's pull-stream architecture exists for
     # (stream/stream.h:16-88).  BENCH_STREAMING=0 skips it.
@@ -411,6 +426,58 @@ def main():
             out["device_golden"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps(out))
+
+
+def _latency_model(cfg, h, g, mpos, delays, x, reduce):
+    """Fit time(K) = nB*Tf*c + nB*(Tf/K)*a from K=16/32 mono-kernel runs."""
+    import jax
+
+    from distant_speech_recognition_tpu.models.adaptive_gsc import gsc_weights
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        ILP_GROUPS,
+        PAIRED,
+        analysis_gsc_synthesis_pallas,
+    )
+
+    fb = cfg.fb
+    B, C, T = x.shape
+    fs = cfg.samplerate
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        wqH, BmH = gsc_weights(fb.M, fs, delays, cfg.Nc)
+        ta = array_manifold(fb.M, fs, delays)
+        wqH, BmH, ta = np.asarray(wqH), np.asarray(BmH), np.asarray(ta)
+    xd = jax.device_put(x)
+    ts = {}
+    for K in (16, 32):
+        mono = jax.jit(
+            lambda xx, K=K: analysis_gsc_synthesis_pallas(
+                xx, h, g, fb, wqH, BmH, ta, cfg.rls,
+                cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames, frame_tile=K,
+            )
+        )
+        ts[K] = _time_fetch_synced(mono, (xd,), reduce)
+        del mono
+    del xd
+    rows = 16 * max(1, ILP_GROUPS) if PAIRED else 8
+    nB = -(-B // rows)
+    Tf = T // fb.D + 2
+    a_s = (ts[16] - ts[32]) / (nB * Tf / 32.0)
+    c_s = (ts[32] - nB * (Tf / 32.0) * a_s) / (nB * Tf)
+    pred16 = nB * Tf * c_s + nB * (Tf / 16.0) * a_s
+    return {
+        "batch": B,
+        "a_us_per_step": round(a_s * 1e6, 3),
+        "c_us_per_frame_step": round(c_s * 1e6, 4),
+        "rows_per_step": rows,
+        "pred_ms_k16": round(pred16 * 1e3, 2),
+        "measured_ms_k16": round(ts[16] * 1e3, 2),
+        "measured_ms_k32": round(ts[32] * 1e3, 2),
+        "model_err_pct": round(100 * abs(pred16 - ts[16]) / ts[16], 2),
+        "note": "sequential floor = nB*Tf*c; c = per-frame VPU-issue cost "
+                "of the GSC-RLS+Zelinski recursion (~1.2 cycles/op); batch "
+                "tiles >8 rows/op, ILP groups, K=32 all throughput-neutral",
+    }
 
 
 def _streaming_latency(cfg, mpos, delays, h, g):
@@ -701,48 +768,6 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
             + est["gsc_rls_zelinski_scan"]["gflop"]
             + est["synthesis"]["gflop"],
         }
-        # Sequential-floor latency model (VERDICT r4 #1): the mono kernel's
-        # cost decomposes as steps(K) * (a + K*c) with a the per-grid-step
-        # overhead and c the per-frame recursion cost.  Fit (a, c) from the
-        # production K=16 run plus one K=32 run and report the model error —
-        # the proof that the measured number sits on the kernel's sequential
-        # speed of light (the recursion is VPU-issue bound; wider batch
-        # tiles / ILP groups / K were all measured throughput-neutral).
-        try:
-            mono32 = jax.jit(
-                lambda x: analysis_gsc_synthesis_pallas(
-                    x, h, g, fb, wqH, BmH, ta, cfg.rls,
-                    cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames,
-                    frame_tile=32,
-                )
-            )
-            t32 = _time_fetch_synced(mono32, (xd,), reduce)
-            t16 = times["mono_kernel_end_to_end"]
-            from distant_speech_recognition_tpu.models.pallas_fused_scan import (
-                ILP_GROUPS, PAIRED,
-            )
-
-            rows = 16 * max(1, ILP_GROUPS) if PAIRED else 8
-            nB = -(-B // rows)
-            Tf = T // fb.D + 2  # ~frame count (exact nT*K rows)
-            # t(K) = nB*Tf*c + nB*(Tf/K)*a
-            a_s = (t16 - t32) / (nB * Tf / 32.0)
-            c_s = (t32 - nB * (Tf / 32.0) * a_s) / (nB * Tf)
-            pred16 = nB * Tf * c_s + nB * (Tf / 16.0) * a_s
-            est["mono_latency_model"] = {
-                "a_us_per_step": round(a_s * 1e6, 3),
-                "c_us_per_frame_step": round(c_s * 1e6, 4),
-                "rows_per_step": rows,
-                "pred_ms_k16": round(pred16 * 1e3, 2),
-                "measured_ms_k16": round(t16 * 1e3, 2),
-                "model_err_pct": round(100 * abs(pred16 - t16) / t16, 2),
-                "note": "sequential floor = nB*Tf*c; c is the per-frame "
-                        "VPU-issue cost of the GSC-RLS+Zelinski recursion "
-                        "(measured ~1.2 cycles/op; batch tiles >8 rows/op, "
-                        "ILP groups and K=32 all throughput-neutral on v5e)",
-            }
-        except Exception as e:  # pragma: no cover
-            est["mono_latency_model"] = {"error": str(e)[:120]}
 
     out = {"pallas_fb": bool(pallas_fb), "pallas_scan": bool(pallas_scan)}
     for name, dt in times.items():
@@ -758,8 +783,6 @@ def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
             "bound": "hbm" if hbm_frac > max(mxu_frac, 0.15)
                      else ("mxu" if mxu_frac > 0.15 else "launch/sequential"),
         }
-    if "mono_latency_model" in est:
-        out["mono_latency_model"] = est["mono_latency_model"]
     return out
 
 
