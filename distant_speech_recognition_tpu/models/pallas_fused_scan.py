@@ -1137,13 +1137,23 @@ def _nyquist_sidepass(Xn, e, wqH, BmH, wq_manifold, cfg, pf_alpha, pf_type,
     Returns the real beamformed+postfiltered Nyquist stream [Tf, B]."""
     from .adaptive_gsc import gsc_postfilter_fused
 
+    def _c(w):
+        # complex weights as RE/IM f32 jit constants + in-graph lax.complex:
+        # complex64 CONSTANTS break the axon backend when the enclosing jit
+        # re-traces at a second shape (the constant transfer path is
+        # UNIMPLEMENTED there; reproduced by bench.py's selfcheck-then-main
+        # double compile)
+        w = np.asarray(w)
+        return jax.lax.complex(jnp.asarray(w.real, jnp.float32),
+                               jnp.asarray(w.imag, jnp.float32))
+
     Mh_bin = np.asarray(wqH).shape[0] - 1
     X = Xn[:, :, None, :].astype(jnp.complex64)  # [Tf, B, F=1, C]
     Y = gsc_postfilter_fused(
         X, e,
-        jnp.asarray(np.asarray(wqH)[Mh_bin : Mh_bin + 1]),
-        jnp.asarray(np.asarray(BmH)[Mh_bin : Mh_bin + 1]),
-        jnp.asarray(np.asarray(wq_manifold)[Mh_bin : Mh_bin + 1]),
+        _c(np.asarray(wqH)[Mh_bin : Mh_bin + 1]),
+        _c(np.asarray(BmH)[Mh_bin : Mh_bin + 1]),
+        _c(np.asarray(wq_manifold)[Mh_bin : Mh_bin + 1]),
         "rls", cfg, pf_alpha, pf_type, pf_min_frames,
     )
     # the packed layout keeps only the real part of the Nyquist bin
