@@ -64,6 +64,28 @@ class SynthesisState(NamedTuple):
     count: jax.Array  # scalar int32: pushes seen so far
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _idft_mats(M: int):
+    """f32 cos/sin matrices for ``X[k] = sum_n v[n] e^{+2 pi i n k / M}``
+    (= M * ifft): the axon TPU backend has no complex FFT, and the DFT as
+    two f32 matmuls rides the MXU like the batch path (ops/dft)."""
+    n = np.arange(M)
+    ang = 2.0 * np.pi * np.outer(n, n) / M
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+@lru_cache(maxsize=8)
+def _dft_real_mats(M: int):
+    """f32 matrices for ``c[n] = Re(sum_k Y[k] e^{-2 pi i k n / M})``
+    (= real(fft)): c = Yr @ C + Yi @ S."""
+    n = np.arange(M)
+    ang = 2.0 * np.pi * np.outer(n, n) / M
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
 def analysis_init(params: FilterbankParams, lead: tuple = (), dtype=jnp.float32) -> AnalysisState:
     return AnalysisState(hist=jnp.zeros(lead + (params.N - params.D,), dtype))
 
@@ -104,7 +126,9 @@ def streaming_analysis(state: AnalysisState, x_chunk: jax.Array, h: jax.Array,
     )
     prod = windows[..., ::-1] * jnp.asarray(h, x_chunk.dtype)
     v = prod.reshape(prod.shape[:-1] + (m, M)).sum(axis=-2)
-    X = jnp.fft.ifft(v, axis=-1) * M
+    # M * ifft as two f32 DFT matmuls (no complex FFT on the axon backend)
+    Cm, Sm = _idft_mats(M)
+    X = jax.lax.complex(v @ jnp.asarray(Cm), v @ jnp.asarray(Sm))
     return AnalysisState(hist=xx[..., -(N - D):]), X.astype(jnp.complex64)
 
 
@@ -123,7 +147,10 @@ def streaming_synthesis(state: SynthesisState, Y_chunk: jax.Array, g: jax.Array,
     lead = Y_chunk.ndim - 2
     T = Y_chunk.shape[-2]
 
-    c = jnp.real(jnp.fft.fft(Y_chunk, axis=-1)).astype(state.c_hist.dtype)
+    # real(fft) as two f32 DFT matmuls (no complex FFT on the axon backend)
+    Cm, Sm = _dft_real_mats(M)
+    c = (jnp.real(Y_chunk) @ jnp.asarray(Cm)
+         + jnp.imag(Y_chunk) @ jnp.asarray(Sm)).astype(state.c_hist.dtype)
     call = jnp.concatenate([state.c_hist, c], axis=lead)  # [(m-1)R + T, M]
     gf = jnp.asarray(g, c.dtype).reshape(m, M)[:, ::-1]
     # s for push q = sum_k gf[k] * c[q - k R]; row (t + k R) of ``call`` is
@@ -148,6 +175,49 @@ def streaming_synthesis(state: SynthesisState, Y_chunk: jax.Array, g: jax.Array,
         count=state.count + T,
     )
     return new, out.reshape(out.shape[:lead] + (T * D,))
+
+
+def _dev_make(fn):
+    """Build state arrays under jit: the axon TPU backend rejects EAGER
+    complex array ops (broadcast/asarray/multiply hit UNIMPLEMENTED), while
+    the same constructions compile fine inside a jitted program."""
+    import jax
+
+    return jax.jit(fn)()
+
+
+def _host_complex(a):
+    """Device complex -> host numpy complex64 via an in-jit re/im split +
+    two f32 fetches (eager complex D2H transfer is unimplemented on
+    axon)."""
+    import jax
+
+    re, im = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))(a)
+    return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+
+
+def _host_tree(t):
+    """np.asarray over a pytree, routing complex leaves through
+    `_host_complex`."""
+    import jax
+
+    def one(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.complexfloating):
+            return _host_complex(a)
+        return np.asarray(a)
+
+    return jax.tree.map(one, t)
+
+
+def _dev_complex(w):
+    """numpy complex -> device complex64 via f32 re/im transfers + an
+    in-jit lax.complex (eager complex H2D transfer is unimplemented on
+    axon)."""
+    import jax
+
+    w = np.asarray(w)
+    return jax.jit(jax.lax.complex)(jnp.asarray(w.real, jnp.float32),
+                                    jnp.asarray(w.imag, jnp.float32))
 
 
 class _CSDState(NamedTuple):
@@ -259,34 +329,38 @@ class StreamingEnhancer:
         if cfg.beamformer == "gsc_lms":
             c = cfg.lms
             B = self.BmH.shape[1]
-            self.g_state = _LMSState(
+            self.g_state = _dev_make(lambda: _LMSState(
                 waH=jnp.zeros((F, B), jnp.complex64),
                 subband_energy=jnp.full((F,), c.init_diagonal_load, jnp.float32),
                 energy=jnp.asarray(c.init_diagonal_load, jnp.float32),
                 gamma=jnp.asarray(c.gamma, jnp.float32),
                 isamp=jnp.asarray(0, jnp.int32),
-            )
+            ))
         elif cfg.beamformer == "gsc_rls":
             c = cfg.rls
             B = self.BmH.shape[1]
-            self.g_state = rls_init_state((), F, B, c.init_diagonal_load)
+            self.g_state = _dev_make(
+                lambda: rls_init_state((), F, B, c.init_diagonal_load))
         else:
             self.g_state = None
         self.pf_state = (
-            _CSDState(phi=jnp.zeros((F, C, C), jnp.complex64), t=jnp.asarray(0, jnp.int32))
+            _dev_make(lambda: _CSDState(
+                phi=jnp.zeros((F, C, C), jnp.complex64),
+                t=jnp.asarray(0, jnp.int32)))
             if cfg.postfilter == "zelinski"
             else None
         )
         if cfg.aec == "nlms":
-            self.aec_state = _AECState(R=jnp.zeros((C, F), jnp.complex64))
+            self.aec_state = _dev_make(
+                lambda: _AECState(R=jnp.zeros((C, F), jnp.complex64)))
         elif cfg.aec == "kalman":
             # (beta, sigma2) ride the same config fields the pipeline maps
             # them to (PipelineConfig.aec_delta / aec_epsilon)
-            self.aec_state = _KalmanAECState(
+            self.aec_state = _dev_make(lambda: _KalmanAECState(
                 R=jnp.zeros((C, F), jnp.complex64),
                 sigma2_v=jnp.full((C, F), cfg.aec_epsilon, jnp.float32),
                 K_k=jnp.full((C, F), cfg.aec_epsilon, jnp.float32),
-            )
+            ))
         else:
             self.aec_state = None
         # WPE streaming default is APPLY-ONLY, like the reference: filters
@@ -302,10 +376,10 @@ class StreamingEnhancer:
         if cfg.wpe:
             P = cfg.wpe_upper - cfg.wpe_lower + 1
             self._wpe_P = P
-            self.wpe_state = _WPEState(
+            self.wpe_state = _dev_make(lambda: _WPEState(
                 hist=jnp.zeros((C, max(P - 1, 1), F), jnp.complex64),
                 t=jnp.asarray(0, jnp.int32),
-            )
+            ))
         if cfg.aec in ("nlms", "kalman"):
             self.pa_state = analysis_init(self.p)  # far-end analysis history
             self._psample_buf = np.zeros(0, np.float32)
@@ -329,18 +403,18 @@ class StreamingEnhancer:
         swapping them (e.g. block-online re-estimation) does NOT recompile."""
         if not self.cfg.wpe:
             raise ValueError("cfg.wpe is off")
-        G = jnp.asarray(G, jnp.complex64)
-        C, F, CP = G.shape
+        Gn = np.asarray(G, np.complex64)
+        C, F, CP = Gn.shape
         if CP != self._C * self._wpe_P or C != self._C or F != self._F:
             raise ValueError(f"expected G [{self._C}, {self._F}, "
-                             f"{self._C * self._wpe_P}], got {G.shape}")
+                             f"{self._C * self._wpe_P}], got {Gn.shape}")
         # reference apply-ring quirk: taps p >= P - lowerN never contribute
         # (models.dereverberation.wpe_apply)
         lower, P = self.cfg.wpe_lower, self._wpe_P
         if lower > 0:
             tap_ok = np.tile(np.arange(P) < P - lower, self._C)
-            G = G * jnp.asarray(tap_ok.astype(np.complex64))
-        self._wpe_G = G
+            Gn = Gn * tap_ok.astype(np.complex64)
+        self._wpe_G = _dev_complex(Gn)
 
     def enable_wpe_reestimation(self, context_frames: int = 512,
                                 every_chunks: int = 4) -> None:
@@ -453,9 +527,9 @@ class StreamingEnhancer:
 
     def _build_mid(self):
         cfg = self.cfg
-        wqH = jnp.asarray(self.wqH)
-        BmH = None if self.BmH is None else jnp.asarray(self.BmH)
-        wq_manifold = jnp.asarray(self.wq_manifold)
+        wqH = _dev_complex(self.wqH)
+        BmH = None if self.BmH is None else _dev_complex(self.BmH)
+        wq_manifold = _dev_complex(self.wq_manifold)
         M = self.p.M
         pf_step = (
             _zelinski_step_factory(wq_manifold, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames)
@@ -579,7 +653,7 @@ class StreamingEnhancer:
                 pchunk = np.concatenate(
                     [pchunk, np.zeros((pad_to - n, self.p.M), np.complex64)], axis=0
                 )
-            return jnp.asarray(chunk), jnp.asarray(pchunk)
+            return _dev_complex(chunk), _dev_complex(pchunk)
 
         while n_ready() >= self.Tc:
             chunk, pchunk = pop(self.Tc)
@@ -623,7 +697,7 @@ class StreamingEnhancer:
             chunk = self._sample_buf[:, : n_blocks * D]
             self._sample_buf = self._sample_buf[:, n_blocks * D :]
             self.a_state, frames = streaming_analysis(self.a_state, jnp.asarray(chunk), self.h, self.p)
-            frames = np.asarray(frames)
+            frames = _host_complex(frames)
             if self._skip_frames:
                 k = min(self._skip_frames, frames.shape[1])
                 frames = frames[:, k:]
@@ -640,7 +714,7 @@ class StreamingEnhancer:
                 self.pa_state, pframes = streaming_analysis(
                     self.pa_state, jnp.asarray(pchunk), self.h, self.p
                 )
-                pframes = np.asarray(pframes)
+                pframes = _host_complex(pframes)
                 if self._pskip_frames:
                     k = min(self._pskip_frames, pframes.shape[0])
                     pframes = pframes[k:]
@@ -673,7 +747,7 @@ class StreamingEnhancer:
     def checkpoint(self) -> dict:
         """Snapshot of all carried state + host bookkeeping (a pytree of
         numpy arrays; serialize with utils/checkpoint.save_pytree)."""
-        dev = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
+        dev = _host_tree
         return {
             "a_state": dev(self.a_state),
             "s_state": dev(self.s_state),
@@ -689,7 +763,7 @@ class StreamingEnhancer:
             "psample_buf": self._psample_buf if self.cfg.aec in ("nlms", "kalman") else None,
             "pframe_buf": self._pframe_buf if self.cfg.aec in ("nlms", "kalman") else None,
             "pskip_frames": self._pskip_frames if self.cfg.aec in ("nlms", "kalman") else None,
-            "wpe_G": None if self._wpe_G is None else np.asarray(self._wpe_G),
+            "wpe_G": None if self._wpe_G is None else _host_complex(self._wpe_G),
             "wpe_ctx": self._wpe_ctx,
             "wpe_chunks": self._wpe_chunks,
         }

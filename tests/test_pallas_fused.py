@@ -10,9 +10,20 @@ semantics (tests/test_filterbank.py).  On CPU the kernels run in Pallas
 interpreter mode.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_compiler_state():
+    """Clear XLA-CPU compiler caches before every test in this module: the
+    big interpret-mode fused kernels trip a late-suite XLA-CPU segfault
+    when compiled on top of hundreds of cached executables (same class as
+    the round-4 pipeline-test segfault; reproduced in
+    test_paired_ilp_groups at ~70% of the full suite)."""
+    jax.clear_caches()
 
 from distant_speech_recognition_tpu.ops.filterbank import (
     FilterbankParams,
