@@ -403,29 +403,42 @@ def main():
         except Exception as e:  # pragma: no cover - device-dependent
             out["mono_latency_model"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    # Streaming latency: per-chunk p50/p99 + real-time factor for the
-    # deployment mode the reference's pull-stream architecture exists for
-    # (stream/stream.h:16-88).  BENCH_STREAMING=0 skips it.
+    # Streaming latency + on-device per-family goldens run in FRESH
+    # SUBPROCESSES: the axon backend intermittently fails fresh compiles
+    # late in a long session (UNIMPLEMENTED with no detail; both sections
+    # pass standalone), and a new process sidesteps the poisoned state.
+    # BENCH_STREAMING=0 / BENCH_DEVICE_GOLDEN=0 skip them.
     if os.environ.get("BENCH_STREAMING", "1") != "0":
-        try:
-            out["streaming"] = _streaming_latency(cfg, mpos, delays, h, g)
-        except Exception as e:  # pragma: no cover - device-dependent
-            out["streaming"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        out["streaming"] = _subprocess_json(
+            "from distant_speech_recognition_tpu.utils.streaming_bench "
+            "import run; import json; print(json.dumps(run()))", 900)
 
-    # On-device per-family numerical verification (VERDICT r4 weak #4):
-    # device-vs-CPU max rel error per DSP family, CPU side anchored by the
-    # compiled-golden suite.  BENCH_DEVICE_GOLDEN=0 skips it.
     if os.environ.get("BENCH_DEVICE_GOLDEN", "1") != "0":
-        try:
-            from distant_speech_recognition_tpu.utils.device_golden import (
-                run as _dg_run,
-            )
-
-            out["device_golden"] = _dg_run()
-        except Exception as e:  # pragma: no cover - device-dependent
-            out["device_golden"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        out["device_golden"] = _subprocess_json(
+            "from distant_speech_recognition_tpu.utils.device_golden "
+            "import run; import json; print(json.dumps(run()))", 1200)
 
     print(json.dumps(out))
+
+
+def _subprocess_json(code, timeout_s):
+    """Run ``python -c code`` in a fresh process and parse its last stdout
+    line as JSON."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        line = r.stdout.strip().split("\n")[-1] if r.stdout.strip() else ""
+        if r.returncode != 0 or not line:
+            tail = (r.stderr or "")[-200:]
+            return {"error": f"subprocess rc={r.returncode}: {tail}"}
+        return json.loads(line)
+    except Exception as e:  # pragma: no cover
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def _latency_model(cfg, h, g, mpos, delays, x, reduce):
@@ -480,129 +493,6 @@ def _latency_model(cfg, h, g, mpos, delays, x, reduce):
                 "of the GSC-RLS+Zelinski recursion (~1.2 cycles/op); batch "
                 "tiles >8 rows/op, ILP groups, K=32 all throughput-neutral",
     }
-
-
-def _streaming_latency(cfg, mpos, delays, h, g):
-    """StreamingEnhancer per-chunk latency (p50/p99 over ~100 chunks) and
-    realtime factor at 2 chunk sizes, single stream (B=1 deployment mode)."""
-    import jax
-    import jax.numpy as jnp
-
-    from distant_speech_recognition_tpu.models.streaming import (
-        StreamingEnhancer,
-    )
-
-    fs = int(cfg.samplerate)
-    res = {}
-    rng = np.random.default_rng(3)
-    for fpc in (16, 64):
-        enh = StreamingEnhancer(cfg, mpos, delays, h, g,
-                                frames_per_chunk=fpc)
-        chunk = fpc * cfg.fb.D  # samples per chunk
-        xs = (rng.standard_normal((110, len(mpos), chunk)) * 1500).astype(
-            np.float32)
-        # warm the compiled step
-        enh.process(xs[0])
-        lats = []
-        t_all0 = time.perf_counter()
-        for i in range(1, 110):
-            t0 = time.perf_counter()
-            y = enh.process(xs[i])
-            np.asarray(y)  # host fetch = the only reliable sync (axon)
-            lats.append(time.perf_counter() - t0)
-        dt_all = time.perf_counter() - t_all0
-        lats_ms = np.sort(np.array(lats) * 1e3)
-        audio_per_chunk = chunk / fs
-        res[f"chunk_{fpc}f"] = {
-            "chunk_ms": round(audio_per_chunk * 1e3, 2),
-            "p50_ms": round(float(lats_ms[len(lats_ms) // 2]), 3),
-            "p99_ms": round(float(lats_ms[int(len(lats_ms) * 0.99)]), 3),
-            "rtf": round((dt_all / 109) / audio_per_chunk, 4),
-        }
-    return res
-
-
-def _nan_trigger_check(cfg, mpos, delays):
-    """Deterministic regression for the round-3 Pallas-scan device NaN.
-
-    Packed spectra with top bins scaled so the first adapted frame's
-    ||wa||^2 lands in [1.2e-38, 2.9e-37] — normal f32 but max_wa/waK2
-    overflows to inf.  The pre-fix kernel's arithmetic blends turned that
-    into 0*inf = NaN on v5e (Mosaic lowers the literal mul-add; XLA-CPU's
-    simplifier rewrote it to a select, which is why interpret mode hid it).
-    Returns "ok(rel=...)" when the production kernel is finite and matches
-    the XLA scan on device.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from distant_speech_recognition_tpu.models import pipeline as plmod
-    from distant_speech_recognition_tpu.models.adaptive_gsc import (
-        gsc_postfilter_fused,
-        gsc_weights,
-    )
-    from distant_speech_recognition_tpu.models.beamforming import array_manifold
-
-    if not plmod.PALLAS_SCAN or jax.default_backend() == "cpu":
-        return "pallas-scan-disabled"
-    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
-        gsc_rls_zelinski_pallas,
-        pallas_scan_supported,
-    )
-
-    M, fs, C = cfg.fb.M, cfg.samplerate, mpos.shape[0]
-    if not pallas_scan_supported(M, C):
-        return "shape-unsupported"
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
-        ta = array_manifold(M, fs, delays)
-        wqH, BmH, ta = np.asarray(wqH), np.asarray(BmH), np.asarray(ta)
-
-    Tf, B = 16, 8
-    rng = np.random.default_rng(0)
-    Yp = (rng.standard_normal((Tf, B, C, M)) * 100).astype(np.float32)
-    lo, hi = 3 * M // 8, M // 2  # near-silent top bins (Re and Im lanes)
-    Yp[..., lo:hi + 1] *= 1.8e-8
-    Yp[..., lo + M // 2:] *= 1.8e-8
-    rls = dataclasses.replace(cfg.rls, min_frames=2)
-    got = np.asarray(gsc_rls_zelinski_pallas(
-        jnp.asarray(Yp), wqH, BmH, ta, rls,
-        cfg.pf_alpha, cfg.pf_type, 0,
-    ))
-    want = np.asarray(jax.jit(lambda Ypj: gsc_postfilter_fused(
-        Ypj, None, jnp.asarray(wqH), jnp.asarray(BmH), jnp.asarray(ta),
-        "rls", rls, cfg.pf_alpha, cfg.pf_type, 0, True,
-    ))(jnp.asarray(Yp)))
-    if not np.isfinite(got).all():
-        return f"FAIL(nan={int(np.isnan(got).sum())})"
-    err = float(np.max(np.abs(got - want)))
-    scale = float(np.max(np.abs(want)) or 1.0)
-    rel = err / scale
-    return f"ok(rel={rel:.2e})" if rel <= 1e-4 else f"FAIL(rel={rel:.2e})"
-
-
-# v5e single-chip peaks used for roofline placement (public figures:
-# 197 TFLOP/s bf16 MXU, 819 GB/s HBM).  The DFT matmuls here run f32
-# (DSR_DFT_PRECISION), which the MXU executes at ~1/3 of bf16 rate via
-# 3-pass bf16 decomposition; fractions are reported against both.
-PEAK_HBM_GBPS = 819.0
-PEAK_MXU_TFLOPS_BF16 = 197.0
-
-
-def _time_fetch_synced(fn, args, reduce, iters=2):
-    # iters=2: each in-flight iteration holds a full-size result on device
-    # (3.3 GB for the analysis stage at bench shapes); 3 concurrent results
-    # plus the pipeline tensors exhausted the 16 GB HBM.
-    import time as _t
-
-    float(reduce(fn(*args)))  # compile + warm
-    t0 = _t.perf_counter()
-    ys = [fn(*args) for _ in range(iters)]
-    for y in ys:
-        float(reduce(y))
-    dt = (_t.perf_counter() - t0) / iters
-    del ys
-    return dt
 
 
 def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
