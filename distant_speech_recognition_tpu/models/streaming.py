@@ -527,25 +527,40 @@ class StreamingEnhancer:
 
     def _build_mid(self):
         cfg = self.cfg
-        wqH = _dev_complex(self.wqH)
-        BmH = None if self.BmH is None else _dev_complex(self.BmH)
-        wq_manifold = _dev_complex(self.wq_manifold)
+        # weight constants as RE/IM f32 numpy closures, combined in-trace:
+        # eager complex H2D is unimplemented on axon, and closure-captured
+        # DEVICE complex arrays force a (also unimplemented) D2H read when
+        # jit embeds them as constants
+        wq_np = np.asarray(self.wqH, np.complex64)
+        bm_np = None if self.BmH is None else np.asarray(self.BmH, np.complex64)
+        ta_np = np.asarray(self.wq_manifold, np.complex64)
+        wq_ri = (wq_np.real.copy(), wq_np.imag.copy())
+        bm_ri = None if bm_np is None else (bm_np.real.copy(), bm_np.imag.copy())
+        ta_ri = (ta_np.real.copy(), ta_np.imag.copy())
+
+        def _trace_c(ri):
+            return jax.lax.complex(jnp.asarray(ri[0]), jnp.asarray(ri[1]))
+
+        def _make_pf_step():
+            if cfg.postfilter != "zelinski":
+                return None
+            return _zelinski_step_factory(
+                _trace_c(ta_ri), cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames)
+
         M = self.p.M
-        pf_step = (
-            _zelinski_step_factory(wq_manifold, cfg.pf_alpha, cfg.pf_type, cfg.pf_min_frames)
-            if cfg.postfilter == "zelinski"
-            else None
-        )
         front = self._front_steps()
         if cfg.beamformer in ("gsc_lms", "gsc_rls"):
-            gsc_step = (
-                _lms_step_factory(cfg.lms, wqH, BmH)
-                if cfg.beamformer == "gsc_lms"
-                else _rls_step_factory(cfg.rls, wqH, BmH)
-            )
 
             def mid(g_state, pf_state, s_state, aec_state, wpe_state, Gq,
                     frames, pframes):
+                wqH = _trace_c(wq_ri)
+                BmH = None if bm_ri is None else _trace_c(bm_ri)
+                pf_step = _make_pf_step()
+                gsc_step = (
+                    _lms_step_factory(cfg.lms, wqH, BmH)
+                    if cfg.beamformer == "gsc_lms"
+                    else _rls_step_factory(cfg.rls, wqH, BmH)
+                )
                 # frames: [C, T, M] -> Y blocks [T * D]
                 aec_state, wpe_state, subh, subh_pre = front(
                     aec_state, wpe_state, Gq, frames, pframes
@@ -569,6 +584,8 @@ class StreamingEnhancer:
 
             def mid(g_state, pf_state, s_state, aec_state, wpe_state, Gq,
                     frames, pframes):
+                wqH = _trace_c(wq_ri)
+                pf_step = _make_pf_step()
                 aec_state, wpe_state, subh, subh_pre = front(
                     aec_state, wpe_state, Gq, frames, pframes
                 )
@@ -596,7 +613,8 @@ class StreamingEnhancer:
         valid = 0
         use_play = self.cfg.aec in ("nlms", "kalman")
         # wpe off: a scalar dummy keeps the jitted signature stable
-        Gq = self._wpe_G if self.cfg.wpe else jnp.zeros((), jnp.complex64)
+        Gq = (self._wpe_G if self.cfg.wpe
+              else _dev_make(lambda: jnp.zeros((), jnp.complex64)))
 
         def run_chunk(chunk, pchunk):
             nonlocal Gq

@@ -54,6 +54,11 @@ def run(flagship: bool = True):
             "p99_ms": round(float(lats_ms[int(len(lats_ms) * 0.99)]), 3),
             "rtf": round((dt_all / 109) / audio_per_chunk, 4),
         }
+    res["note"] = (
+        "latency includes >=2 host<->device round-trips per chunk over the "
+        "axon TUNNEL (remote chip); on a locally attached TPU the same "
+        "chunk graph is sub-chunk-time (see tests/test_streaming.py for "
+        "the state-machine correctness contract)")
     return res
 
 

@@ -77,7 +77,11 @@ def test_analysis_stream_matches_batch(dc):
     afb = compat.OverSampledDFTAnalysisBank(sf, h, M, m, r, delay_compensation_type=dc)
     frames = np.stack(list(afb))
     assert frames.shape[0] == num_analysis_frames(p, len(x)) == batch.shape[0]
-    np.testing.assert_allclose(frames, batch, atol=1e-3)
+    # scale-aware: the streaming bank computes the DFT as f32 cos/sin
+    # matmuls (no complex FFT on the axon backend) while the batch path
+    # here uses jnp.fft — pure reassociation noise (~1.5e-7 relative)
+    np.testing.assert_allclose(frames, batch,
+                               atol=1e-6 * np.abs(batch).max())
 
 
 def test_synthesis_stream_matches_batch():
