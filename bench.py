@@ -495,6 +495,89 @@ def _latency_model(cfg, h, g, mpos, delays, x, reduce):
     }
 
 
+def _nan_trigger_check(cfg, mpos, delays):
+    """Deterministic regression for the round-3 Pallas-scan device NaN.
+
+    Packed spectra with top bins scaled so the first adapted frame's
+    ||wa||^2 lands in [1.2e-38, 2.9e-37] — normal f32 but max_wa/waK2
+    overflows to inf.  The pre-fix kernel's arithmetic blends turned that
+    into 0*inf = NaN on v5e (Mosaic lowers the literal mul-add; XLA-CPU's
+    simplifier rewrote it to a select, which is why interpret mode hid it).
+    Returns "ok(rel=...)" when the production kernel is finite and matches
+    the XLA scan on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from distant_speech_recognition_tpu.models import pipeline as plmod
+    from distant_speech_recognition_tpu.models.adaptive_gsc import (
+        gsc_postfilter_fused,
+        gsc_weights,
+    )
+    from distant_speech_recognition_tpu.models.beamforming import array_manifold
+
+    if not plmod.PALLAS_SCAN or jax.default_backend() == "cpu":
+        return "pallas-scan-disabled"
+    from distant_speech_recognition_tpu.models.pallas_fused_scan import (
+        gsc_rls_zelinski_pallas,
+        pallas_scan_supported,
+    )
+
+    M, fs, C = cfg.fb.M, cfg.samplerate, mpos.shape[0]
+    if not pallas_scan_supported(M, C):
+        return "shape-unsupported"
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        wqH, BmH = gsc_weights(M, fs, delays, cfg.Nc)
+        ta = array_manifold(M, fs, delays)
+        wqH, BmH, ta = np.asarray(wqH), np.asarray(BmH), np.asarray(ta)
+
+    Tf, B = 16, 8
+    rng = np.random.default_rng(0)
+    Yp = (rng.standard_normal((Tf, B, C, M)) * 100).astype(np.float32)
+    lo, hi = 3 * M // 8, M // 2  # near-silent top bins (Re and Im lanes)
+    Yp[..., lo:hi + 1] *= 1.8e-8
+    Yp[..., lo + M // 2:] *= 1.8e-8
+    rls = dataclasses.replace(cfg.rls, min_frames=2)
+    got = np.asarray(gsc_rls_zelinski_pallas(
+        jnp.asarray(Yp), wqH, BmH, ta, rls,
+        cfg.pf_alpha, cfg.pf_type, 0,
+    ))
+    want = np.asarray(jax.jit(lambda Ypj: gsc_postfilter_fused(
+        Ypj, None, jnp.asarray(wqH), jnp.asarray(BmH), jnp.asarray(ta),
+        "rls", rls, cfg.pf_alpha, cfg.pf_type, 0, True,
+    ))(jnp.asarray(Yp)))
+    if not np.isfinite(got).all():
+        return f"FAIL(nan={int(np.isnan(got).sum())})"
+    err = float(np.max(np.abs(got - want)))
+    scale = float(np.max(np.abs(want)) or 1.0)
+    rel = err / scale
+    return f"ok(rel={rel:.2e})" if rel <= 1e-4 else f"FAIL(rel={rel:.2e})"
+
+
+# v5e single-chip peaks used for roofline placement (public figures:
+# 197 TFLOP/s bf16 MXU, 819 GB/s HBM).  The DFT matmuls here run f32
+# (DSR_DFT_PRECISION), which the MXU executes at ~1/3 of bf16 rate via
+# 3-pass bf16 decomposition; fractions are reported against both.
+PEAK_HBM_GBPS = 819.0
+PEAK_MXU_TFLOPS_BF16 = 197.0
+
+
+def _time_fetch_synced(fn, args, reduce, iters=2):
+    # iters=2: each in-flight iteration holds a full-size result on device
+    # (3.3 GB for the analysis stage at bench shapes); 3 concurrent results
+    # plus the pipeline tensors exhausted the 16 GB HBM.
+    import time as _t
+
+    float(reduce(fn(*args)))  # compile + warm
+    t0 = _t.perf_counter()
+    ys = [fn(*args) for _ in range(iters)]
+    for y in ys:
+        float(reduce(y))
+    dt = (_t.perf_counter() - t0) / iters
+    del ys
+    return dt
+
+
 def _stage_breakdown(cfg, h, g, mpos, delays, xd, reduce):
     """Time the flagship stages separately and place each on the roofline.
 
