@@ -388,6 +388,31 @@ def main():
                 "(__graft_entry__.dryrun_multichip)",
     }
 
+    # Fixed-weight chains (BASELINE configs 1-2: D&S and SD-MVDR +
+    # Zelinski) on the fixed-weight MONO kernel — strictly simpler than
+    # the adaptive chain, so these run at or above the flagship number
+    # (VERDICT r4 #6).  BENCH_FIXEDWEIGHT=0 skips it.
+    if os.environ.get("BENCH_FIXEDWEIGHT", "1") != "0":
+        out["fixed_weight"] = {}
+        for bftype in ("ds", "sd_mvdr"):
+            try:
+                cfgf = dataclasses.replace(cfg, beamformer=bftype,
+                                           postfilter="zelinski")
+                fnf = build_pipeline(cfgf, mpos, delays, h, g)
+                xf = jax.device_put(x)
+                float(reduce(fnf(xf)))  # compile + warm
+                t0 = time.perf_counter()
+                ys = [fnf(xf) for _ in range(3)]
+                for y in ys:
+                    float(reduce(y))
+                dtf = (time.perf_counter() - t0) / 3
+                del ys, fnf, xf
+                out["fixed_weight"][bftype] = round(
+                    B * secs / dtf / n_chips, 2)
+            except Exception as e:  # pragma: no cover
+                out["fixed_weight"][bftype] = f"error: {e}"[:120]
+        out["fixed_weight"]["batch"] = B
+
     # Sequential-floor latency model (VERDICT r4 #1): the mono kernel's
     # cost decomposes as steps(K) * (a + K*c); fit (a, c) from a K=16 and
     # a K=32 run at B=512 and report the model error — the proof that the
