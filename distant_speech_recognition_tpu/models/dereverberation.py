@@ -279,7 +279,7 @@ def wpe_multichannel_batched(
 
 
 def _wpe_em_planes(Yr, Yi, C, T, F, lowerN, P, iterations, load_db,
-                   diagonal_bias, band_width, samplerate, interpret, dtype):
+                   diagonal_bias, band_width, samplerate, interpret, dtype, bf16=False):
     """EM filter estimation from subband planes: the apply-ready (tap-
     truncated, band-masked) filters ``G [B, C, F, C*P]``."""
     from ..ops.pallas_wpe import gj_solve_pallas, wpe_stats_from_planes
@@ -298,7 +298,7 @@ def _wpe_em_planes(Yr, Yi, C, T, F, lowerN, P, iterations, load_db,
     for it in range(iterations):
         R, r = wpe_stats_from_planes(
             Yr, Yi, G, C, T, F, lowerN, P, interpret,
-            has_g=(it > 0), bins_minor=True,
+            has_g=(it > 0), bins_minor=True, bf16=bf16,
         )
         R = R + diagonal_bias * eye_l
         diag = jnp.abs(R[..., idx, idx, :])  # [B, C, CP, L]
@@ -319,7 +319,7 @@ def _wpe_em_planes(Yr, Yi, C, T, F, lowerN, P, iterations, load_db,
     return G
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def wpe_multichannel_packed_tm(
     Yp: jax.Array,
     F: int,
@@ -331,6 +331,7 @@ def wpe_multichannel_packed_tm(
     band_width: float = 0.0,
     samplerate: float = 16000.0,
     interpret: bool = False,
+    bf16_stats: bool = False,
 ) -> jax.Array:
     """`wpe_multichannel_batched` on PACKED time-major frames:
     ``Yp [Tf, B, C, M]`` with the ``[Re(0..M/2) | Im(1..M/2-1)]`` lane
@@ -362,7 +363,7 @@ def wpe_multichannel_packed_tm(
     Yr, Yi = group(re), group(im)
     G = _wpe_em_planes(Yr, Yi, C, Tf, F, lowerN, P, iterations, load_db,
                        diagonal_bias, band_width, samplerate, interpret,
-                       jnp.complex64)
+                       jnp.complex64, bf16=bf16_stats)
 
     from ..ops.pallas_wpe import _g_planes
 

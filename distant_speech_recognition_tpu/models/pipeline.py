@@ -118,6 +118,12 @@ class PipelineConfig:
     # batch axis (sequential lax.map of vmapped chunks) bounds it to
     # ~chunk x 26 MB at the bench shape instead of B x 26 MB (16+ GB).
     wpe_batch_chunk: int = 64
+    # Opt-in: run the WPE lag-covariance accumulation matmuls in bf16 with
+    # f32 accumulation (the dominant config-4 cost on v5e runs the MXU at
+    # native rate).  Default OFF — the compiled goldens certify the f32
+    # path; bench reports the bf16 chain's measured deviation alongside
+    # its speedup so deployments can make the tradeoff knowingly.
+    wpe_bf16_stats: bool = False
 
 
 def path_flags(cfg: "PipelineConfig", n_chan: int) -> dict:
@@ -594,6 +600,7 @@ def build_pipeline(
                         cfg.wpe_iterations,
                         band_width=cfg.wpe_band_width,
                         samplerate=cfg.samplerate,
+                        bf16_stats=cfg.wpe_bf16_stats,
                     )
             X = _unpack(Yr)  # [Tf, B, C, F] complex
             if cfg.aec != "none" and not pallas_aec:

@@ -61,7 +61,7 @@ def _shift(z, s):
 
 
 def _make_kernel(C: int, P: int, lowerN: int, T: int, mode: str,
-                 has_g: bool = True):
+                 has_g: bool = True, bf16: bool = False):
     """Refs (leading block-1 dims already squeezed by indexing):
     yr/yi [C*FL, W] subband planes (row a*FL+fl), gr/gi [C*FL, CP] filters
     (row c*FL+fl).  mode 'stats': outputs raw product planes [512, 128];
@@ -148,6 +148,14 @@ def _make_kernel(C: int, P: int, lowerN: int, T: int, mode: str,
         dn = (((1,), (1,)), ((), ()))
         dot = partial(jax.lax.dot_general, dimension_numbers=dn,
                       preferred_element_type=jnp.float32)
+        if bf16:
+            # opt-in (PipelineConfig.wpe_bf16_stats): the accumulation
+            # matmuls dominate the WPE estimate on v5e; bf16 operands with
+            # f32 accumulation run the MXU at native rate.  The EM weights
+            # 1/theta and the solve stay f32; bench reports the measured
+            # end-to-end deviation vs the f32 path alongside the speedup.
+            Ar, Ai = Ar.astype(jnp.bfloat16), Ai.astype(jnp.bfloat16)
+            Br, Bi = Br.astype(jnp.bfloat16), Bi.astype(jnp.bfloat16)
         P1 = dot(Ar, Br)
         P2 = dot(Ai, Bi)
         P3 = dot(Ar, Bi)
@@ -184,14 +192,16 @@ def _g_planes(G: jax.Array, nG: int):
     return jnp.real(Gp), jnp.imag(Gp)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
-def _call(Yr, Yi, Gr, Gi, C, lowerN, P, T, mode, interpret=False, has_g=True):
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _call(Yr, Yi, Gr, Gi, C, lowerN, P, T, mode, interpret=False, has_g=True,
+          bf16=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, nG, CFL, W = Yr.shape
     CP = C * P
-    kernel = _make_kernel(C, P, lowerN, T, mode, has_g)
+    kernel = _make_kernel(C, P, lowerN, T, mode, has_g,
+                          bf16 and mode == "stats")
 
     in_specs = [
         pl.BlockSpec((1, 1, CFL, W), lambda b, g: (b, g, 0, 0)),
@@ -232,7 +242,8 @@ def _call(Yr, Yi, Gr, Gi, C, lowerN, P, T, mode, interpret=False, has_g=True):
 
 
 def wpe_stats_from_planes(Yr, Yi, G, C, T, F, lowerN, P,
-                          interpret=False, has_g=True, bins_minor=False):
+                          interpret=False, has_g=True, bins_minor=False,
+                          bf16=False):
     """Stats from precomputed subband planes (see `wpe_stats_pallas`).
 
     ``bins_minor=True`` returns ``(R [B, C, CP, CP, Fpad],
@@ -244,7 +255,7 @@ def wpe_stats_from_planes(Yr, Yi, G, C, T, F, lowerN, P,
     CP = C * P
     Gr, Gi = _g_planes(G, nG)
     raw_re, raw_im = _call(Yr, Yi, Gr, Gi, C, lowerN, P, T, "stats",
-                           interpret, has_g)
+                           interpret, has_g, bf16)
     nrows = C * CP * FL
 
     eyeFL = jnp.eye(FL, dtype=jnp.float32)
