@@ -329,29 +329,6 @@ def main():
                 "batch": B4,
                 "chain": "nlms_aec+wpe+gsc_rls+zelinski",
             }
-            # opt-in bf16 WPE stats (PipelineConfig.wpe_bf16_stats): the
-            # lag-covariance matmuls run the MXU at native bf16 rate; the
-            # deviation vs the f32 chain is MEASURED on a small batch and
-            # recorded next to the speedup so the tradeoff is explicit
-            if os.environ.get("BENCH_CONFIG4_BF16", "1") != "0":
-                fn4b = build_pipeline(
-                    dataclasses.replace(cfg4, wpe_bf16_stats=True),
-                    mpos, delays, h, g)
-                y32 = np.asarray(fn4(x4[:8], p4[:8]))
-                y16 = np.asarray(fn4b(x4[:8], p4[:8]))
-                rel = float(np.max(np.abs(y16 - y32))
-                            / max(float(np.max(np.abs(y32))), 1e-30))
-                float(reduce(fn4b(x4, p4)))  # warm at full batch
-                t0 = time.perf_counter()
-                ys = [fn4b(x4, p4) for _ in range(3)]
-                for y in ys:
-                    float(reduce(y))
-                dt4b = (time.perf_counter() - t0) / 3
-                del ys, fn4b
-                out["config4"]["bf16_wpe_stats"] = {
-                    "value": round(B4 * secs / dt4b / n_chips, 2),
-                    "max_rel_err_vs_f32": round(rel, 6),
-                }
         except Exception as e:  # pragma: no cover - depends on device state
             out["config4"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     # Config-5 (BASELINE: multi-array batch, SRP-PHAT localization steering

@@ -118,11 +118,14 @@ class PipelineConfig:
     # batch axis (sequential lax.map of vmapped chunks) bounds it to
     # ~chunk x 26 MB at the bench shape instead of B x 26 MB (16+ GB).
     wpe_batch_chunk: int = 64
-    # Opt-in: run the WPE lag-covariance accumulation matmuls in bf16 with
-    # f32 accumulation (the dominant config-4 cost on v5e runs the MXU at
-    # native rate).  Default OFF — the compiled goldens certify the f32
-    # path; bench reports the bf16 chain's measured deviation alongside
-    # its speedup so deployments can make the tradeoff knowingly.
+    # Opt-in: request bf16 operands for the WPE lag-covariance matmuls
+    # (f32 accumulation).  Default OFF.  Measured on v5e: Mosaic's dot
+    # lowering showed NO throughput or numeric change for in-kernel bf16
+    # casts with preferred_element_type=f32 (operands evidently promoted),
+    # so this is a no-op on the current toolchain — kept as the tested
+    # hook for toolchains that honor mixed-precision pallas dots
+    # (interpret-mode contract: tests/test_pallas_fused.py
+    # test_wpe_bf16_stats_close_to_f32, ~3.5% deviation class).
     wpe_bf16_stats: bool = False
 
 
