@@ -292,8 +292,8 @@ def _wpe_em_planes(Yr, Yi, C, T, F, lowerN, P, iterations, load_db,
     # the elementwise loading, and the Gauss-Jordan runs VMEM-resident
     # (gj_solve_pallas); zero-pad lanes (bins >= F) solve garbage that
     # never mixes across lanes and is cropped before the residual pass
-    eye_l = jnp.eye(CP, dtype=dtype)[..., None]
-    idx = jnp.arange(CP)
+    eye_l = jnp.eye(CP, dtype=jnp.float32)[..., None]  # [CP, CP, 1]
+    eye_b = eye_l.astype(bool)
     G = jnp.zeros((B, C, F, CP), dtype)
     for it in range(iterations):
         R, r = wpe_stats_from_planes(
@@ -301,11 +301,12 @@ def _wpe_em_planes(Yr, Yi, C, T, F, lowerN, P, iterations, load_db,
             has_g=(it > 0), bins_minor=True, bf16=bf16,
         )
         R = R + diagonal_bias * eye_l
-        diag = jnp.abs(R[..., idx, idx, :])  # [B, C, CP, L]
+        # diagonal loading via broadcast masks (advanced-index gather +
+        # .at[].set scatter lowered poorly on TPU at these shapes)
+        diag = jnp.where(eye_b, jnp.abs(R), 0.0).sum(-2)  # [B, C, CP, L]
         max_diag = jnp.max(diag, axis=-2, keepdims=True)
         new_diag = (diag + max_diag * load).astype(R.dtype)
-        R = R * (1.0 - eye_l)
-        R = R.at[..., idx, idx, :].set(new_diag)
+        R = jnp.where(eye_b, new_diag[..., :, None, :], R)
         G_l = gj_solve_pallas(R, r, interpret)  # [B, C, CP, L]
         G = jnp.moveaxis(G_l, -1, -2)[:, :, :F, :]
 

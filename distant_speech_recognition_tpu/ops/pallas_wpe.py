@@ -63,16 +63,19 @@ def _shift(z, s):
 def _make_kernel(C: int, P: int, lowerN: int, T: int, mode: str,
                  has_g: bool = True, bf16: bool = False):
     """Refs (leading block-1 dims already squeezed by indexing):
-    yr/yi [C*FL, W] subband planes (row a*FL+fl), gr/gi [C*FL, CP] filters
-    (row c*FL+fl).  mode 'stats': outputs raw product planes [512, 128];
-    mode 'resid': outputs [C*FL, W] residual planes.  ``has_g=False`` skips
-    the prediction loop (first EM iteration, G == 0)."""
+    yr/yi [C*FL, W] subband planes (row a*FL+fl), gr/gi [C*FL, CP*FL]
+    fl-diagonal EXPANDED filters (row c*FL+fl, col j*FL+fl', zero unless
+    fl'==fl — built by `_g_planes` in XLA) so the prediction is one MXU
+    matmul against the lag matrix instead of a CP-long VPU loop.
+    mode 'stats': outputs raw product planes [512, 128]; mode 'resid':
+    outputs [C*FL, W] residual planes.  ``has_g=False`` skips the
+    prediction (first EM iteration, G == 0)."""
     CP = C * P
     nrows = C * CP * FL
 
     def kernel(yr_ref, yi_ref, gr_ref, gi_ref, out0, out1):
         W = yr_ref.shape[-1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (FL, W), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C * FL, W), 1)
         valid = (lane >= lowerN) & (lane < T)
         inframe = lane < T
 
@@ -87,50 +90,51 @@ def _make_kernel(C: int, P: int, lowerN: int, T: int, mode: str,
                 Vr.append(_shift(y_r[a], s))
                 Vi.append(_shift(y_i[a], s))
 
-        # ---- pred/resid per target channel ----
-        Wc, res_r, res_i = [], [], []
-        for c in range(C):
-            if has_g:
-                g_r = gr_ref[0, 0, c * FL:(c + 1) * FL, :]  # [FL, CP]
-                g_i = gi_ref[0, 0, c * FL:(c + 1) * FL, :]
-                pr = jnp.zeros((FL, W), jnp.float32)
-                pi = jnp.zeros((FL, W), jnp.float32)
-                for j in range(CP):
-                    gr_j = g_r[:, j][:, None]
-                    gi_j = g_i[:, j][:, None]
-                    # conj(G) * V
-                    pr = pr + gr_j * Vr[j] + gi_j * Vi[j]
-                    pi = pi + gr_j * Vi[j] - gi_j * Vr[j]
-                pr = jnp.where(valid, pr, 0.0)
-                pi = jnp.where(valid, pi, 0.0)
-                rr = y_r[c] - pr
-                ri = y_i[c] - pi
-            else:
-                rr = y_r[c]
-                ri = y_i[c]
-            if mode == "resid":
-                res_r.append(jnp.where(inframe, rr, 0.0))
-                res_i.append(jnp.where(inframe, ri, 0.0))
-            else:
-                mag = jnp.sqrt(rr * rr + ri * ri)
-                theta = jnp.maximum(mag, jnp.float32(SUBBAND_FLOOR)) ** 2
-                Wc.append(jnp.where(valid, 1.0 / theta, 0.0))
+        # ---- lag matrix [CP*FL, W], rows (j, fl) — shared by the
+        # prediction matmul and (padded) the stats B operand ----
+        Lr = jnp.concatenate(Vr, axis=0)
+        Li = jnp.concatenate(Vi, axis=0)
+
+        # ---- prediction for ALL target channels as one MXU matmul:
+        # pred[(c,fl), t] = sum_(j,fl') Gexp[(c,fl),(j,fl')] * L[(j,fl'), t]
+        # (Gexp fl-diagonal) — replaces the C*CP-iteration VPU loop ----
+        yfull_r = yr_ref[0, 0]
+        yfull_i = yi_ref[0, 0]
+        if has_g:
+            g_r = gr_ref[0, 0]  # [C*FL, CP*FL]
+            g_i = gi_ref[0, 0]
+            dnp = (((1,), (0,)), ((), ()))
+            pdot = partial(jax.lax.dot_general, dimension_numbers=dnp,
+                           preferred_element_type=jnp.float32)
+            # conj(G) * V
+            pr = pdot(g_r, Lr) + pdot(g_i, Li)
+            pi = pdot(g_r, Li) - pdot(g_i, Lr)
+            rr_full = yfull_r - jnp.where(valid, pr, 0.0)
+            ri_full = yfull_i - jnp.where(valid, pi, 0.0)
+        else:
+            rr_full = yfull_r
+            ri_full = yfull_i
 
         if mode == "resid":
-            out0[0, 0] = jnp.concatenate(res_r, axis=0)
-            out1[0, 0] = jnp.concatenate(res_i, axis=0)
+            out0[0, 0] = jnp.where(inframe, rr_full, 0.0)
+            out1[0, 0] = jnp.where(inframe, ri_full, 0.0)
             return
 
+        mag = jnp.sqrt(rr_full * rr_full + ri_full * ri_full)
+        theta = jnp.maximum(mag, jnp.float32(SUBBAND_FLOOR)) ** 2
+        w_full = jnp.where(valid, 1.0 / theta, 0.0)
+        Wc = [w_full[c * FL:(c + 1) * FL, :] for c in range(C)]
+
         # ---- A [512, W]: rows (c, a, dp, fl) = w_c * V_(a,dp); then the
-        # r rows (c, fl) = w_c * conj(y_c) ----
+        # r rows (c, fl) = w_c * y_c (conjugation folded into the output
+        # combine: r rows take the negated Im of A x conj(B)) ----
         Ar_blocks, Ai_blocks = [], []
         for c in range(C):
             for j in range(CP):
                 Ar_blocks.append(Wc[c] * Vr[j])
                 Ai_blocks.append(Wc[c] * Vi[j])
-        for c in range(C):
-            Ar_blocks.append(Wc[c] * y_r[c])
-            Ai_blocks.append(-(Wc[c] * y_i[c]))
+        Ar_blocks.append(w_full * yfull_r)
+        Ai_blocks.append(w_full * yfull_i)
         pad = 512 - (nrows + C * FL)
         if pad:
             Ar_blocks.append(jnp.zeros((pad, W), jnp.float32))
@@ -140,10 +144,12 @@ def _make_kernel(C: int, P: int, lowerN: int, T: int, mode: str,
 
         # ---- B2 [128, W]: rows (b, dq, fl) = V_(b,dq), unconjugated ----
         bpad = 128 - CP * FL
-        Br_blocks = list(Vr) + ([jnp.zeros((bpad, W), jnp.float32)] if bpad else [])
-        Bi_blocks = list(Vi) + ([jnp.zeros((bpad, W), jnp.float32)] if bpad else [])
-        Br = jnp.concatenate(Br_blocks, axis=0)
-        Bi = jnp.concatenate(Bi_blocks, axis=0)
+        if bpad:
+            zpad = jnp.zeros((bpad, W), jnp.float32)
+            Br = jnp.concatenate([Lr, zpad], axis=0)
+            Bi = jnp.concatenate([Li, zpad], axis=0)
+        else:
+            Br, Bi = Lr, Li
 
         dn = (((1,), (1,)), ((), ()))
         dot = partial(jax.lax.dot_general, dimension_numbers=dn,
@@ -156,18 +162,20 @@ def _make_kernel(C: int, P: int, lowerN: int, T: int, mode: str,
             # end-to-end deviation vs the f32 path alongside the speedup.
             Ar, Ai = Ar.astype(jnp.bfloat16), Ai.astype(jnp.bfloat16)
             Br, Bi = Br.astype(jnp.bfloat16), Bi.astype(jnp.bfloat16)
-        P1 = dot(Ar, Br)
-        P2 = dot(Ai, Bi)
-        P3 = dot(Ar, Bi)
-        P4 = dot(Ai, Br)
+        # Every row wants A x conj(B): re = M1+M2, im = P4-P3 (r rows then
+        # negate im, which restores w*conj(y)*V).  Karatsuba 3-matmul form:
+        # P4-P3 = M3 + M1 - M2 with M3 = (Ai-Ar)(Br+Bi) — one [512,W]x
+        # [W,128] MXU pass fewer than the naive 4-product complex multiply.
+        M1 = dot(Ar, Br)
+        M2 = dot(Ai, Bi)
+        M3 = dot((Ai - Ar), (Br + Bi))
+        re = M1 + M2
+        im = M3 + M1 - M2
 
-        # R rows contract against conj(L): re = P1+P2, im = P4-P3.
-        # r rows hold w*conj(y) and contract against L itself (no conj):
-        # re = P1-P2, im = P3+P4.
         row = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 0)
         is_R = row < nrows
-        out0[0, 0] = jnp.where(is_R, P1 + P2, P1 - P2)
-        out1[0, 0] = jnp.where(is_R, P4 - P3, P3 + P4)
+        out0[0, 0] = re
+        out1[0, 0] = jnp.where(is_R, im, -im)
 
     return kernel
 
@@ -184,12 +192,21 @@ def _tm_planes(X: jax.Array, nG: int):
 
 
 def _g_planes(G: jax.Array, nG: int):
-    """[B, C, F, CP] complex -> re/im [B, nG, C*FL, CP]."""
+    """[B, C, F, CP] complex -> fl-diagonal expanded re/im planes
+    [B, nG, C*FL, CP*FL]: col (j, fl') holds G[.., fl, j] iff fl' == fl
+    (row = c*FL + fl), zero otherwise — the layout that lets the kernel
+    compute the prediction for all C targets as a single MXU matmul
+    against the [CP*FL, W] lag matrix."""
     B, C, F, CP = G.shape
     Gp = jnp.pad(G, ((0, 0), (0, 0), (0, nG * FL - F), (0, 0)))
     Gp = Gp.reshape(B, C, nG, FL, CP)
     Gp = jnp.moveaxis(Gp, 2, 1).reshape(B, nG, C * FL, CP)
-    return jnp.real(Gp), jnp.imag(Gp)
+    # expand: [B, nG, CFL, CP] -> [B, nG, CFL, CP, FL] masked -> [.., CP*FL]
+    fl_of_row = jnp.tile(jnp.arange(FL), C)  # row -> fl
+    mask = (fl_of_row[:, None] == jnp.arange(FL)[None, :])  # [CFL, FL]
+    Ge = Gp[..., None] * mask[None, None, :, None, :].astype(Gp.dtype)
+    Ge = Ge.reshape(B, nG, C * FL, CP * FL)
+    return jnp.real(Ge), jnp.imag(Ge)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
@@ -206,8 +223,8 @@ def _call(Yr, Yi, Gr, Gi, C, lowerN, P, T, mode, interpret=False, has_g=True,
     in_specs = [
         pl.BlockSpec((1, 1, CFL, W), lambda b, g: (b, g, 0, 0)),
         pl.BlockSpec((1, 1, CFL, W), lambda b, g: (b, g, 0, 0)),
-        pl.BlockSpec((1, 1, CFL, CP), lambda b, g: (b, g, 0, 0)),
-        pl.BlockSpec((1, 1, CFL, CP), lambda b, g: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, CFL, CP * FL), lambda b, g: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, CFL, CP * FL), lambda b, g: (b, g, 0, 0)),
     ]
     if mode == "stats":
         out_shape = [
@@ -260,30 +277,42 @@ def wpe_stats_from_planes(Yr, Yi, G, C, T, F, lowerN, P,
 
     eyeFL = jnp.eye(FL, dtype=jnp.float32)
 
-    def deint(re, im, lead):
+    def deint(re, im, lead, spec):
         """rows [.., lead, FL interleaved..] x cols (q, FL): take fl-diag.
 
         Realized as a mask-and-reduce einsum rather than jnp.diagonal —
         the 6D diagonal+transpose lowered to a slow gather (~40 ms per
         stats call at config-4 shapes); the masked reduction is one fused
-        streaming pass over the dump."""
+        streaming pass over the dump.  ``spec`` picks the OUTPUT axis order
+        so any required transpose is folded into that same pass (the
+        explicit 6D bins-minor transpose afterwards cost ~8.5 ms per stats
+        call on v5e — 10x off bandwidth)."""
         rr = re.reshape(re.shape[:2] + (lead, FL, CP, FL))
         ii = im.reshape(im.shape[:2] + (lead, FL, CP, FL))
-        d_r = jnp.einsum("bnrfqg,fg->bnrqf", rr, eyeFL)
-        d_i = jnp.einsum("bnrfqg,fg->bnrqf", ii, eyeFL)
+        d_r = jnp.einsum(spec, rr, eyeFL)
+        d_i = jnp.einsum(spec, ii, eyeFL)
         return jax.lax.complex(d_r, d_i)
 
-    # R rows: [B, nG, C*CP, FL(row), CP, FL(col)] -> diag -> [B,nG,C*CP,CP,FL]
-    Rd = deint(raw_re[:, :, :nrows, :CP * FL], raw_im[:, :, :nrows, :CP * FL],
-               C * CP)
-    Rd = Rd.reshape(B, nG, C, CP, CP, FL)
-    rd = deint(raw_re[:, :, nrows:nrows + C * FL, :CP * FL],
-               raw_im[:, :, nrows:nrows + C * FL, :CP * FL], C)
-    rd = rd.reshape(B, nG, C, CP, FL)
+    rawR_re = raw_re[:, :, :nrows, :CP * FL]
+    rawR_im = raw_im[:, :, :nrows, :CP * FL]
+    rawr_re = raw_re[:, :, nrows:nrows + C * FL, :CP * FL]
+    rawr_im = raw_im[:, :, nrows:nrows + C * FL, :CP * FL]
     if bins_minor:
+        # (A/B-measured on v5e: folding the bins-minor transpose into the
+        # einsum output order is NOT faster than transposing after — XLA
+        # streams the 6D transpose fine; keep the simple spec)
+        Rd = deint(rawR_re, rawR_im, C * CP, "bnrfqg,fg->bnrqf")
+        Rd = Rd.reshape(B, nG, C, CP, CP, FL)
+        rd = deint(rawr_re, rawr_im, C, "bnrfqg,fg->bnrqf")
+        rd = rd.reshape(B, nG, C, CP, FL)
         R = Rd.transpose(0, 2, 3, 4, 1, 5).reshape(B, C, CP, CP, nG * FL)
         r = rd.transpose(0, 2, 3, 1, 4).reshape(B, C, CP, nG * FL)
         return R, r
+    # R rows: [B, nG, C*CP, FL(row), CP, FL(col)] -> diag -> [B,nG,C*CP,CP,FL]
+    Rd = deint(rawR_re, rawR_im, C * CP, "bnrfqg,fg->bnrqf")
+    Rd = Rd.reshape(B, nG, C, CP, CP, FL)
+    rd = deint(rawr_re, rawr_im, C, "bnrfqg,fg->bnrqf")
+    rd = rd.reshape(B, nG, C, CP, FL)
     R = jnp.moveaxis(Rd, -1, 2).reshape(B, nG * FL, C, CP, CP)[:, :F]
     R = jnp.moveaxis(R, 1, 2)  # [B, C, F, CP, CP]
     r = jnp.moveaxis(rd, -1, 2).reshape(B, nG * FL, C, CP)[:, :F]
